@@ -1,0 +1,413 @@
+"""Functional op library — the TPU-native equivalent of the reference's
+`networks/ops.py` (see /root/reference/SURFGAN_3D/networks/ops.py and
+/root/reference/SURFGAN_2D/networks/ops.py).
+
+Design notes (TPU-first, not a translation):
+
+* Everything is a pure function over explicit parameters (`Scope`, core.py).
+* Convs use ``lax.conv_general_dilated`` with NC(D)HW activations and
+  ``(*kernel, in, out)`` weight layout — the same layout the reference stores
+  (ops.py:148), so checkpoints round-trip by name.  XLA:TPU lays these onto
+  the MXU; the channel contraction is the systolic dimension.
+* The reference hand-writes custom first- and second-order gradients for
+  ``leaky_relu`` (ops.py:167-182) and ``upscale3d``/``downscale3d``
+  (ops.py:276-305).  Those custom gradients are *exactly* what JAX autodiff
+  derives for ``jnp.where``-leaky-relu, nearest-repeat and mean-pool: the
+  adjoint of nearest-repeat is sum-pool (= factor**n * avg-pool, matching
+  ops.py:284) and the adjoint of avg-pool is (1/factor**n)-scaled repeat
+  (matching ops.py:300).  We therefore use plain autodiff and pin the
+  equivalence with second-order finite-difference tests
+  (tests/test_ops.py), instead of porting `tf.custom_gradient` machinery.
+* Ops are rank-generic: the spatial rank is inferred from ``x.ndim``
+  (4 => 2D NCHW, 5 => 3D NCDHW), which unifies the reference's duplicated
+  2D/3D op files.
+* Mixed precision: parameters live in float32; weights/biases are cast to
+  ``x.dtype`` at use (reference ops.py:143,149), so feeding bf16 activations
+  runs the whole network in bf16 with fp32 master weights.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from saragan_tpu.core import Scope, normal_initializer, zeros_initializer
+
+# ---------------------------------------------------------------------------
+# Gains, equalized learning rate
+# ---------------------------------------------------------------------------
+
+_LINEAR_FNS = (
+    "linear",
+    "conv1d",
+    "conv2d",
+    "conv3d",
+    "conv_transpose1d",
+    "conv_transpose2d",
+    "conv_transpose3d",
+)
+
+
+def calculate_gain(activation: str, param=None) -> float:
+    """He-init gain per activation (reference ops.py:60-77)."""
+    if activation in _LINEAR_FNS or activation == "sigmoid":
+        return 1.0
+    if activation == "tanh":
+        return 5.0 / 3
+    if activation == "relu":
+        return math.sqrt(2.0)
+    if activation == "leaky_relu":
+        assert param is not None
+        if not isinstance(param, bool) and isinstance(param, (int, float)):
+            negative_slope = param
+        else:
+            raise ValueError(f"negative_slope {param} not a valid number")
+        return math.sqrt(2.0 / (1 + negative_slope**2))
+    raise ValueError(f"Unsupported nonlinearity {activation}")
+
+
+def get_weight(
+    scope: Scope,
+    shape: Sequence[int],
+    activation: str,
+    lrmul: float = 1.0,
+    use_eq_lr: bool = True,
+    param=None,
+    name: str = "weight",
+) -> jax.Array:
+    """Equalized-learning-rate weight (reference ops.py:111-127).
+
+    The variable is initialized N(0, 1/lrmul) and scaled at *runtime* by
+    ``he_std * lrmul`` so the effective weight has He stddev while the raw
+    variable (and therefore the optimizer's per-step update scale) stays O(1).
+    """
+    fan_in = int(np.prod(shape[:-1]))
+    gain = calculate_gain(activation, param)
+    he_std = gain / math.sqrt(fan_in)
+    init_std = 1.0 / lrmul
+    runtime_coef = he_std * lrmul
+    w = scope.get(name, shape, normal_initializer(init_std))
+    if use_eq_lr:
+        w = w * runtime_coef
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Linear / conv primitives
+# ---------------------------------------------------------------------------
+
+
+def apply_bias(scope: Scope, x: jax.Array, lrmul: float = 1.0) -> jax.Array:
+    """Channel bias on axis 1 (reference ops.py:130-136)."""
+    b = scope.get("bias", (x.shape[1],), zeros_initializer()) * lrmul
+    b = b.astype(x.dtype)
+    if x.ndim == 2:
+        return x + b
+    return x + b.reshape((1, -1) + (1,) * (x.ndim - 2))
+
+
+def dense(
+    scope: Scope,
+    x: jax.Array,
+    fmaps: int,
+    activation: str,
+    lrmul: float = 1.0,
+    param=None,
+) -> jax.Array:
+    """Fully connected layer without bias (reference ops.py:139-144)."""
+    if x.ndim > 2:
+        x = x.reshape((x.shape[0], -1))
+    w = get_weight(scope, (x.shape[1], fmaps), activation, lrmul=lrmul, param=param)
+    w = w.astype(x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=x.dtype)
+
+
+def _conv_dimension_numbers(spatial_rank: int) -> lax.ConvDimensionNumbers:
+    if spatial_rank == 2:
+        return lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "HWIO", "NCHW"))
+    if spatial_rank == 3:
+        return lax.conv_dimension_numbers(
+            (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NCDHW", "DHWIO", "NCDHW")
+        )
+    raise ValueError(f"Unsupported spatial rank {spatial_rank}")
+
+
+def conv(
+    scope: Scope,
+    x: jax.Array,
+    fmaps: int,
+    kernel: Sequence[int],
+    activation: str,
+    param=None,
+    lrmul: float = 1.0,
+) -> jax.Array:
+    """SAME conv over NC(D)HW with (*kernel, in, out) weights
+    (reference ops.py:147-150 for 3D, SURFGAN_2D ops.py:98-101 for 2D)."""
+    spatial_rank = x.ndim - 2
+    kernel = tuple(int(k) for k in kernel)
+    assert len(kernel) == spatial_rank, (kernel, x.shape)
+    w = get_weight(scope, (*kernel, x.shape[1], fmaps), activation, param=param, lrmul=lrmul)
+    w = w.astype(x.dtype)
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,) * spatial_rank,
+        padding="SAME",
+        dimension_numbers=_conv_dimension_numbers(spatial_rank),
+        preferred_element_type=x.dtype,
+    )
+
+
+conv2d = conv
+conv3d = conv
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def leaky_relu(x: jax.Array, alpha_lr: float = 0.2) -> jax.Array:
+    """Leaky ReLU. Autodiff yields the reference's hand-written first- and
+    second-order gradients (ops.py:167-182) exactly; verified in tests."""
+    alpha_lr = jnp.asarray(alpha_lr, x.dtype)
+    return jnp.where(x >= 0, x, x * alpha_lr)
+
+
+def act(x: jax.Array, activation: str, param=None) -> jax.Array:
+    if activation == "leaky_relu":
+        assert param is not None
+        return leaky_relu(x, alpha_lr=param)
+    if activation == "linear":
+        return x
+    raise ValueError(f"Unknown activation {activation}")
+
+
+# ---------------------------------------------------------------------------
+# Resampling (nearest up / average down), rank-generic
+# ---------------------------------------------------------------------------
+
+
+def avg_unpool(x: jax.Array, factor: int = 2, gain: float = 1.0) -> jax.Array:
+    """Nearest-neighbour upsampling of all spatial axes (reference
+    ops.py:250-262 implements this with a batch_to_space trick; repeat is the
+    identical map and XLA lowers it to a broadcast-reshape, no gather)."""
+    if gain != 1:
+        x = x * gain
+    if factor == 1:
+        return x
+    for axis in range(2, x.ndim):
+        x = jnp.repeat(x, factor, axis=axis)
+    return x
+
+
+def avg_pool(x: jax.Array, factor: int = 2, gain: float = 1.0) -> jax.Array:
+    """Average pooling of all spatial axes (reference ops.py:265-273).
+
+    Implemented as reshape+mean: for stride==window pooling this is the same
+    computation as reduce_window but fuses better on TPU (pure reshape is a
+    relayout; the mean reduces over contiguous minor dims).
+    """
+    if gain != 1:
+        x = x * gain
+    if factor == 1:
+        return x
+    spatial = x.shape[2:]
+    assert all(s % factor == 0 for s in spatial), (x.shape, factor)
+    new_shape: Tuple[int, ...] = x.shape[:2]
+    reduce_axes = []
+    for i, s in enumerate(spatial):
+        new_shape = new_shape + (s // factor, factor)
+        reduce_axes.append(2 + 2 * i + 1)
+    x = x.reshape(new_shape)
+    return x.mean(axis=tuple(reduce_axes))
+
+
+def upscale(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Nearest upsample. The reference defines its VJP as sum-pool and its
+    second-order VJP as nearest-upsample again (ops.py:276-289) — identical
+    to autodiff of `jnp.repeat`."""
+    return avg_unpool(x, factor)
+
+
+def downscale(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Average pool. Reference VJP: (1/factor**n)-scaled nearest upsample,
+    second order: avg-pool again (ops.py:292-305) — identical to autodiff."""
+    return avg_pool(x, factor)
+
+
+upscale2d = upscale
+upscale3d = upscale
+downscale2d = downscale
+downscale3d = downscale
+
+
+# ---------------------------------------------------------------------------
+# Normalization / statistics layers
+# ---------------------------------------------------------------------------
+
+
+def pixel_norm(x: jax.Array, epsilon: float = 1e-8) -> jax.Array:
+    """Per-voxel channel normalization (reference ops.py:308-310)."""
+    eps = jnp.asarray(epsilon, x.dtype)
+    return x * lax.rsqrt(jnp.mean(jnp.square(x), axis=1, keepdims=True) + eps)
+
+
+def minibatch_stddev_layer(x: jax.Array, group_size: int = 4) -> jax.Array:
+    """Append a per-group stddev statistic channel (reference ops.py:313-325).
+
+    Statistics are computed in float32 regardless of the compute dtype, as in
+    the reference (ops.py:318).
+    """
+    n = x.shape[0]
+    group_size = min(group_size, n)
+    # The reference reshapes [G, -1, C, *S]; this requires n % group_size == 0.
+    assert n % group_size == 0, (n, group_size)
+    s = x.shape
+    y = x.reshape((group_size, -1) + s[1:]).astype(jnp.float32)
+    y = y - jnp.mean(y, axis=0, keepdims=True)
+    y = jnp.mean(jnp.square(y), axis=0)
+    y = jnp.sqrt(y + 1e-8)
+    y = jnp.mean(y, axis=tuple(range(1, y.ndim)), keepdims=True)  # [n/G, 1, 1, ...]
+    y = y.astype(x.dtype)
+    reps = (group_size, 1) + s[2:]
+    y = jnp.tile(y, reps)
+    return jnp.concatenate([x, y], axis=1)
+
+
+def instance_norm(x: jax.Array, epsilon: float = 1e-8) -> jax.Array:
+    """Per-sample, per-channel spatial normalization (reference ops.py:328-333)."""
+    assert x.ndim >= 4
+    axes = tuple(range(2, x.ndim))
+    x = x - jnp.mean(x, axis=axes, keepdims=True)
+    eps = jnp.asarray(epsilon, x.dtype)
+    x = x * lax.rsqrt(jnp.mean(jnp.square(x), axis=axes, keepdims=True) + eps)
+    return x
+
+
+def apply_noise(scope: Scope, x: jax.Array, rng: jax.Array) -> jax.Array:
+    """Learned-strength per-pixel noise (reference ops.py:336-341)."""
+    noise_shape = (x.shape[0], 1) + x.shape[2:]
+    noise = jax.random.normal(rng, noise_shape, x.dtype)
+    strength = scope.get("noise_strength", (), zeros_initializer()).astype(x.dtype)
+    return x + noise * strength
+
+
+def style_mod(scope: Scope, x: jax.Array, dlatent: jax.Array, activation: str, param=None):
+    """AdaIN-style modulation (reference ops.py:344-348)."""
+    s = scope.sub("style_mod")
+    style = apply_bias(s, dense(s, dlatent, fmaps=x.shape[1] * 2, activation=activation, param=param))
+    style = style.reshape((-1, 2, x.shape[1]) + (1,) * (x.ndim - 2))
+    return x * (style[:, 0] + 1) + style[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# RGB adapters
+# ---------------------------------------------------------------------------
+
+
+def to_rgb(scope: Scope, x: jax.Array, channels: int = 1) -> jax.Array:
+    """1x1(x1) linear projection to image channels (reference ops.py:239-240)."""
+    kernel = (1,) * (x.ndim - 2)
+    return apply_bias(scope, conv(scope, x, channels, kernel, activation="linear"))
+
+
+def from_rgb(scope: Scope, x: jax.Array, filters_out: int, activation: str, param=None):
+    """1x1(x1) lift from image channels (reference ops.py:243-247)."""
+    kernel = (1,) * (x.ndim - 2)
+    x = conv(scope, x, filters_out, kernel, activation, param)
+    x = apply_bias(scope, x)
+    x = act(x, activation, param=param)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Schedules and sizing helpers
+# ---------------------------------------------------------------------------
+
+
+def alpha_update(
+    alpha: jax.Array,
+    mixing_nimg: int,
+    starting_alpha: float,
+    batch_size: int,
+    global_size: int,
+) -> jax.Array:
+    """One mixing-phase alpha step: linear decay 1 -> 0 (reference ops.py:4-23)."""
+    if mixing_nimg == 0:
+        return jnp.zeros_like(alpha)
+    num_steps = mixing_nimg // (batch_size * global_size)
+    step = starting_alpha / num_steps
+    return jnp.maximum(alpha - step, 0.0)
+
+
+def get_kernel(x_shape: Sequence[int], desired_k_shape: Sequence[int]) -> list:
+    """Shrink a desired kernel to the largest odd kernel fitting x
+    (reference ops.py:31-58)."""
+    assert len(x_shape) == len(desired_k_shape)
+    kernel = []
+    for x_i, k_i in zip(x_shape, desired_k_shape):
+        if x_i < k_i:
+            kernel.append(x_i - 1 if x_i % 2 == 0 else x_i)
+        else:
+            kernel.append(k_i)
+    return kernel
+
+
+_FILTER_LISTS_3D = {
+    "xxs": [256, 256, 64, 32, 16, 8, 4, 2],
+    "xs": [256, 256, 64, 64, 32, 16, 8, 4],
+    "s": [512, 512, 128, 128, 64, 32, 16, 8],
+    "m": [1024, 1024, 256, 256, 128, 64, 32, 16],
+    "l": [2048, 2048, 512, 512, 256, 128, 64, 32],
+    "xl": [4096, 4096, 1024, 1024, 512, 256, 128, 64],
+    "xxl": [8192, 8192, 2048, 1024, 1024, 512, 256, 128],
+}
+
+
+def num_filters(
+    phase: int,
+    num_phases: int,
+    base_shape: Sequence[int],
+    base_dim: Optional[int] = None,
+    size: Optional[str] = None,
+) -> int:
+    """Voxel-count-based filter sizing (reference ops.py:201-236).
+
+    The filter lists were designed for spatial sizes whose log2-voxel-count is
+    4, 7, 10, ...; the current phase's voxel count is snapped to the nearest
+    reference point.
+    """
+    if size not in _FILTER_LISTS_3D:
+        raise ValueError(f"Unknown size: {size}")
+    filter_list = _FILTER_LISTS_3D[size]
+    assert len(filter_list) == 8, "Filter lists are built for LIDC-IDRI dataset."
+    current_dim = [2 ** (phase - 1) * dim for dim in base_shape[1:]]
+    log_product = np.log2(np.prod(current_dim))
+    reference_log = np.array([4 + n * 3 for n in range(7)])
+    index = int(np.argmin(np.abs(reference_log - log_product)))
+    return filter_list[index]
+
+
+_FILTER_LISTS_2D = {
+    "xxs": [64, 64, 64, 64, 64, 64, 64, 64, 32, 16, 8, 4, 2],
+    "xs": [128, 128, 128, 128, 128, 128, 128, 128, 64, 32, 16, 8, 4],
+    "s": [256, 256, 256, 256, 256, 256, 256, 256, 128, 64, 32, 16, 8],
+    "m": [512, 512, 512, 512, 512, 512, 512, 512, 256, 128, 64, 32, 16],
+    "l": [512, 512, 512, 512, 512, 512, 512, 512, 512, 256, 128, 64, 32],
+    "xl": [1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 512, 256, 128, 64],
+    "xxl": [2048, 2048, 2048, 2048, 2048, 2048, 2048, 2048, 2048, 1024, 512, 256, 128],
+}
+
+
+def num_filters_2d(phase: int, num_phases: int, base_dim=None, size: Optional[str] = None) -> int:
+    """2D filter sizing (reference SURFGAN_2D/networks/ops.py:139-158)."""
+    if size not in _FILTER_LISTS_2D:
+        raise ValueError(f"Unknown size: {size}")
+    filter_list = _FILTER_LISTS_2D[size][-num_phases:]
+    return filter_list[phase - 1]
