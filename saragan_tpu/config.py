@@ -1,0 +1,274 @@
+"""Run configuration.
+
+One dataclass with the same field names as the reference CLI
+(/root/reference/SURFGAN_3D/main.py:234-354), including the
+``None``-means-"let the HPO harness pick it" convention
+(reference optuna_suggestions.py:18-277) and the JSON kernel_spec /
+filter_spec files (reference main.py:225-232).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+
+def parse_tuple(value) -> Tuple[int, ...]:
+    """Parse "(c, z, y, x)" strings (reference utils.py:339-341)."""
+    if isinstance(value, (tuple, list)):
+        return tuple(int(v) for v in value)
+    return tuple(ast.literal_eval(str(value)))
+
+
+def load_spec(path: str, key: str) -> list:
+    """Load kernel_spec/filter_spec from a JSON file (reference main.py:225-232)."""
+    with open(path) as f:
+        data = json.load(f)
+    return data[key]
+
+
+def num_phases_from_shapes(start_shape, final_shape) -> int:
+    """log2 resolution ratio (reference utils.py:211-217)."""
+    start = parse_tuple(start_shape)
+    final = parse_tuple(final_shape)
+    return int(math.log2(final[-1] / start[-1]))
+
+
+def default_kernel_spec(num_phases: int, ndim: int = 3, kernel: int = 3) -> list:
+    """Spec equivalent to the legacy --conv_kernel_size path: kernel_spec[p] =
+    [k, k] per phase; phase 0 layer 0 is the dense layer (empty kernel),
+    matching the shipped SURFGAN_3D/kernel_spec.json layout."""
+    k = [kernel] * ndim
+    spec = [[[], list(k)]]
+    for _ in range(1, num_phases):
+        spec.append([list(k), list(k)])
+    return spec
+
+
+def default_filter_spec(num_phases: int, base_shape, size: str = "xs", ndim: int = 3) -> list:
+    """Filter spec derived from the legacy num_filters tables
+    (reference networks/ops.py:201-236 / SURFGAN_2D ops.py:139-158)."""
+    from saragan_tpu.ops import num_filters, num_filters_2d
+
+    spec = []
+    for phase in range(1, num_phases + 1):
+        if ndim == 3:
+            f = num_filters(phase, num_phases, base_shape, size=size)
+        else:
+            f = num_filters_2d(phase, num_phases, size=size)
+        spec.append([int(f), int(f)])
+    return spec
+
+
+@dataclass
+class Config:
+    # --- positional ---
+    architecture: str = "pgan"
+    dataset_path: str = ""
+    # --- shapes / phases (reference main.py:236-244) ---
+    start_shape: str = "(1, 4, 4, 4)"
+    final_shape: str = "(1, 32, 32, 32)"
+    starting_phase: int = 1
+    ending_phase: int = 3
+    scratch_path: Optional[str] = None
+    base_batch_size: Optional[int] = None
+    max_global_batch_size: Optional[int] = None
+    mixing_nimg: int = 2**19
+    stabilizing_nimg: int = 2**19
+    seed: int = 42
+    horovod: bool = False  # kept for CLI parity; means "data-parallel over the mesh"
+    checkpoint_every_nsteps: int = 20000
+    logdir: Optional[str] = None
+    continue_path: Optional[str] = None
+    starting_alpha: float = 1.0
+    num_labels: Optional[int] = None
+    validation_fraction: float = 0.1
+    test_fraction: float = 0.1
+    # --- architecture (reference main.py:259-266) ---
+    latent_dim: int = 256
+    first_conv_nfilters: Optional[int] = None
+    network_size: Optional[str] = "xs"
+    activation: str = "leaky_relu"
+    leakiness: float = 0.2
+    conv_kernel_size: Sequence[int] = (3, 3, 3)
+    kernel_spec: Optional[list] = None
+    filter_spec: Optional[list] = None
+    # --- learning rate (reference main.py:268-287) ---
+    g_lr: Optional[float] = 1e-3
+    d_lr: Optional[float] = 1e-3
+    g_lr_increase: Optional[str] = None
+    g_lr_decrease: Optional[str] = None
+    d_lr_increase: Optional[str] = None
+    d_lr_decrease: Optional[str] = None
+    g_lr_rise_niter: Optional[int] = None
+    g_lr_decay_niter: Optional[int] = None
+    d_lr_rise_niter: Optional[int] = None
+    d_lr_decay_niter: Optional[int] = None
+    d_scaling: str = "none"
+    g_scaling: str = "none"
+    # --- loss & optimization (reference main.py:289-319) ---
+    loss_fn: str = "logistic"
+    gp_weight: float = 1.0
+    g_clipping: bool = False
+    d_clipping: bool = False
+    optim_strategy: str = "simultaneous"
+    use_adasum: bool = False
+    ema_beta: float = 0.99
+    noise_stddev: float = 0.0
+    optimizer: Optional[str] = "Adam"
+    d_use_different_optimizer: bool = False
+    d_optimizer: Optional[str] = "Adam"
+    adam_beta1: Optional[float] = 0.0
+    d_use_different_beta1: bool = False
+    d_adam_beta1: Optional[float] = 0.0
+    adam_beta2: Optional[float] = 0.9
+    d_use_different_beta2: bool = False
+    d_adam_beta2: Optional[float] = 0.9
+    rho: Optional[float] = 0.95
+    d_use_different_rho: bool = False
+    d_rho: Optional[float] = 0.95
+    momentum: Optional[float] = 0.9
+    d_use_different_momentum: bool = False
+    d_momentum: Optional[float] = 0.9
+    g_annealing: float = 1.0
+    d_annealing: float = 1.0
+    # --- metrics (reference main.py:325-341) ---
+    calc_metrics: bool = False
+    compute_metrics_train: bool = False
+    compute_metrics_validation: bool = True
+    compute_metrics_test: bool = True
+    summary_small_every_nsteps: int = 32
+    summary_large_every_nsteps: int = 64
+    num_metric_samples: Optional[int] = None
+    metrics_every_nsteps: int = 128
+    metrics_batch_size: int = 16
+    compute_FID: bool = False
+    compute_swds: bool = False
+    compute_ssims: bool = False
+    compute_psnrs: bool = False
+    compute_mses: bool = False
+    compute_nrmses: bool = False
+    # --- HPO (reference main.py:343-354) ---
+    optuna_distributed: bool = False
+    optuna_ntrials: Optional[int] = None
+    optuna_use_best_trial: bool = False
+    optuna_storage: Optional[str] = None
+    optuna_study_name: Optional[str] = None
+    optuna_pruner: str = "median"
+    optuna_sampler: str = "TPE"
+    optuna_warmup_steps: int = 20000
+    optuna_TPE_multivariate: bool = False
+    optuna_CMA_consider_pruned_trials: bool = False
+    optuna_CMA_restart_strategy: Optional[str] = None
+    optuna_CMA_inc_popsize: int = 2
+    optuna_square_kernels: bool = False
+    # --- input normalization (reference main.py:356-357) ---
+    data_mean: Optional[float] = None
+    data_stddev: Optional[float] = None
+    # --- TPU-native additions (no reference equivalent) ---
+    compute_dtype: str = "float32"  # "bfloat16" for mixed precision (SURVEY §5.9)
+    num_data_shards: Optional[int] = None  # mesh 'data' axis; None = all devices
+    num_space_shards: int = 1  # spatial halo sharding for huge phases (SURVEY §5.7)
+    profile_dir: Optional[str] = None
+
+    # ------------------------------------------------------------------
+    # Derived properties
+    # ------------------------------------------------------------------
+
+    @property
+    def start_shape_t(self) -> Tuple[int, ...]:
+        return parse_tuple(self.start_shape)
+
+    @property
+    def final_shape_t(self) -> Tuple[int, ...]:
+        return parse_tuple(self.final_shape)
+
+    @property
+    def base_shape(self) -> Tuple[int, ...]:
+        """(channels, *spatial) at phase 1 (reference utils.py:219-224)."""
+        return self.start_shape_t
+
+    @property
+    def image_channels(self) -> int:
+        return self.start_shape_t[0]
+
+    @property
+    def ndim(self) -> int:
+        """Spatial rank: 3 for volumes, 2 for images."""
+        return len(self.start_shape_t) - 1
+
+    @property
+    def num_phases(self) -> int:
+        return num_phases_from_shapes(self.start_shape, self.final_shape)
+
+    def current_shape(self, phase: int, batch_size: int) -> Tuple[int, ...]:
+        """Input shape at `phase` (reference utils.py:163-168)."""
+        s = self.start_shape_t
+        return (batch_size, s[0], *[d * 2 ** (phase - 1) for d in s[1:]])
+
+    def resolved_kernel_spec(self) -> list:
+        if self.kernel_spec is not None:
+            return self.kernel_spec
+        k = list(self.conv_kernel_size)[: self.ndim]
+        if len(k) < self.ndim:
+            k = k + [k[-1]] * (self.ndim - len(k))
+        spec = [[[], list(k)]]
+        for _ in range(1, self.num_phases):
+            spec.append([list(k), list(k)])
+        return spec
+
+    def resolved_filter_spec(self) -> list:
+        if self.filter_spec is not None:
+            return self.filter_spec
+        size = self.network_size or "xs"
+        return default_filter_spec(self.num_phases, self.base_shape, size=size, ndim=self.ndim)
+
+    def batch_size_for_phase(self, phase: int, global_size: int = 1) -> int:
+        """Per-worker batch size: halves per phase, capped globally
+        (reference optuna_objective.py:127-136)."""
+        assert self.base_batch_size is not None
+        batch_size = max(1, self.base_batch_size // (2 ** (phase - 1)))
+        if self.max_global_batch_size is not None:
+            cap = self.max_global_batch_size // (2 ** (phase - 1))
+            cap = max(1, cap)
+            while batch_size * global_size > max(cap, global_size):
+                if batch_size == 1:
+                    break
+                batch_size //= 2
+            assert batch_size * global_size <= max(self.max_global_batch_size, global_size)
+        return batch_size
+
+    def finalize(self) -> "Config":
+        """Post-parse derived defaults (reference main.py:383-411): LR
+        rise/decay iteration counts default from the phase length, and D-side
+        optimizer hyperparameters mirror G unless d_use_different_*."""
+        c = dataclasses.replace(self)
+        if c.g_lr_rise_niter is None:
+            c.g_lr_rise_niter = c.mixing_nimg // 2
+        if c.g_lr_decay_niter is None:
+            c.g_lr_decay_niter = c.stabilizing_nimg // 2
+        if c.d_lr_rise_niter is None:
+            c.d_lr_rise_niter = c.mixing_nimg // 2
+        if c.d_lr_decay_niter is None:
+            c.d_lr_decay_niter = c.stabilizing_nimg // 2
+        if not c.d_use_different_optimizer:
+            c.d_optimizer = c.optimizer
+        if not c.d_use_different_beta1:
+            c.d_adam_beta1 = c.adam_beta1
+        if not c.d_use_different_beta2:
+            c.d_adam_beta2 = c.adam_beta2
+        if not c.d_use_different_rho:
+            c.d_rho = c.rho
+        if not c.d_use_different_momentum:
+            c.d_momentum = c.momentum
+        if c.architecture == "stylegan2":
+            # reference main.py:413-414: stylegan2 has no progressive alpha
+            assert c.starting_phase == c.ending_phase, (
+                "stylegan2 does not support progressive growing; "
+                "starting_phase must equal ending_phase"
+            )
+        return c
