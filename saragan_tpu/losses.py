@@ -1,0 +1,208 @@
+"""GAN losses: WGAN-GP and non-saturating logistic, with instance noise.
+
+Re-design of /root/reference/SURFGAN_3D/networks/loss.py.  The gradient
+penalty differentiates the discriminator w.r.t. its *input* inside the loss;
+the optimizer then differentiates the loss w.r.t. the discriminator's
+*parameters* — grad-of-grad, which JAX composes natively (jax.grad of a
+function containing jax.grad).  On TPU the double-backward of the conv stack
+is just more MXU work in the same XLA program; nothing special is needed.
+
+Per-sample GP gradients are obtained as ``jax.grad(sum(D(x)))`` — valid
+because D is batchwise-independent (pgan's minibatch-stddev head is disabled,
+reference discriminator.py:50).
+
+Reference quirk preserved: `forward_simultaneous` reduces the GP norm over
+axes (1, 2, 3) (reference loss.py:140 — for 3D volumes this *drops the last
+spatial axis*, yielding a per-(sample, W-slice) penalty that broadcasts
+against the (N, 1) critic scores), while `forward_discriminator` reduces over
+all non-batch axes (loss.py:79).  ``gp_full_reduction=True`` opts into the
+standard full reduction everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+def _instance_noise(rng, x, noise_stddev):
+    if noise_stddev:
+        return x + jax.random.normal(rng, x.shape, x.dtype) * jnp.asarray(noise_stddev, x.dtype)
+    return x
+
+
+def _gp_slopes(disc_fn, d_params, interp, axes) -> jax.Array:
+    """||d D(x)/d x|| per sample over `axes` (second-order differentiable)."""
+    grads = jax.grad(lambda xi: jnp.sum(disc_fn(d_params, xi)).astype(jnp.float32))(interp)
+    return jnp.sqrt(jnp.sum(jnp.square(grads.astype(jnp.float32)), axis=axes))
+
+
+def _simultaneous_axes(ndim: int, full: bool) -> Tuple[int, ...]:
+    if full:
+        return tuple(range(1, ndim))
+    # reference loss.py:140: literal (1, 2, 3)
+    return tuple(a for a in (1, 2, 3) if a < ndim)
+
+
+class LossOutput(NamedTuple):
+    gen_loss: jax.Array
+    disc_loss: jax.Array
+    gp_loss: jax.Array
+    gen_sample: jax.Array
+
+
+def forward_simultaneous(
+    gen_fn: Callable,
+    disc_fn: Callable,
+    g_params,
+    d_params,
+    real_image_input: jax.Array,
+    rng: jax.Array,
+    *,
+    latent_dim: int,
+    loss_fn: str = "wgan",
+    gp_weight: float = 1.0,
+    noise_stddev: float = 0.0,
+    gp_full_reduction: bool = False,
+) -> LossOutput:
+    """Joint G+D forward (reference loss.py:101-165).
+
+    gen_fn(params, z) -> images; disc_fn(params, x) -> (N, 1) scores (alpha
+    and phase already bound by the caller).
+    Returns losses such that grad w.r.t. g_params gives the reference's
+    generator gradients and grad w.r.t. d_params the discriminator's:
+    disc_fake_d / interp use stop_gradient on the generator sample, and the
+    generator's critic pass uses stop_gradient on d_params, so
+    ``gen_loss + disc_loss`` backpropagates exactly like the reference's two
+    separate minimizations.
+    """
+    k_z, k_nr, k_nf, k_gamma = jax.random.split(rng, 4)
+    n = real_image_input.shape[0]
+    dtype = real_image_input.dtype
+
+    z = jax.random.normal(k_z, (n, latent_dim), dtype)
+    gen_sample = gen_fn(g_params, z)
+
+    real = _instance_noise(k_nr, real_image_input, noise_stddev)
+    fake = _instance_noise(k_nf, gen_sample, noise_stddev)
+    fake_sg = jax.lax.stop_gradient(fake)
+
+    disc_fake_d = disc_fn(d_params, fake_sg)
+    disc_real = disc_fn(d_params, real)
+
+    gamma = jax.random.uniform(k_gamma, (n,) + (1,) * (real.ndim - 1), dtype)
+    interpolates = gamma * real + (1 - gamma) * fake_sg
+    axes = _simultaneous_axes(real.ndim, gp_full_reduction)
+    slopes = _gp_slopes(disc_fn, d_params, interpolates, axes)
+
+    # Generator pass through a gradient-blocked critic: same values, but the
+    # combined scalar's d_params-gradient stays the reference's disc-only one.
+    d_params_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, d_params)
+    disc_fake_g = disc_fn(d_params_sg, fake)
+
+    disc_fake_d = disc_fake_d.astype(jnp.float32)
+    disc_real = disc_real.astype(jnp.float32)
+    disc_fake_g = disc_fake_g.astype(jnp.float32)
+
+    if loss_fn == "wgan":
+        gradient_penalty = (slopes - 1.0) ** 2
+        gp_loss = gp_weight * gradient_penalty
+        drift_loss = 1e-3 * disc_real**2
+        disc_loss = jnp.mean(disc_fake_d - disc_real + gp_loss + drift_loss)
+        gen_loss = -jnp.mean(disc_fake_g)
+    elif loss_fn == "logistic":
+        gradient_penalty = jnp.mean(slopes**2)
+        gp_loss = gp_weight * gradient_penalty
+        disc_loss = jnp.mean(_softplus(disc_fake_d)) + jnp.mean(_softplus(-disc_real)) + gp_loss
+        gen_loss = jnp.mean(_softplus(-disc_fake_g))
+    else:
+        raise ValueError(f"Unknown loss function: {loss_fn}")
+
+    return LossOutput(gen_loss, disc_loss, jnp.mean(gp_loss), gen_sample)
+
+
+def forward_generator(
+    gen_fn: Callable,
+    disc_fn: Callable,
+    g_params,
+    d_params,
+    real_image_input: jax.Array,
+    rng: jax.Array,
+    *,
+    latent_dim: int,
+    loss_fn: str = "wgan",
+    noise_stddev: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Generator-only forward (reference loss.py:4-39). Returns (sample, loss)."""
+    k_z, k_nf = jax.random.split(rng)
+    n = real_image_input.shape[0]
+    dtype = real_image_input.dtype
+    z = jax.random.normal(k_z, (n, latent_dim), dtype)
+    gen_sample = gen_fn(g_params, z)
+    fake = _instance_noise(k_nf, gen_sample, noise_stddev)
+    d_params_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, d_params)
+    disc_fake_g = disc_fn(d_params_sg, fake).astype(jnp.float32)
+    if loss_fn == "wgan":
+        gen_loss = -jnp.mean(disc_fake_g)
+    elif loss_fn == "logistic":
+        gen_loss = jnp.mean(_softplus(-disc_fake_g))
+    else:
+        raise ValueError(f"Unknown loss function: {loss_fn}")
+    return gen_sample, gen_loss
+
+
+def forward_discriminator(
+    gen_fn: Callable,
+    disc_fn: Callable,
+    g_params,
+    d_params,
+    real_image_input: jax.Array,
+    rng: jax.Array,
+    *,
+    latent_dim: int,
+    loss_fn: str = "wgan",
+    gp_weight: float = 1.0,
+    noise_stddev: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Discriminator-only forward (reference loss.py:42-98).
+
+    GP norm reduces over ALL non-batch axes here (reference loss.py:79).
+    Returns (disc_loss, gp_loss).
+    """
+    k_z, k_nr, k_nf, k_gamma = jax.random.split(rng, 4)
+    n = real_image_input.shape[0]
+    dtype = real_image_input.dtype
+    z = jax.random.normal(k_z, (n, latent_dim), dtype)
+    gen_sample = jax.lax.stop_gradient(gen_fn(g_params, z))
+
+    real = _instance_noise(k_nr, real_image_input, noise_stddev)
+    fake = jax.lax.stop_gradient(_instance_noise(k_nf, gen_sample, noise_stddev))
+
+    disc_fake_d = disc_fn(d_params, fake).astype(jnp.float32)
+    disc_real = disc_fn(d_params, real).astype(jnp.float32)
+
+    gamma = jax.random.uniform(k_gamma, (n,) + (1,) * (real.ndim - 1), dtype)
+    interpolates = gamma * real + (1 - gamma) * fake
+    axes = tuple(range(1, real.ndim))
+    slopes = _gp_slopes(disc_fn, d_params, interpolates, axes)
+
+    if loss_fn == "wgan":
+        gradient_penalty = (slopes - 1.0) ** 2
+        gp_loss = gp_weight * gradient_penalty
+        drift_loss = 1e-3 * disc_real**2
+        disc_loss = jnp.mean(disc_fake_d - disc_real + gp_loss[:, None] + drift_loss)
+        gp_out = jnp.mean(gp_loss)
+    elif loss_fn == "logistic":
+        gradient_penalty = jnp.mean(slopes**2)
+        gp_loss = gp_weight * gradient_penalty
+        disc_loss = jnp.mean(_softplus(disc_fake_d)) + jnp.mean(_softplus(-disc_real)) + gp_loss
+        gp_out = gp_loss
+    else:
+        raise ValueError(f"Unknown loss function: {loss_fn}")
+    return disc_loss, gp_out

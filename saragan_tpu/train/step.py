@@ -1,0 +1,212 @@
+"""The jitted training step.
+
+TPU-native equivalent of the reference's single hot `Session.run` that fuses
+G forward, 3 D forwards, the GP double-backward, both optimizers and the
+Horovod allreduce (reference optuna_objective.py:454-465, optimization.py:77-
+224).  Here the *entire* step — including the EMA update — is one XLA
+program; under a sharded jit the gradient allreduce is an ICI psum XLA
+inserts from the sharding annotations (SURVEY §5.8).
+
+Reference semantics preserved:
+
+* `simultaneous`: one joint forward; G-grads of gen_loss, D-grads of
+  disc_loss (optimization.py:128-162).  A single fused backward computes
+  both (gen_loss blocks gradients into D's params, disc_loss is independent
+  of G's params by stop_gradient on the sample).
+* `alternate`: D step applied first, G step then runs against the *updated*
+  discriminator (the reference's control_dependencies ordering,
+  optimization.py:166-216).
+* optional global-norm-1.0 clipping per network, applied to raw grads before
+  the optimizer, with max-per-variable-norm telemetry computed on the
+  clipped grads (optimization.py:47-75).
+* freeze variants: frozen (previous-phase) parameters receive neither
+  updates nor optimizer-slot changes (optimization.py:149-162).
+* EMA over G+D parameters updated once per step (optuna_objective.py:467).
+
+Mixed precision: when cfg.compute_dtype == 'bfloat16' the input batch and
+latents are bf16 and every conv/matmul runs bf16 on the MXU; parameters,
+gradients and optimizer state stay fp32 (SURVEY §5.9).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, FrozenSet, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from saragan_tpu import losses
+from saragan_tpu.core import Params, filter_params
+from saragan_tpu.optim.ema import ema_init, ema_update
+from saragan_tpu.optim.factory import Optimizer, make_optimizers_from_config
+from saragan_tpu.optim.freeze import freeze_select
+
+
+class TrainState(NamedTuple):
+    g_params: Params
+    d_params: Params
+    g_opt: Any
+    d_opt: Any
+    ema: Params  # EMA over G+D (reference ExtendedEMA over var_list=gen+disc)
+
+
+class StepMetrics(NamedTuple):
+    gen_loss: jax.Array
+    disc_loss: jax.Array
+    gp_loss: jax.Array
+    max_g_norm: jax.Array
+    max_d_norm: jax.Array
+
+
+def split_params(params: Params) -> Tuple[Params, Params]:
+    return filter_params(params, "generator"), filter_params(params, "discriminator")
+
+
+def init_train_state(arch, rng: jax.Array, *, phase: int, cfg) -> Tuple[TrainState, Tuple[Optimizer, Optimizer]]:
+    params = arch.init(rng, phase=phase, cfg=cfg)
+    g_params, d_params = split_params(params)
+    g_optimizer, d_optimizer = make_optimizers_from_config(cfg)
+    state = TrainState(
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=g_optimizer.init(g_params),
+        d_opt=d_optimizer.init(d_params),
+        ema=ema_init({**g_params, **d_params}),
+    )
+    return state, (g_optimizer, d_optimizer)
+
+
+def _clip_and_norms(grads: Params, clipping: bool) -> Tuple[Params, jax.Array]:
+    """Optional global-norm clip + max per-variable norm (reference
+    optimization.py:64-71: norms are computed on the possibly-clipped grads)."""
+    if clipping:
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-16))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    norms = jnp.stack([jnp.linalg.norm(g.reshape(-1)) for g in jax.tree_util.tree_leaves(grads)])
+    return grads, jnp.max(norms)
+
+
+def make_train_step(
+    arch,
+    cfg,
+    phase: int,
+    g_optimizer: Optimizer,
+    d_optimizer: Optimizer,
+    frozen_names: FrozenSet[str] = frozenset(),
+    freeze: bool = False,
+):
+    """Build the (un-jitted) train step for one phase.
+
+    The caller jits it (optionally with shardings); `alpha`, `g_lr`, `d_lr`
+    are traced scalars so schedule/fade never recompile.
+    """
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    frozen = frozen_names if freeze else frozenset()
+
+    def apply_updates(optimizer, params, opt_state, grads, lr, clipping):
+        grads, max_norm = _clip_and_norms(grads, clipping)
+        new_params, new_opt = optimizer.update(grads, opt_state, params, lr)
+        new_params = freeze_select(params, new_params, frozen)
+        new_opt = freeze_select(opt_state, new_opt, frozen)
+        return new_params, new_opt, max_norm
+
+    def train_step(state: TrainState, real: jax.Array, rng: jax.Array, alpha, g_lr, d_lr):
+        real = real.astype(compute_dtype)
+
+        # Bind alpha into the model closures for this trace.
+        def gen_a(p, z):
+            return arch.generator(p, z, alpha, phase=phase, cfg=cfg)
+
+        def disc_a(p, x):
+            return arch.discriminator(p, x, alpha, phase=phase, cfg=cfg)
+
+        if cfg.optim_strategy == "simultaneous":
+
+            def total_loss(g_params, d_params):
+                out = losses.forward_simultaneous(
+                    gen_a,
+                    disc_a,
+                    g_params,
+                    d_params,
+                    real,
+                    rng,
+                    latent_dim=cfg.latent_dim,
+                    loss_fn=cfg.loss_fn,
+                    gp_weight=cfg.gp_weight,
+                    noise_stddev=cfg.noise_stddev,
+                )
+                return out.gen_loss + out.disc_loss, out
+
+            grad_fn = jax.grad(total_loss, argnums=(0, 1), has_aux=True)
+            (g_grads, d_grads), out = grad_fn(state.g_params, state.d_params)
+
+            g_params, g_opt, max_g_norm = apply_updates(
+                g_optimizer, state.g_params, state.g_opt, g_grads, g_lr, cfg.g_clipping
+            )
+            d_params, d_opt, max_d_norm = apply_updates(
+                d_optimizer, state.d_params, state.d_opt, d_grads, d_lr, cfg.d_clipping
+            )
+            gen_loss, disc_loss, gp_loss = out.gen_loss, out.disc_loss, out.gp_loss
+
+        elif cfg.optim_strategy == "alternate":
+            rng_d, rng_g = jax.random.split(rng)
+
+            def d_loss_fn(d_params):
+                return losses.forward_discriminator(
+                    gen_a,
+                    disc_a,
+                    state.g_params,
+                    d_params,
+                    real,
+                    rng_d,
+                    latent_dim=cfg.latent_dim,
+                    loss_fn=cfg.loss_fn,
+                    gp_weight=cfg.gp_weight,
+                    noise_stddev=cfg.noise_stddev,
+                )
+
+            (disc_loss, gp_loss), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                state.d_params
+            )
+            d_params, d_opt, max_d_norm = apply_updates(
+                d_optimizer, state.d_params, state.d_opt, d_grads, d_lr, cfg.d_clipping
+            )
+
+            # G trains against the *updated* discriminator (reference
+            # optimization.py:193 control_dependencies).
+            def g_loss_fn(g_params):
+                _, gen_loss = losses.forward_generator(
+                    gen_a,
+                    disc_a,
+                    g_params,
+                    d_params,
+                    real,
+                    rng_g,
+                    latent_dim=cfg.latent_dim,
+                    loss_fn=cfg.loss_fn,
+                    noise_stddev=cfg.noise_stddev,
+                )
+                return gen_loss
+
+            gen_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+            g_params, g_opt, max_g_norm = apply_updates(
+                g_optimizer, state.g_params, state.g_opt, g_grads, g_lr, cfg.g_clipping
+            )
+        else:
+            raise ValueError(f"Unknown optim strategy {cfg.optim_strategy}")
+
+        ema = ema_update(state.ema, {**g_params, **d_params}, cfg.ema_beta)
+        new_state = TrainState(g_params, d_params, g_opt, d_opt, ema)
+        metrics = StepMetrics(
+            gen_loss=gen_loss,
+            disc_loss=disc_loss,
+            gp_loss=gp_loss,
+            max_g_norm=max_g_norm,
+            max_d_norm=max_d_norm,
+        )
+        return new_state, metrics
+
+    return train_step

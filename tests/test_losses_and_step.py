@@ -1,0 +1,225 @@
+"""Loss + train-step tests: WGAN-GP grad-of-grad, gradient isolation,
+freeze semantics, EMA, both optim strategies, bf16."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saragan_tpu import losses
+from saragan_tpu.config import Config
+from saragan_tpu.models import get_architecture
+from saragan_tpu.optim.freeze import apply_freeze_names
+from saragan_tpu.train import init_train_state, make_train_step
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        architecture="pgan",
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 16, 16, 16)",
+        latent_dim=16,
+        base_batch_size=4,
+        kernel_spec=[[[], [3, 3, 3]], [[3, 3, 3], [3, 3, 3]], [[3, 3, 3], [3, 3, 3]]],
+        filter_spec=[[8, 8], [8, 8], [4, 4]],
+        loss_fn="wgan",
+        gp_weight=1.0,
+        noise_stddev=0.0,
+        g_lr=1e-3,
+        d_lr=1e-3,
+    )
+    defaults.update(kw)
+    return Config(**defaults).finalize()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    arch = get_architecture("pgan")
+    rng = jax.random.PRNGKey(0)
+    state, (g_opt, d_opt) = init_train_state(arch, rng, phase=1, cfg=cfg)
+    return cfg, arch, state, g_opt, d_opt
+
+
+def _bound(arch, cfg, phase=1, alpha=0.0):
+    gen = lambda p, z: arch.generator(p, z, alpha, phase=phase, cfg=cfg)
+    disc = lambda p, x: arch.discriminator(p, x, alpha, phase=phase, cfg=cfg)
+    return gen, disc
+
+
+def test_wgan_gp_slope_one_for_linear_disc(setup):
+    """On a discriminator that is exactly linear with unit-norm gradient,
+    GP must vanish: verify the grad-of-grad machinery computes true slopes."""
+    cfg, arch, state, *_ = setup
+
+    # Fake "discriminator": D(x) = <x, v>/||v|| -> per-sample grad norm == 1.
+    v = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 4, 4, 4))
+    v = v / jnp.sqrt(jnp.sum(v**2))
+
+    def disc(params, x):
+        return jnp.sum(x * v, axis=(1, 2, 3, 4), keepdims=False)[:, None]
+
+    def gen(params, z):
+        return jnp.zeros((z.shape[0], 1, 4, 4, 4))
+
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4))
+    out = losses.forward_simultaneous(
+        gen, disc, {}, {"w": v}, real, jax.random.PRNGKey(5),
+        latent_dim=cfg.latent_dim, loss_fn="wgan", gp_weight=1.0, noise_stddev=0.0,
+        gp_full_reduction=True,
+    )
+    np.testing.assert_allclose(float(out.gp_loss), 0.0, atol=1e-8)
+
+
+def test_gp_reference_axes_quirk(setup):
+    """Simultaneous reduces over (1,2,3); discriminator-only over all axes
+    (reference loss.py:140 vs :79)."""
+    cfg, arch, state, *_ = setup
+    gen, disc = _bound(arch, cfg)
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4))
+    out_quirk = losses.forward_simultaneous(
+        gen, disc, state.g_params, state.d_params, real, jax.random.PRNGKey(5),
+        latent_dim=cfg.latent_dim, loss_fn="wgan", gp_weight=1.0, noise_stddev=0.0,
+    )
+    out_full = losses.forward_simultaneous(
+        gen, disc, state.g_params, state.d_params, real, jax.random.PRNGKey(5),
+        latent_dim=cfg.latent_dim, loss_fn="wgan", gp_weight=1.0, noise_stddev=0.0,
+        gp_full_reduction=True,
+    )
+    # same RNG -> same interpolates; the reductions genuinely differ
+    assert not np.isclose(float(out_quirk.gp_loss), float(out_full.gp_loss))
+
+
+def test_gradient_isolation(setup):
+    """grad(gen_loss + disc_loss) w.r.t. d_params must equal
+    grad(disc_loss) alone: the generator loss is blocked from D's params."""
+    cfg, arch, state, *_ = setup
+    gen, disc = _bound(arch, cfg)
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4))
+    rng = jax.random.PRNGKey(5)
+
+    def total(gp, dp):
+        out = losses.forward_simultaneous(
+            gen, disc, gp, dp, real, rng,
+            latent_dim=cfg.latent_dim, loss_fn="wgan", gp_weight=1.0, noise_stddev=0.0)
+        return out.gen_loss + out.disc_loss
+
+    def disc_only(dp):
+        out = losses.forward_simultaneous(
+            gen, disc, state.g_params, dp, real, rng,
+            latent_dim=cfg.latent_dim, loss_fn="wgan", gp_weight=1.0, noise_stddev=0.0)
+        return out.disc_loss
+
+    def gen_only(gp):
+        out = losses.forward_simultaneous(
+            gen, disc, gp, state.d_params, real, rng,
+            latent_dim=cfg.latent_dim, loss_fn="wgan", gp_weight=1.0, noise_stddev=0.0)
+        return out.gen_loss
+
+    g_grads, d_grads = jax.grad(total, argnums=(0, 1))(state.g_params, state.d_params)
+    d_ref = jax.grad(disc_only)(state.d_params)
+    g_ref = jax.grad(gen_only)(state.g_params)
+    for k in d_grads:
+        np.testing.assert_allclose(np.asarray(d_grads[k]), np.asarray(d_ref[k]), rtol=2e-4, atol=1e-6)
+    for k in g_grads:
+        np.testing.assert_allclose(np.asarray(g_grads[k]), np.asarray(g_ref[k]), rtol=2e-4, atol=1e-6)
+
+
+def test_logistic_loss_values(setup):
+    cfg, arch, state, *_ = setup
+    gen, disc = _bound(arch, cfg)
+    real = jax.random.normal(jax.random.PRNGKey(4), (2, 1, 4, 4, 4))
+    out = losses.forward_simultaneous(
+        gen, disc, state.g_params, state.d_params, real, jax.random.PRNGKey(5),
+        latent_dim=cfg.latent_dim, loss_fn="logistic", gp_weight=2.0, noise_stddev=0.0)
+    assert np.isfinite(float(out.gen_loss)) and np.isfinite(float(out.disc_loss))
+    with pytest.raises(ValueError):
+        losses.forward_simultaneous(
+            gen, disc, state.g_params, state.d_params, real, jax.random.PRNGKey(5),
+            latent_dim=cfg.latent_dim, loss_fn="nope", gp_weight=1.0, noise_stddev=0.0)
+
+
+def test_train_step_updates_params(setup):
+    cfg, arch, state, g_opt, d_opt = setup
+    step = jax.jit(make_train_step(arch, cfg, 1, g_opt, d_opt))
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4))
+    new_state, metrics = step(state, real, jax.random.PRNGKey(5), 0.0, 1e-3, 1e-3)
+    changed = sum(
+        int(not np.allclose(np.asarray(new_state.g_params[k]), np.asarray(state.g_params[k])))
+        for k in state.g_params
+    )
+    assert changed == len(state.g_params)  # all G params moved
+    assert np.isfinite(float(metrics.gen_loss))
+    assert np.isfinite(float(metrics.max_d_norm))
+    # EMA moved toward params but is not equal to them
+    k = next(iter(state.g_params))
+    ema_expected = cfg.ema_beta * np.asarray(state.ema[k]) + (1 - cfg.ema_beta) * np.asarray(
+        new_state.g_params[k]
+    )
+    np.testing.assert_allclose(np.asarray(new_state.ema[k]), ema_expected, rtol=1e-5)
+
+
+def test_train_step_freeze(setup):
+    """Frozen (previous-phase) params and their optimizer slots stay fixed."""
+    cfg, arch, state, g_opt, d_opt = setup
+    state2, _ = init_train_state(arch, jax.random.PRNGKey(7), phase=2, cfg=cfg)
+    prev = {**state.g_params, **state.d_params}
+    cur = {**state2.g_params, **state2.d_params}
+    frozen = apply_freeze_names(cur, prev)
+    assert "generator/generator_in/dense/weight" in frozen
+    assert "generator/generator_block_2/conv_1/weight" not in frozen
+
+    step = jax.jit(
+        make_train_step(arch, cfg, 2, g_opt, d_opt, frozen_names=frozen, freeze=True)
+    )
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 8, 8, 8))
+    new_state, _ = step(state2, real, jax.random.PRNGKey(5), 0.5, 1e-3, 1e-3)
+    for k in state2.g_params:
+        a, b = np.asarray(state2.g_params[k]), np.asarray(new_state.g_params[k])
+        if k in frozen:
+            np.testing.assert_array_equal(a, b)
+        else:
+            assert not np.allclose(a, b), k
+    # optimizer slots for frozen params unchanged (adam mu stays zero)
+    mu_new = new_state.g_opt.mu["generator/generator_in/dense/weight"]
+    np.testing.assert_array_equal(np.asarray(mu_new), 0.0)
+    mu_unfrozen = new_state.g_opt.mu["generator/generator_block_2/conv_1/weight"]
+    assert float(np.abs(np.asarray(mu_unfrozen)).max()) > 0.0
+
+
+def test_train_step_alternate(setup):
+    cfg_alt = tiny_cfg(optim_strategy="alternate")
+    arch = get_architecture("pgan")
+    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=1, cfg=cfg_alt)
+    step = jax.jit(make_train_step(arch, cfg_alt, 1, g_opt, d_opt))
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4))
+    new_state, metrics = step(state, real, jax.random.PRNGKey(5), 0.0, 1e-3, 1e-3)
+    assert np.isfinite(float(metrics.disc_loss))
+    assert not np.allclose(
+        np.asarray(new_state.d_params["discriminator/discriminator_out/weight"]),
+        np.asarray(state.d_params["discriminator/discriminator_out/weight"]),
+    )
+
+
+def test_train_step_bf16(setup):
+    cfg_bf = tiny_cfg(compute_dtype="bfloat16")
+    arch = get_architecture("pgan")
+    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=1, cfg=cfg_bf)
+    step = jax.jit(make_train_step(arch, cfg_bf, 1, g_opt, d_opt))
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4))
+    new_state, metrics = step(state, real, jax.random.PRNGKey(5), 0.0, 1e-3, 1e-3)
+    # params stay fp32 master copies
+    assert new_state.g_params["generator/generator_in/dense/weight"].dtype == jnp.float32
+    assert np.isfinite(float(metrics.gen_loss))
+
+
+def test_clipping_bounds_norms():
+    cfg = tiny_cfg(g_clipping=True, d_clipping=True, g_lr=1e-2, d_lr=1e-2)
+    arch = get_architecture("pgan")
+    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=1, cfg=cfg)
+    step = jax.jit(make_train_step(arch, cfg, 1, g_opt, d_opt))
+    real = 100.0 * jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4))
+    _, metrics = step(state, real, jax.random.PRNGKey(5), 0.0, 1e-2, 1e-2)
+    # post-clip per-var max norm can't exceed the global clip threshold 1.0
+    assert float(metrics.max_g_norm) <= 1.0 + 1e-5
+    assert float(metrics.max_d_norm) <= 1.0 + 1e-5
