@@ -1,0 +1,109 @@
+"""Optional native (C++) npy loader binding.
+
+The runtime/ directory builds `libsaragan_io.so` — a small C++ library that
+mmaps .npy files and decodes headers without Python overhead, with a
+multi-threaded batch loader.  We bind it via ctypes (no pybind11 in this
+environment).  When the library hasn't been built, everything falls back to
+numpy transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_DTYPES = {
+    1: np.float32,
+    2: np.float64,
+    3: np.int16,
+    4: np.int32,
+    5: np.int64,
+    6: np.uint8,
+    7: np.float16,
+}
+
+
+def _find_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "runtime", "build", "libsaragan_io.so"),
+        os.path.join(here, "runtime", "libsaragan_io.so"),
+    ):
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.saragan_npy_probe.restype = ctypes.c_int
+        lib.saragan_npy_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),  # shape out (max 8)
+            ctypes.POINTER(ctypes.c_int),  # ndim out
+            ctypes.POINTER(ctypes.c_int),  # dtype code out
+        ]
+        lib.saragan_npy_read.restype = ctypes.c_int
+        lib.saragan_npy_read.argtypes = [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.saragan_npy_read_batch.restype = ctypes.c_int
+        lib.saragan_npy_read_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_npy(path: str) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        return np.load(path)
+    shape = (ctypes.c_int64 * 8)()
+    ndim = ctypes.c_int()
+    dtype_code = ctypes.c_int()
+    rc = lib.saragan_npy_probe(path.encode(), shape, ctypes.byref(ndim), ctypes.byref(dtype_code))
+    if rc != 0 or dtype_code.value not in _DTYPES:
+        return np.load(path)
+    shp = tuple(shape[i] for i in range(ndim.value))
+    out = np.empty(shp, dtype=_DTYPES[dtype_code.value])
+    rc = lib.saragan_npy_read(path.encode(), out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
+    if rc != 0:
+        return np.load(path)
+    return out
+
+
+def load_npy_batch(paths, out: np.ndarray, num_threads: int = 4) -> bool:
+    """Fill a preallocated (N, ...) float32 array from N same-shape npy files
+    using the C++ multithreaded reader. Returns False on any mismatch."""
+    lib = _load()
+    if lib is None:
+        return False
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    per_item = out.nbytes // out.shape[0]
+    rc = lib.saragan_npy_read_batch(
+        arr, len(paths), out.ctypes.data_as(ctypes.c_void_p), per_item, num_threads
+    )
+    return rc == 0

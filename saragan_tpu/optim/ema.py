@@ -24,8 +24,14 @@ from saragan_tpu.core import Params
 
 def ema_init(params: Params) -> Params:
     """Shadow variables start at the current parameter values
-    (tf.train.ExponentialMovingAverage.apply semantics)."""
-    return jax.tree_util.tree_map(lambda p: p, params)
+    (tf.train.ExponentialMovingAverage.apply semantics).
+
+    Materializes real copies — the shadow tree must not alias the live
+    parameter buffers, or buffer donation of the TrainState would present
+    the same buffer twice."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.copy, params)
 
 
 def ema_update(ema: Params, params: Params, decay: float) -> Params:

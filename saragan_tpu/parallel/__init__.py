@@ -1,0 +1,7 @@
+from saragan_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_global_batch,
+    jit_train_step,
+)

@@ -1,0 +1,77 @@
+"""Device mesh + sharded train-step compilation.
+
+TPU-native replacement for the reference's Horovod data parallelism
+(SURVEY C29/C31, §5.8):
+
+* `hvd.DistributedOptimizer` ring-allreduce  ->  the train step is jitted
+  over a `Mesh(('data', 'space'))` with the batch sharded on 'data' and
+  parameters/optimizer state replicated; XLA's SPMD partitioner inserts the
+  gradient all-reduce over ICI automatically from those shardings.
+* `hvd.broadcast_global_variables(0)`  ->  replicated NamedSharding at
+  init/restore time (a device_put, no collective choreography).
+* per-rank seeds  ->  one PRNG key traced into the step; per-shard
+  randomness comes from XLA partitioning the generation.
+
+The 'space' axis is reserved for spatial halo sharding of very large volumes
+(SURVEY §5.7) — see saragan_tpu.parallel.halo.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_data: Optional[int] = None,
+    num_space: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices) // num_space
+    used = num_data * num_space
+    assert used <= len(devices), (num_data, num_space, len(devices))
+    arr = np.array(devices[:used]).reshape(num_data, num_space)
+    return Mesh(arr, ("data", "space"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, space_axis: Optional[int] = None) -> NamedSharding:
+    """Batch axis on 'data'; optionally one spatial axis on 'space'."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    if space_axis is not None and mesh.shape["space"] > 1:
+        spec[space_axis] = "space"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_global_batch(mesh: Mesh, batch: np.ndarray, space_axis: Optional[int] = None):
+    """Place a host-global batch onto the mesh, sharded over 'data'."""
+    return jax.device_put(batch, batch_sharding(mesh, batch.ndim, space_axis))
+
+
+def jit_train_step(train_step, mesh: Optional[Mesh], batch_ndim: int, donate: bool = True):
+    """Compile a train step for the mesh: state replicated, batch sharded on
+    'data', scalars replicated.  With mesh=None, a plain jit (single chip).
+
+    Buffers for the state are donated so parameter/optimizer memory is
+    updated in place across steps (HBM headroom matters at 512^3 phases).
+    """
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=donate_argnums)
+    repl = replicated_sharding(mesh)
+    bshard = batch_sharding(mesh, batch_ndim)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, bshard, repl, repl, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=donate_argnums,
+    )

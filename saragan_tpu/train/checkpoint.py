@@ -1,0 +1,116 @@
+"""Checkpointing with phase-chained, name-intersection partial restore.
+
+Reproduces reference semantics (SURVEY §5.4):
+* periodic `model_{phase}_ckpt_{global_step}` checkpoints;
+* final per-phase `model_{phase}` with the EMA folded into the weights first
+  (optuna_objective.py:583-591);
+* restore = intersection of checkpoint names and current params, newly-grown
+  layers keep their random init (utils.py:75-104);
+* EMA shadows re-seeded from the restored live weights (utils.py:106-115).
+
+Format: a single .npz per checkpoint holding the flat name->array param dict
+with section prefixes ("params/", "ema/") plus scalar counters under
+"meta/".  Flat names make intersection restore a dict operation; .npz keeps
+checkpoints portable and dependency-free.  Optimizer slots are deliberately
+NOT part of the phase chain (the reference's tf.train.Saver(var_list) only
+saved trainables, so cross-phase resume resets optimizer moments); a
+separate full-state save exists for exact mid-phase resume.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from saragan_tpu.core import Params, intersect_restore
+
+
+def _to_numpy_tree(params: Params) -> Dict[str, np.ndarray]:
+    return {k: np.asarray(v) for k, v in params.items()}
+
+
+def save_params(
+    path: str,
+    params: Params,
+    ema: Optional[Params] = None,
+    meta: Optional[Dict[str, float]] = None,
+) -> str:
+    """Save params (+ optional EMA and scalar meta) to `path`.npz."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in _to_numpy_tree(params).items():
+        out[f"params/{k}"] = v
+    if ema is not None:
+        for k, v in _to_numpy_tree(ema).items():
+            out[f"ema/{k}"] = v
+    for k, v in (meta or {}).items():
+        out[f"meta/{k}"] = np.asarray(v)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **out)
+    os.replace(tmp, path)
+    return path
+
+
+def load_params(path: str) -> Tuple[Params, Optional[Params], Dict[str, float]]:
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    params, ema, meta = {}, {}, {}
+    for k in data.files:
+        if k.startswith("params/"):
+            params[k[len("params/") :]] = data[k]
+        elif k.startswith("ema/"):
+            ema[k[len("ema/") :]] = data[k]
+        elif k.startswith("meta/"):
+            meta[k[len("meta/") :]] = float(data[k])
+    return params, (ema or None), meta
+
+
+def restore_into(
+    current: Params,
+    checkpoint_params: Params,
+    strict: bool = False,
+) -> Params:
+    """Name-intersection restore; `strict=True` demands full coverage of the
+    current tree (used for the continue_path try/except at
+    optuna_objective.py:344-354)."""
+    if strict:
+        missing = [k for k in current if k not in checkpoint_params]
+        if missing:
+            raise KeyError(f"Checkpoint missing {len(missing)} params, e.g. {missing[:3]}")
+    return intersect_restore(current, checkpoint_params)
+
+
+def phase_checkpoint_path(logdir: str, phase: int, step: Optional[int] = None) -> str:
+    name = f"model_{phase}" if step is None else f"model_{phase}_ckpt_{step}"
+    return os.path.join(logdir, name)
+
+
+def save_full_state(path: str, state, counters: Dict[str, float]) -> str:
+    """Exact-resume save: entire TrainState (incl. optimizer slots) pickled
+    with arrays converted to numpy. For mid-phase resume only."""
+    host_state = jax.tree_util.tree_map(lambda x: np.asarray(x), state)
+    if not path.endswith(".pkl"):
+        path = path + ".pkl"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump({"state": host_state, "counters": counters}, f)
+    os.replace(tmp, path)
+    return path
+
+
+def load_full_state(path: str):
+    if not path.endswith(".pkl"):
+        path = path + ".pkl"
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    return blob["state"], blob["counters"]

@@ -1,0 +1,132 @@
+"""Training summaries / observability.
+
+Equivalent of reference summary.py + utils.py:48-73 (SURVEY C20, §5.5):
+scalar families (losses, gp, image min/max, alpha, lrs, grad max-norms,
+throughput) with the reference's tag names and `_val` / `_EMA` / `_freeze`
+suffixes, image-grid mosaics of z-slices, and the timestamped stdout line.
+
+Backend: torch.utils.tensorboard when available (torch-cpu ships in this
+image), else JSONL events (always written — they double as the machine-
+readable training log)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class SummaryWriter:
+    def __init__(self, logdir: Optional[str], use_tensorboard: bool = True):
+        self.logdir = logdir
+        self._tb = None
+        self._jsonl = None
+        if logdir is None:
+            return
+        os.makedirs(logdir, exist_ok=True)
+        self._jsonl = open(os.path.join(logdir, "events.jsonl"), "a", buffering=1)
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter as TBWriter
+
+                self._tb = TBWriter(log_dir=logdir)
+            except Exception:
+                self._tb = None
+
+    def scalar(self, tag: str, value: float, step: int):
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), step)
+
+    def scalars(self, values: Dict[str, float], step: int):
+        for tag, v in values.items():
+            self.scalar(tag, v, step)
+
+    def image(self, tag: str, image_hw_or_hwc: np.ndarray, step: int):
+        if self._tb is not None:
+            img = image_hw_or_hwc
+            if img.ndim == 2:
+                img = img[None]  # CHW with C=1
+            elif img.ndim == 3 and img.shape[-1] in (1, 3):
+                img = np.transpose(img, (2, 0, 1))
+            self._tb.add_image(tag, img.astype(np.float32), step)
+
+    def flush(self):
+        if self._tb is not None:
+            self._tb.flush()
+        if self._jsonl is not None:
+            self._jsonl.flush()
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
+
+
+def small_summary(d_loss, g_loss, gp_loss, fake, real, suffix: str = "") -> Dict[str, float]:
+    """Reference summary.py small family: losses + image ranges."""
+    return {
+        f"d_loss{suffix}": float(d_loss),
+        f"g_loss{suffix}": float(g_loss),
+        f"gp_loss{suffix}": float(gp_loss),
+        f"fake_image_min{suffix}": float(np.min(fake)),
+        f"fake_image_max{suffix}": float(np.max(fake)),
+        f"real_image_min{suffix}": float(np.min(real)),
+        f"real_image_max{suffix}": float(np.max(real)),
+    }
+
+
+def training_props_summary(alpha, g_lr, d_lr) -> Dict[str, float]:
+    return {"alpha": float(alpha), "g_lr": float(g_lr), "d_lr": float(d_lr)}
+
+
+def gradients_summary(max_g_norm, max_d_norm, suffix: str = "") -> Dict[str, float]:
+    return {
+        f"max_g_grad_norm{suffix}": float(max_g_norm),
+        f"max_d_grad_norm{suffix}": float(max_d_norm),
+    }
+
+
+def image_grid(batch: np.ndarray, grid_cols: int = 4, pad_value: float = 0.0) -> np.ndarray:
+    """Mosaic of the centre z-slices of a (N, C, D, H, W) batch — the large
+    summary (reference utils.py:348-392 + summary.py image mosaics).
+    2D (N, C, H, W) batches are used as-is. Returns (H', W') grayscale."""
+    if batch.ndim == 5:
+        mid = batch.shape[2] // 2
+        imgs = batch[:, 0, mid]  # (N, H, W)
+    elif batch.ndim == 4:
+        imgs = batch[:, 0]
+    else:
+        raise ValueError(batch.shape)
+    n, h, w = imgs.shape
+    cols = min(grid_cols, n)
+    rows = (n + cols - 1) // cols
+    grid = np.full((rows * h, cols * w), pad_value, imgs.dtype)
+    for i in range(n):
+        r, c = divmod(i, cols)
+        grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = imgs[i]
+    return grid
+
+
+def print_summary_to_stdout(
+    global_step, in_phase_step, img_s, local_img_s, d_loss, g_loss, d_lr_val, g_lr_val, alpha
+):
+    """Timestamped stdout line (reference utils.py:48-73, same format)."""
+    current_time = time.strftime("%Y-%m-%d_%H:%M:%S", time.gmtime())
+    print(
+        f"{current_time} \t"
+        f"Step {global_step:09} \t"
+        f"Step(phase) {in_phase_step:09} \t"
+        f"img/s {img_s:.2f} \t "
+        f"img/s/worker {local_img_s:.3f} \t"
+        f"d_loss {d_loss:.4f} \t "
+        f"g_loss {g_loss:.4f} \t "
+        f"d_lr {d_lr_val:.5f} \t"
+        f"g_lr {g_lr_val:.5f} \t"
+        f"alpha {float(alpha):.2f}"
+    )

@@ -1,0 +1,457 @@
+"""Phase driver — the training loop.
+
+Functional rebuild of the reference's `optuna_objective`
+(/root/reference/SURFGAN_3D/optuna_objective.py:32-648): one call is a full
+multi-phase progressive-growing run.  Per phase:
+
+* build the dataset for the phase resolution, ordered train/val/test split
+  (optuna_objective.py:115-122);
+* per-phase batch size (halved each phase, globally capped) (:127-136);
+* init params for the phase and partial-restore the previous phase's
+  checkpoint (new layers stay random; EMA reseeded from live weights)
+  (:334-354, utils.py:75-118);
+* compile two step variants: mixing (prev-phase vars frozen) and
+  stabilizing (:446-453) — the JAX analog of the reference's per-phase graph
+  rebuild, one compile each since shapes are static within a phase;
+* hot loop with image-unit counters, LR schedule, alpha fade, EMA, periodic
+  checkpoints, small/large summaries (with `_val` and `_EMA` variants),
+  metrics + HPO report/prune hooks, throughput logging (:399-577);
+* mixing->stabilizing flip and phase-exit on global image counts
+  (:564-576);
+* final per-phase checkpoint with EMA folded in + end-of-phase metrics on
+  test/val/train sets under EMA weights (:583-629).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saragan_tpu import losses
+from saragan_tpu.config import Config
+from saragan_tpu.data import NumpyPathDataset, Prefetcher, get_numpy_dataset, normalize_numpy
+from saragan_tpu.models import get_architecture
+from saragan_tpu.optim import lr_schedule, scale_lr
+from saragan_tpu.optim.ema import fold_ema
+from saragan_tpu.optim.freeze import apply_freeze_names
+from saragan_tpu.parallel import jit_train_step, make_mesh, replicated_sharding, shard_global_batch
+from saragan_tpu.train import checkpoint as ckpt
+from saragan_tpu.train import summaries as summ
+from saragan_tpu.train.step import TrainState, init_train_state, make_train_step, split_params
+
+
+class TrialPruned(Exception):
+    """Raised to prune an HPO trial (mirrors optuna.TrialPruned)."""
+
+
+@dataclass
+class PhaseResult:
+    phase: int
+    global_step: int
+    last_fid: Optional[float]
+    img_s: float
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        *,
+        mesh=None,
+        dataset_factory: Optional[Callable[[int], NumpyPathDataset]] = None,
+        metrics_callback: Optional[Callable] = None,
+        trial=None,
+        verbose: bool = True,
+        prefetch: bool = True,
+    ):
+        """
+        dataset_factory(phase) -> NumpyPathDataset override (tests/synthetic).
+        metrics_callback(trainer, gen_sample_fn, dataset, step, suffix) -> dict
+            with optional 'FID' key; called at the metrics cadence and at
+            phase end (the save_metrics orchestrator plugs in here).
+        trial: HPO trial with .report(value, step)/.should_prune() — both the
+            built-in harness and real Optuna satisfy this.
+        """
+        self.cfg = cfg
+        self.arch = get_architecture(cfg.architecture)
+        self.mesh = mesh
+        self.dataset_factory = dataset_factory
+        self.metrics_callback = metrics_callback
+        self.trial = trial
+        self.verbose = verbose
+        self.prefetch = prefetch
+        self.logdir = cfg.logdir or os.path.join("runs", cfg.architecture, time.strftime("%Y-%m-%d_%H-%M-%S"))
+        self.writer = summ.SummaryWriter(self.logdir if verbose else None)
+        self.global_size = 1 if mesh is None else int(mesh.shape["data"])
+        self.last_fid: Optional[float] = None
+        self.last_img_s: float = 0.0
+        self.state: Optional[TrainState] = None
+        self.phase: Optional[int] = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg)
+
+    def _get_dataset(self, phase: int) -> NumpyPathDataset:
+        if self.dataset_factory is not None:
+            return self.dataset_factory(phase)
+        return get_numpy_dataset(
+            phase,
+            self.cfg.starting_phase,
+            self.cfg.start_shape,
+            self.cfg.dataset_path,
+            self.cfg.scratch_path,
+            verbose=self.verbose,
+            seed=self.cfg.seed,
+        )
+
+    def _restore_for_phase(self, phase: int, state: TrainState) -> TrainState:
+        """Phase-chaining / continue_path restore (optuna_objective.py:334-354)."""
+        cfg = self.cfg
+        restore_path = None
+        if phase > cfg.starting_phase:
+            restore_path = ckpt.phase_checkpoint_path(self.logdir, phase - 1)
+        elif cfg.continue_path and phase == cfg.starting_phase:
+            restore_path = cfg.continue_path
+        if restore_path is None:
+            self._log("Not restoring variables.")
+            return state
+
+        self._log(f"Restoring variables from: {restore_path}")
+        saved_params, _saved_ema, _meta = ckpt.load_params(restore_path)
+        merged = {**state.g_params, **state.d_params}
+        restored = ckpt.restore_into(merged, saved_params)
+        g_params, d_params = split_params(restored)
+        # EMA shadows re-seeded from restored live weights (utils.py:106-115).
+        # Copies, not aliases: the state tree is donated across steps.
+        ema = {k: jnp.copy(v) for k, v in restored.items()}
+        return state._replace(g_params=g_params, d_params=d_params, ema=ema)
+
+    def _prev_phase_names(self, phase: int) -> frozenset:
+        if phase <= 1:
+            return frozenset()
+        prev = self.arch.init(jax.random.PRNGKey(self.cfg.seed), phase=phase - 1, cfg=self.cfg)
+        return frozenset(prev.keys())
+
+    def _save_phase_checkpoint(self, phase: int, state: TrainState, global_step: int, step: Optional[int] = None):
+        params = {**state.g_params, **state.d_params}
+        path = ckpt.phase_checkpoint_path(self.logdir, phase, step)
+        ckpt.save_params(path, params, ema=state.ema, meta={"global_step": global_step, "phase": phase})
+        self._log(f"Writing checkpoint file: {os.path.basename(path)}")
+
+    # ------------------------------------------------------------------
+
+    def _make_eval_fns(self, phase: int):
+        """Loss-eval (no grads) and sampling functions for summaries/metrics."""
+        cfg = self.cfg
+        arch = self.arch
+        compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        def eval_losses(g_params, d_params, real, rng, alpha):
+            gen_a = lambda p, z: arch.generator(p, z, alpha, phase=phase, cfg=cfg)
+            disc_a = lambda p, x: arch.discriminator(p, x, alpha, phase=phase, cfg=cfg)
+            out = losses.forward_simultaneous(
+                gen_a, disc_a, g_params, d_params, real.astype(compute_dtype), rng,
+                latent_dim=cfg.latent_dim, loss_fn=cfg.loss_fn,
+                gp_weight=cfg.gp_weight, noise_stddev=cfg.noise_stddev,
+            )
+            return out.gen_loss, out.disc_loss, out.gp_loss, out.gen_sample
+
+        def sample(g_params, rng, n, alpha):
+            z = jax.random.normal(rng, (n, cfg.latent_dim), compute_dtype)
+            return arch.generator(g_params, z, alpha, phase=phase, cfg=cfg)
+
+        return jax.jit(eval_losses), jax.jit(sample, static_argnums=2)
+
+    # ------------------------------------------------------------------
+
+    def run(self) -> Optional[float]:
+        cfg = self.cfg
+        start_train = time.time()
+        global_step = 0
+
+        for phase in range(cfg.starting_phase, cfg.num_phases + 1):
+            self.phase = phase
+            result = self._run_phase(phase, global_step)
+            global_step = result.global_step
+            if cfg.ending_phase and phase == cfg.ending_phase:
+                self._log("Reached final phase, breaking.")
+                break
+
+        self.train_time = time.time() - start_train
+        self.writer.flush()
+        return self.last_fid
+
+    # ------------------------------------------------------------------
+
+    def _run_phase(self, phase: int, global_step: int) -> PhaseResult:
+        cfg = self.cfg
+        verbose = self.verbose
+        global_size = self.global_size
+
+        npy_data = self._get_dataset(phase)
+        train_frac = 1 - (cfg.validation_fraction + cfg.test_fraction)
+        if cfg.validation_fraction + cfg.test_fraction > 0 and len(npy_data) >= 3:
+            npy_train, npy_testval = npy_data.split_by_fraction(train_frac)
+            npy_val, npy_test = npy_testval.split_by_fraction(
+                cfg.validation_fraction / (cfg.validation_fraction + cfg.test_fraction)
+            )
+        else:
+            npy_train = npy_val = npy_test = npy_data
+        self._log(
+            f"Split dataset of {len(npy_data)} samples: train {len(npy_train)}, "
+            f"validation {len(npy_val)}, test {len(npy_test)}"
+        )
+
+        batch_size = cfg.batch_size_for_phase(phase, global_size)
+        global_batch = batch_size * global_size
+        self._log(f"Using local batch size of {batch_size} and global batch size of {global_batch}")
+
+        # --- state ---
+        rng = jax.random.PRNGKey(cfg.seed)
+        state, (g_optimizer, d_optimizer) = init_train_state(self.arch, rng, phase=phase, cfg=cfg)
+        state = self._restore_for_phase(phase, state)
+
+        n_g = sum(int(v.size) for v in state.g_params.values())
+        n_d = sum(int(v.size) for v in state.d_params.values())
+        self._log(f"Generator parameters: {n_g}")
+        self._log(f"Discriminator parameters: {n_d}")
+
+        frozen = self._prev_phase_names(phase) if cfg.mixing_nimg > 0 else frozenset()
+        step_mixing = make_train_step(
+            self.arch, cfg, phase, g_optimizer, d_optimizer, frozen_names=frozen, freeze=bool(frozen)
+        )
+        step_stab = make_train_step(self.arch, cfg, phase, g_optimizer, d_optimizer)
+        batch_ndim = len(cfg.current_shape(phase, batch_size))
+        jit_mixing = jit_train_step(step_mixing, self.mesh, batch_ndim, donate=True)
+        jit_stab = jit_train_step(step_stab, self.mesh, batch_ndim, donate=True)
+        eval_losses, sample_fn = self._make_eval_fns(phase)
+
+        if self.mesh is not None:
+            repl = replicated_sharding(self.mesh)
+            state = jax.device_put(state, repl)
+
+        # --- LR setup (reference optuna_objective.py:155-177) ---
+        g_lr_max, d_lr_max = scale_lr(cfg.g_lr, cfg.d_lr, cfg.g_scaling, cfg.d_scaling, global_size)
+        steps_per_phase = cfg.mixing_nimg + cfg.stabilizing_nimg
+
+        # --- alpha ---
+        alpha = float(cfg.starting_alpha) if phase == cfg.starting_phase else 1.0
+        if cfg.mixing_nimg == 0:
+            alpha = 0.0
+        alpha_steps = max(1, cfg.mixing_nimg // global_batch) if cfg.mixing_nimg > 0 else 1
+        alpha_delta = cfg.starting_alpha / alpha_steps
+
+        mixing_bool = cfg.mixing_nimg > 0
+        local_step = 0
+        in_phase_step = 0
+        step_rng = jax.random.PRNGKey(cfg.seed + phase * 1000)
+        img_s = local_img_s = 0.0
+
+        # background prefetch of normalized global batches
+        def make_batch():
+            b = npy_train.batch(global_batch)
+            return normalize_numpy(b, cfg.data_mean, cfg.data_stddev).astype(np.float32)
+
+        prefetcher = Prefetcher(make_batch) if self.prefetch else None
+        self._log(f"Begin mixing epochs in phase {phase}" if mixing_bool else f"Begin stabilizing epochs in phase {phase}")
+
+        try:
+            while True:
+                start = time.time()
+
+                d_lr_val = lr_schedule(in_phase_step, steps_per_phase, d_lr_max,
+                                       cfg.d_lr_increase, cfg.d_lr_decrease,
+                                       cfg.d_lr_rise_niter, cfg.d_lr_decay_niter)
+                g_lr_val = lr_schedule(in_phase_step, steps_per_phase, g_lr_max,
+                                       cfg.g_lr_increase, cfg.g_lr_decrease,
+                                       cfg.g_lr_rise_niter, cfg.g_lr_decay_niter)
+
+                if not mixing_bool:
+                    assert alpha == 0.0
+
+                if global_step % cfg.checkpoint_every_nsteps < global_batch and local_step > 0:
+                    self._save_phase_checkpoint(phase, state, global_step, step=global_step)
+
+                batch = next(prefetcher) if prefetcher else make_batch()
+                if self.mesh is not None:
+                    batch = shard_global_batch(self.mesh, batch)
+
+                small_summary_bool = local_step % cfg.summary_small_every_nsteps < batch_size
+                large_summary_bool = local_step % cfg.summary_large_every_nsteps < batch_size
+                metrics_summary_bool = local_step % cfg.metrics_every_nsteps < batch_size
+
+                step_rng, k = jax.random.split(step_rng)
+                step_fn = jit_mixing if mixing_bool else jit_stab
+                state, metrics = step_fn(state, batch, k, alpha, g_lr_val, d_lr_val)
+
+                if small_summary_bool or large_summary_bool:
+                    # block for accurate values only on summary steps
+                    d_loss = float(metrics.disc_loss)
+                    g_loss = float(metrics.gen_loss)
+                    gp_loss = float(metrics.gp_loss)
+                    self._write_summaries(
+                        phase, state, metrics, npy_val, batch_size, global_step, alpha,
+                        g_lr_val, d_lr_val, eval_losses, sample_fn, step_rng,
+                        large=large_summary_bool, mixing=mixing_bool,
+                    )
+                else:
+                    d_loss = g_loss = None
+
+                global_step += global_batch
+                local_step += batch_size
+                in_phase_step += global_batch
+
+                jax.block_until_ready(metrics.gen_loss)
+                end = time.time()
+                local_img_s = batch_size / (end - start)
+                img_s = global_size * local_img_s
+                self.last_img_s = img_s
+
+                if mixing_bool:
+                    alpha = max(alpha - alpha_delta, 0.0)
+
+                if metrics_summary_bool and cfg.calc_metrics and self.metrics_callback is not None:
+                    self._run_metrics(phase, state, npy_val, sample_fn, global_step,
+                                      in_phase_step, alpha)
+
+                if verbose and (small_summary_bool or large_summary_bool):
+                    self.writer.scalar("img_s", img_s, global_step)
+                    summ.print_summary_to_stdout(
+                        global_step, in_phase_step, img_s, local_img_s,
+                        d_loss, g_loss, d_lr_val, g_lr_val, alpha,
+                    )
+
+                # mixing -> stabilizing flip (optuna_objective.py:564-570)
+                if mixing_bool and (
+                    global_step
+                    >= (phase - cfg.starting_phase) * (cfg.mixing_nimg + cfg.stabilizing_nimg)
+                    + cfg.mixing_nimg
+                ):
+                    mixing_bool = False
+                    alpha = 0.0
+                    self._log(f"Begin stabilizing epochs in phase {phase}")
+
+                if mixing_bool:
+                    assert alpha >= 0
+
+                # phase exit (optuna_objective.py:576)
+                if global_step >= (phase - cfg.starting_phase + 1) * (
+                    cfg.stabilizing_nimg + cfg.mixing_nimg
+                ):
+                    break
+        finally:
+            if prefetcher:
+                prefetcher.stop()
+
+        self._log("\n\n\n End of phase.")
+
+        # final per-phase checkpoint with EMA folded in (:583-591)
+        merged = {**state.g_params, **state.d_params}
+        folded = fold_ema(merged, state.ema)
+        g_f, d_f = split_params(folded)
+        state = state._replace(g_params=g_f, d_params=d_f)
+        self.state = state
+        self._save_phase_checkpoint(phase, state, global_step)
+
+        # end-of-phase metrics under EMA weights (:597-629)
+        if self.metrics_callback is not None and cfg.calc_metrics:
+            for flag, ds, tag in (
+                (cfg.compute_metrics_test, npy_test, "test"),
+                (cfg.compute_metrics_validation, npy_val, "validation"),
+                (cfg.compute_metrics_train, npy_train, "train"),
+            ):
+                if flag and len(ds) > 0:
+                    m = self.metrics_callback(self, self._ema_sampler(state, sample_fn), ds,
+                                              global_step, f"_{tag}")
+                    self._log(f"{tag} dataset metrics: {m}")
+                    if tag == "validation" and m and "FID" in m and m["FID"] is not None:
+                        self.last_fid = float(m["FID"])
+
+        return PhaseResult(phase, global_step, self.last_fid, img_s)
+
+    # ------------------------------------------------------------------
+
+    def _ema_sampler(self, state: TrainState, sample_fn):
+        g_ema, _ = split_params(state.ema)
+        # after fold the live weights equal the EMA; use them directly
+        g_params = state.g_params
+
+        def gen(rng, n, alpha=0.0):
+            return np.asarray(sample_fn(g_params, rng, n, alpha), np.float32)
+
+        return gen
+
+    def _run_metrics(self, phase, state, npy_val, sample_fn, global_step, in_phase_step, alpha):
+        cfg = self.cfg
+
+        def live_sampler(rng, n, a=alpha):
+            return np.asarray(sample_fn(state.g_params, rng, n, a), np.float32)
+
+        m = self.metrics_callback(self, live_sampler, npy_val, global_step, "")
+        # EMA-weight metrics (reference :505-507)
+        g_ema, _ = split_params(state.ema)
+
+        def ema_sampler(rng, n, a=alpha):
+            return np.asarray(sample_fn(g_ema, rng, n, a), np.float32)
+
+        m_ema = self.metrics_callback(self, ema_sampler, npy_val, global_step, "_EMA")
+        fid = (m or {}).get("FID")
+        if fid is not None:
+            self.last_fid = float(fid)
+        if self.trial is not None and fid is not None:
+            self.trial.report(fid, global_step)
+            if self.trial.should_prune() and in_phase_step > cfg.optuna_warmup_steps:
+                raise TrialPruned()
+
+    def _write_summaries(self, phase, state, metrics, npy_val, batch_size, global_step,
+                         alpha, g_lr_val, d_lr_val, eval_losses, sample_fn, rng,
+                         large: bool, mixing: bool):
+        cfg = self.cfg
+        if not self.verbose:
+            return
+        w = self.writer
+        w.scalars(summ.training_props_summary(alpha, g_lr_val, d_lr_val), global_step)
+        suffix = "_freeze" if mixing and phase > cfg.starting_phase else ""
+        w.scalars(
+            summ.gradients_summary(float(metrics.max_g_norm), float(metrics.max_d_norm), suffix),
+            global_step,
+        )
+        w.scalars(
+            {
+                "d_loss": float(metrics.disc_loss),
+                "g_loss": float(metrics.gen_loss),
+                "gp_loss": float(metrics.gp_loss),
+            },
+            global_step,
+        )
+        # validation losses on training weights + train losses on EMA weights
+        if len(npy_val) > 0:
+            val_batch = normalize_numpy(
+                npy_val.batch(batch_size), cfg.data_mean, cfg.data_stddev
+            ).astype(np.float32)
+            k1, k2 = jax.random.split(rng)
+            gl, dl, gpl, _ = eval_losses(state.g_params, state.d_params, val_batch, k1, alpha)
+            w.scalars(
+                {"d_loss_val": float(dl), "g_loss_val": float(gl), "gp_loss_val": float(gpl)},
+                global_step,
+            )
+            g_ema, d_ema = split_params(state.ema)
+            gl, dl, gpl, fake_ema = eval_losses(g_ema, d_ema, val_batch, k2, alpha)
+            w.scalars(
+                {"d_loss_EMA": float(dl), "g_loss_EMA": float(gl), "gp_loss_EMA": float(gpl)},
+                global_step,
+            )
+            if large:
+                fake = np.asarray(fake_ema, np.float32)
+                w.image("fake_images_EMA", summ.image_grid(fake), global_step)
+                w.image("real_images", summ.image_grid(val_batch), global_step)

@@ -8,7 +8,7 @@ collectives are exercised without hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -20,6 +20,10 @@ import pytest  # noqa: E402
 # Match the reference's fp32 numerics in tests; production TPU runs use the
 # default (bf16-on-MXU) precision via bf16 activations.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The image's sitecustomize pins jax_platforms to "axon,cpu" (the tunneled
+# TPU); tests must run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture

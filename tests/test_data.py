@@ -1,0 +1,118 @@
+"""Dataset pipeline tests: exactly-once sharded batching, ordered splits,
+normalization round-trips, prefetcher."""
+
+import os
+
+import numpy as np
+import pytest
+
+from saragan_tpu.data import (
+    NumpyPathDataset,
+    Prefetcher,
+    invert_normalize_numpy,
+    normalize_numpy,
+    stdnormal_to_8bit_numpy,
+)
+
+
+@pytest.fixture
+def datadir(tmp_path):
+    d = tmp_path / "4x4"
+    d.mkdir()
+    for i in range(10):
+        np.save(d / f"{i:03d}.npy", np.full((4, 4, 4), i, np.float32))
+    return str(d)
+
+
+def test_glob_and_shapes(datadir):
+    ds = NumpyPathDataset(datadir)
+    assert len(ds) == 10
+    assert ds.shape == (1, 4, 4, 4)
+    b = ds.batch(3)
+    assert b.shape == (3, 1, 4, 4, 4)
+
+
+def test_batch_exactly_once_per_epoch(datadir):
+    ds = NumpyPathDataset(datadir, seed=1)
+    seen = []
+    for _ in range(5):
+        seen.extend(ds.batch_paths(2, auto_repeat=True))
+    # one full epoch: every file exactly once
+    assert sorted(os.path.basename(p) for p in seen) == sorted(
+        f"{i:03d}.npy" for i in range(10)
+    )
+
+
+def test_batch_sharded_exactly_once(datadir):
+    """All shards together see each sample exactly once per epoch, with no
+    communication (deterministic shared shuffle stream)."""
+    shards = [NumpyPathDataset(datadir, seed=7) for _ in range(2)]
+    all_values = []
+    for _ in range(5):  # 5 global batches of 2*1 = one epoch
+        for idx, ds in enumerate(shards):
+            b = ds.batch_sharded(1, num_shards=2, shard_index=idx)
+            all_values.append(int(b[0, 0, 0, 0, 0]))
+    assert sorted(all_values) == list(range(10))
+
+
+def test_split_order_preserving(datadir):
+    ds = NumpyPathDataset(datadir)
+    train, testval = ds.split_by_fraction(0.8)
+    val, test = testval.split_by_fraction(0.5)
+    assert len(train) == 8 and len(val) == 1 and len(test) == 1
+    # order-preserving: first 8 files in train (reference dataset.py:217-252)
+    assert [os.path.basename(p) for p in train] == [f"{i:03d}.npy" for i in range(8)]
+    assert os.path.basename(test[0]) == "009.npy"
+
+
+def test_auto_repeat_underrun(datadir):
+    ds = NumpyPathDataset(datadir)
+    b = ds.batch(25, auto_repeat=True)  # > 2 epochs
+    assert b.shape[0] == 25
+
+
+def test_scratch_copy(tmp_path, datadir):
+    scratch = tmp_path / "scratch"
+    ds = NumpyPathDataset(datadir, str(scratch), copy_files=True, is_correct_phase=True)
+    assert len(ds) == 10
+    assert str(scratch) in ds.scratch_dir
+    assert len(os.listdir(ds.scratch_dir)) == 10
+
+
+def test_normalize_roundtrip():
+    x = np.random.default_rng(0).normal(1000.0, 500.0, size=(4, 4)).astype(np.float32)
+    n = normalize_numpy(x, 1000.0, 500.0)
+    np.testing.assert_allclose(n.mean(), 0.0, atol=0.7)
+    back = invert_normalize_numpy(n, 1000.0, 500.0)
+    np.testing.assert_allclose(back, x, rtol=1e-5)
+    # identity when both None; error when only one given
+    assert normalize_numpy(x, None, None) is x
+    with pytest.raises(Exception):
+        normalize_numpy(x, 1.0, None)
+    with pytest.raises(Exception):
+        invert_normalize_numpy(x, None, 1.0)
+
+
+def test_stdnormal_to_8bit():
+    x = np.array([-3.0, -2.0, 0.0, 2.0, 3.0])
+    out = stdnormal_to_8bit_numpy(x)
+    np.testing.assert_array_equal(out, [0, 0, 128, 255, 255])
+    assert out.dtype == int
+
+
+def test_prefetcher(datadir):
+    ds = NumpyPathDataset(datadir)
+    pf = Prefetcher(lambda: ds.batch(2), depth=2)
+    shapes = [next(pf).shape for _ in range(4)]
+    pf.stop()
+    assert all(s == (2, 1, 4, 4, 4) for s in shapes)
+
+
+def test_prefetcher_propagates_errors():
+    def boom():
+        raise RuntimeError("loader failed")
+
+    pf = Prefetcher(boom)
+    with pytest.raises(RuntimeError, match="loader failed"):
+        next(pf)
+    pf.stop()
