@@ -73,8 +73,9 @@ def forward_simultaneous(
 ) -> LossOutput:
     """Joint G+D forward (reference loss.py:101-165).
 
-    gen_fn(params, z) -> images; disc_fn(params, x) -> (N, 1) scores (alpha
-    and phase already bound by the caller).
+    gen_fn(params, z, rng) -> images; disc_fn(params, x) -> (N, 1) scores
+    (alpha and phase already bound by the caller; rng feeds per-layer noise /
+    style mixing in the style-family generators and is ignored by pgan).
     Returns losses such that grad w.r.t. g_params gives the reference's
     generator gradients and grad w.r.t. d_params the discriminator's:
     disc_fake_d / interp use stop_gradient on the generator sample, and the
@@ -82,12 +83,12 @@ def forward_simultaneous(
     ``gen_loss + disc_loss`` backpropagates exactly like the reference's two
     separate minimizations.
     """
-    k_z, k_nr, k_nf, k_gamma = jax.random.split(rng, 4)
+    k_z, k_g, k_nr, k_nf, k_gamma = jax.random.split(rng, 5)
     n = real_image_input.shape[0]
     dtype = real_image_input.dtype
 
     z = jax.random.normal(k_z, (n, latent_dim), dtype)
-    gen_sample = gen_fn(g_params, z)
+    gen_sample = gen_fn(g_params, z, k_g)
 
     real = _instance_noise(k_nr, real_image_input, noise_stddev)
     fake = _instance_noise(k_nf, gen_sample, noise_stddev)
@@ -140,11 +141,11 @@ def forward_generator(
     noise_stddev: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Generator-only forward (reference loss.py:4-39). Returns (sample, loss)."""
-    k_z, k_nf = jax.random.split(rng)
+    k_z, k_g, k_nf = jax.random.split(rng, 3)
     n = real_image_input.shape[0]
     dtype = real_image_input.dtype
     z = jax.random.normal(k_z, (n, latent_dim), dtype)
-    gen_sample = gen_fn(g_params, z)
+    gen_sample = gen_fn(g_params, z, k_g)
     fake = _instance_noise(k_nf, gen_sample, noise_stddev)
     d_params_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, d_params)
     disc_fake_g = disc_fn(d_params_sg, fake).astype(jnp.float32)
@@ -175,11 +176,11 @@ def forward_discriminator(
     GP norm reduces over ALL non-batch axes here (reference loss.py:79).
     Returns (disc_loss, gp_loss).
     """
-    k_z, k_nr, k_nf, k_gamma = jax.random.split(rng, 4)
+    k_z, k_g, k_nr, k_nf, k_gamma = jax.random.split(rng, 5)
     n = real_image_input.shape[0]
     dtype = real_image_input.dtype
     z = jax.random.normal(k_z, (n, latent_dim), dtype)
-    gen_sample = jax.lax.stop_gradient(gen_fn(g_params, z))
+    gen_sample = jax.lax.stop_gradient(gen_fn(g_params, z, k_g))
 
     real = _instance_noise(k_nr, real_image_input, noise_stddev)
     fake = jax.lax.stop_gradient(_instance_noise(k_nf, gen_sample, noise_stddev))

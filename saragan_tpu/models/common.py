@@ -1,0 +1,31 @@
+"""Shared model helpers for the num_filters-table architectures
+(pgan2/pgandeep/stylegan/stylegan2/surfgan)."""
+
+from __future__ import annotations
+
+from saragan_tpu import ops
+
+
+def adaptive_kernel(spatial_shape):
+    """Per-dim kernel size: 1 if the dim is < 3 else 3 (reference
+    networks/ops.py:25-29, `k(x)`), applied to the current tensor shape."""
+    return [1 if s < 3 else 3 for s in spatial_shape]
+
+
+def resolve_base_dim(cfg) -> int:
+    """Filters of the first (constant/dense) layer: explicit override or the
+    num_filters table at phase 1 (reference passes base_dim computed from
+    num_filters in its __main__ harnesses)."""
+    if cfg.first_conv_nfilters:
+        return int(cfg.first_conv_nfilters)
+    size = cfg.network_size or "m"
+    if cfg.ndim == 3:
+        return ops.num_filters(1, cfg.num_phases, cfg.base_shape, size=size)
+    return ops.num_filters_2d(1, cfg.num_phases, size=size)
+
+
+def phase_filters(cfg, i: int) -> int:
+    size = cfg.network_size or "m"
+    if cfg.ndim == 3:
+        return ops.num_filters(i, cfg.num_phases, cfg.base_shape, size=size)
+    return ops.num_filters_2d(i, cfg.num_phases, size=size)

@@ -133,6 +133,7 @@ def generator(
     phase: int,
     cfg,
     rng: Optional[jax.Array] = None,
+    train: bool = True,
     conditioning=None,
 ) -> jax.Array:
     if conditioning is not None:

@@ -117,8 +117,8 @@ def make_train_step(
         real = real.astype(compute_dtype)
 
         # Bind alpha into the model closures for this trace.
-        def gen_a(p, z):
-            return arch.generator(p, z, alpha, phase=phase, cfg=cfg)
+        def gen_a(p, z, k=None):
+            return arch.generator(p, z, alpha, phase=phase, cfg=cfg, rng=k)
 
         def disc_a(p, x):
             return arch.discriminator(p, x, alpha, phase=phase, cfg=cfg)

@@ -157,7 +157,7 @@ class Trainer:
         compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
         def eval_losses(g_params, d_params, real, rng, alpha):
-            gen_a = lambda p, z: arch.generator(p, z, alpha, phase=phase, cfg=cfg)
+            gen_a = lambda p, z, k=None: arch.generator(p, z, alpha, phase=phase, cfg=cfg, rng=k)
             disc_a = lambda p, x: arch.discriminator(p, x, alpha, phase=phase, cfg=cfg)
             out = losses.forward_simultaneous(
                 gen_a, disc_a, g_params, d_params, real.astype(compute_dtype), rng,
@@ -167,8 +167,9 @@ class Trainer:
             return out.gen_loss, out.disc_loss, out.gp_loss, out.gen_sample
 
         def sample(g_params, rng, n, alpha):
-            z = jax.random.normal(rng, (n, cfg.latent_dim), compute_dtype)
-            return arch.generator(g_params, z, alpha, phase=phase, cfg=cfg)
+            k_z, k_g = jax.random.split(rng)
+            z = jax.random.normal(k_z, (n, cfg.latent_dim), compute_dtype)
+            return arch.generator(g_params, z, alpha, phase=phase, cfg=cfg, rng=k_g, train=False)
 
         return jax.jit(eval_losses), jax.jit(sample, static_argnums=2)
 

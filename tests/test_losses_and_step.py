@@ -42,7 +42,7 @@ def setup():
 
 
 def _bound(arch, cfg, phase=1, alpha=0.0):
-    gen = lambda p, z: arch.generator(p, z, alpha, phase=phase, cfg=cfg)
+    gen = lambda p, z, k=None: arch.generator(p, z, alpha, phase=phase, cfg=cfg, rng=k)
     disc = lambda p, x: arch.discriminator(p, x, alpha, phase=phase, cfg=cfg)
     return gen, disc
 
@@ -59,7 +59,7 @@ def test_wgan_gp_slope_one_for_linear_disc(setup):
     def disc(params, x):
         return jnp.sum(x * v, axis=(1, 2, 3, 4), keepdims=False)[:, None]
 
-    def gen(params, z):
+    def gen(params, z, rng=None):
         return jnp.zeros((z.shape[0], 1, 4, 4, 4))
 
     real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4))

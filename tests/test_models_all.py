@@ -1,0 +1,157 @@
+"""Cross-architecture tests: every registered model family builds, runs
+forward in both networks, produces correct shapes, and trains one step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saragan_tpu.config import Config
+from saragan_tpu.models import get_architecture
+from saragan_tpu.train import init_train_state, make_train_step
+
+ARCHS = ["pgan", "pgan2", "pgandeep", "stylegan", "stylegan2", "surfgan"]
+
+
+def cfg_for(arch, phase=2, **kw):
+    defaults = dict(
+        architecture=arch,
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 32, 32, 32)",
+        starting_phase=phase,
+        ending_phase=phase,
+        latent_dim=16,
+        base_batch_size=4,
+        network_size="xxs",
+        kernel_spec=[
+            [[], [3, 3, 3]],
+            [[3, 3, 3], [3, 3, 3]],
+            [[3, 3, 3], [3, 3, 3]],
+        ],
+        filter_spec=[[8, 8], [8, 8], [4, 4]],
+        loss_fn="wgan",
+        noise_stddev=0.0,
+        g_lr=1e-3,
+        d_lr=1e-3,
+    )
+    defaults.update(kw)
+    return Config(**defaults).finalize()
+
+
+@pytest.mark.parametrize("arch_name", ARCHS)
+def test_forward_shapes(arch_name, rng):
+    phase = 1 if arch_name == "stylegan2" else 2
+    cfg = cfg_for(arch_name, phase=phase)
+    arch = get_architecture(arch_name)
+    params = arch.init(rng, phase=phase, cfg=cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, cfg.latent_dim))
+    img = arch.generator(params, z, 0.5, phase=phase, cfg=cfg, rng=jax.random.PRNGKey(2))
+    size = 4 * 2 ** (phase - 1)
+    assert img.shape == (4, 1, size, size, size), arch_name
+    score = arch.discriminator(params, img, 0.5, phase=phase, cfg=cfg)
+    assert score.shape == (4, 1), arch_name
+    assert np.all(np.isfinite(np.asarray(img)))
+    assert np.all(np.isfinite(np.asarray(score)))
+
+
+@pytest.mark.parametrize("arch_name", ARCHS)
+def test_one_train_step(arch_name):
+    phase = 1 if arch_name == "stylegan2" else 2
+    cfg = cfg_for(arch_name, phase=phase)
+    arch = get_architecture(arch_name)
+    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
+    step = jax.jit(make_train_step(arch, cfg, phase, g_opt, d_opt))
+    size = 4 * 2 ** (phase - 1)
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, size, size, size))
+    new_state, metrics = step(state, real, jax.random.PRNGKey(5), 0.5, 1e-3, 1e-3)
+    assert np.isfinite(float(metrics.gen_loss)), arch_name
+    assert np.isfinite(float(metrics.disc_loss)), arch_name
+    # at least one generator parameter moved
+    moved = any(
+        not np.allclose(np.asarray(new_state.g_params[k]), np.asarray(state.g_params[k]))
+        for k in state.g_params
+    )
+    assert moved, arch_name
+
+
+def test_stylegan_styles_and_truncation(rng):
+    """stylegan: 2*phase styles, truncation always on; deterministic eval."""
+    cfg = cfg_for("stylegan", phase=2)
+    arch = get_architecture("stylegan")
+    params = arch.init(rng, phase=2, cfg=cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.latent_dim))
+    a = arch.generator(params, z, 0.0, phase=2, cfg=cfg, train=False)
+    b = arch.generator(params, z, 0.0, phase=2, cfg=cfg, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert "generator/d_z_avg" in params
+    assert "generator/g_mapping/dense_7/weight" in params
+    # noise params exist for restore compatibility
+    assert any("noise_strength" in k for k in params)
+
+
+def test_surfgan_conditioning(rng):
+    cfg = cfg_for("surfgan", phase=2, num_labels=3)
+    arch = get_architecture("surfgan")
+    params = arch.init(rng, phase=2, cfg=cfg)
+    assert "generator/g_mapping/conditioning/weight" in params
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.latent_dim))
+    cond = jax.nn.one_hot(jnp.asarray([0, 2]), 3)
+    img = arch.generator(params, z, 0.5, phase=2, cfg=cfg, rng=jax.random.PRNGKey(2),
+                         conditioning=cond)
+    assert img.shape == (2, 1, 8, 8, 8)
+    score = arch.discriminator(params, img, 0.5, phase=2, cfg=cfg, conditioning=cond)
+    assert score.shape == (2, 1)
+
+
+def test_pgan2_skip_sum_alpha(rng):
+    """pgan2 top-level rgb is weighted (1 - alpha) on top of the upscaled
+    skip chain: alpha=1 must equal the pure skip chain."""
+    cfg = cfg_for("pgan2", phase=2)
+    arch = get_architecture("pgan2")
+    params = arch.init(rng, phase=2, cfg=cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.latent_dim))
+    img_a0 = arch.generator(params, z, 0.0, phase=2, cfg=cfg)
+    img_a1 = arch.generator(params, z, 1.0, phase=2, cfg=cfg)
+    img_mid = arch.generator(params, z, 0.25, phase=2, cfg=cfg)
+    np.testing.assert_allclose(
+        np.asarray(img_mid), 0.25 * np.asarray(img_a1) + 0.75 * np.asarray(img_a0),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_pgandeep_three_layer_spec(rng):
+    """pgandeep honors per-phase layer counts from the spec."""
+    cfg = cfg_for(
+        "pgandeep",
+        phase=2,
+        kernel_spec=[
+            [[], [3, 3, 3], [3, 3, 3]],
+            [[3, 3, 3], [3, 3, 3], [1, 1, 1]],
+        ],
+        filter_spec=[[8, 8, 8], [8, 8, 4]],
+    )
+    arch = get_architecture("pgandeep")
+    params = arch.init(rng, phase=2, cfg=cfg)
+    assert "generator/generator_block_2/conv_3/weight" in params
+    assert "generator/generator_in/conv_2/weight" in params
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.latent_dim))
+    img = arch.generator(params, z, 0.5, phase=2, cfg=cfg)
+    score = arch.discriminator(params, img, 0.5, phase=2, cfg=cfg)
+    assert score.shape == (2, 1)
+
+
+def test_modulated_conv_demodulation():
+    """Demodulated modulated conv output has ~unit per-sample channel std for
+    unit-normal input (the demodulation contract)."""
+    from saragan_tpu.core import Scope
+    from saragan_tpu.models.style_ops import modulated_conv
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8, 8))
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    params = {}
+    scope = Scope(params, init=True, rng=rng)
+    y = modulated_conv(scope, x, z, 8, (3, 3, 3), "linear")
+    assert y.shape == (2, 8, 8, 8, 8)
+    std = float(jnp.std(y))
+    assert 0.5 < std < 2.0
