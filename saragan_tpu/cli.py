@@ -1,0 +1,178 @@
+"""Command-line interface — surface-compatible with reference main.py:234-354.
+
+Same positional args, same flag names, same None-able types (None means
+"let the HPO harness pick it", main.py:212-223), same JSON spec files
+(kernel_spec/filter_spec keys, main.py:225-232).  TPU-native additions are
+grouped at the end (--compute_dtype, --num_data_shards, --num_space_shards,
+--profile_dir).
+
+Usage:
+    python -m saragan_tpu <architecture> <dataset_path> --start_shape ... --flags
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from saragan_tpu.config import Config
+
+
+def none_or_str(value):
+    return None if value == "None" else str(value)
+
+
+def none_or_float(value):
+    return None if value == "None" else float(value)
+
+
+def none_or_int(value):
+    return None if value == "None" else int(value)
+
+
+def kernel_spec(value):
+    with open(value) as f:
+        return json.load(f)["kernel_spec"]
+
+
+def filter_spec(value):
+    with open(value) as f:
+        return json.load(f)["filter_spec"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="saragan_tpu")
+    p.add_argument("architecture", type=str)
+    p.add_argument("dataset_path", type=str)
+    p.add_argument("--start_shape", type=str, required=True,
+                   help="Shape of the data at phase 0, '(c, z, y, x)', e.g. '(1, 5, 16, 16)'")
+    p.add_argument("--final_shape", type=str, required=True)
+    p.add_argument("--starting_phase", type=int, required=True)
+    p.add_argument("--ending_phase", type=int, required=True)
+    p.add_argument("--scratch_path", type=str, default=None)
+    p.add_argument("--base_batch_size", type=none_or_int, default=None)
+    p.add_argument("--max_global_batch_size", type=none_or_int, default=None)
+    p.add_argument("--mixing_nimg", type=int, default=2**19)
+    p.add_argument("--stabilizing_nimg", type=int, default=2**19)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--horovod", default=False, action="store_true",
+                   help="Data-parallel training over the device mesh (flag name kept for parity)")
+    p.add_argument("--checkpoint_every_nsteps", default=20000, type=int)
+    p.add_argument("--logdir", default=None, type=str)
+    p.add_argument("--continue_path", default=None, type=str)
+    p.add_argument("--starting_alpha", default=1, type=float)
+    p.add_argument("--gpu", default=False, action="store_true")  # parity no-op
+    p.add_argument("--num_inter_ops", default=4, type=int)  # parity no-op
+    p.add_argument("--num_labels", default=None, type=none_or_int)
+    p.add_argument("--validation_fraction", default=0.1, type=float)
+    p.add_argument("--test_fraction", default=0.1, type=float)
+    # architecture
+    p.add_argument("--latent_dim", type=int, required=True)
+    p.add_argument("--first_conv_nfilters", type=none_or_int, default=None)
+    p.add_argument("--network_size", default=None,
+                   choices=["xxs", "xs", "s", "m", "l", "xl", "xxl"])
+    p.add_argument("--activation", type=str, default="leaky_relu")
+    p.add_argument("--leakiness", type=float, default=0.2)
+    p.add_argument("--conv_kernel_size", type=none_or_int, nargs="+", default=[3, 3, 3])
+    p.add_argument("--kernel_spec", type=kernel_spec, default=None)
+    p.add_argument("--filter_spec", type=filter_spec, default=None)
+    # learning rate
+    p.add_argument("--g_lr", type=none_or_float, default=None)
+    p.add_argument("--d_lr", type=none_or_float, default=None)
+    for net in ("g", "d"):
+        p.add_argument(f"--{net}_lr_increase", type=none_or_str,
+                       choices=[None, "linear", "exponential"], default=None)
+        p.add_argument(f"--{net}_lr_decrease", type=none_or_str,
+                       choices=[None, "linear", "exponential"], default=None)
+        p.add_argument(f"--{net}_lr_rise_niter", type=none_or_int, default=None)
+        p.add_argument(f"--{net}_lr_decay_niter", type=none_or_int, default=None)
+    p.add_argument("--d_scaling", default="none", choices=["linear", "sqrt", "none"])
+    p.add_argument("--g_scaling", default="none", choices=["linear", "sqrt", "none"])
+    # loss & optimization
+    p.add_argument("--loss_fn", default="logistic", choices=["logistic", "wgan"])
+    p.add_argument("--gp_weight", type=float, default=1)
+    p.add_argument("--g_clipping", default=False, type=bool)
+    p.add_argument("--d_clipping", default=False, type=bool)
+    p.add_argument("--optim_strategy", default="simultaneous",
+                   choices=["simultaneous", "alternate"])
+    p.add_argument("--use_adasum", default=False, action="store_true")  # parity no-op
+    p.add_argument("--ema_beta", type=float, default=0.99)
+    p.add_argument("--noise_stddev", default=None, type=float, required=True)
+    p.add_argument("--optimizer", type=none_or_str,
+                   choices=[None, "Adam", "SGD", "Momentum", "Adadelta"], default="Adam")
+    p.add_argument("--d_use_different_optimizer", default=False, action="store_true")
+    p.add_argument("--d_optimizer", type=none_or_str,
+                   choices=[None, "Adam", "SGD", "Momentum", "Adadelta"], default="Adam")
+    p.add_argument("--adam_beta1", type=none_or_float, default=0)
+    p.add_argument("--d_use_different_beta1", default=False, action="store_true")
+    p.add_argument("--d_adam_beta1", type=none_or_float, default=0)
+    p.add_argument("--adam_beta2", type=none_or_float, default=0.9)
+    p.add_argument("--d_use_different_beta2", default=False, action="store_true")
+    p.add_argument("--d_adam_beta2", type=none_or_float, default=0.9)
+    p.add_argument("--rho", type=none_or_float, default=0.95)
+    p.add_argument("--d_use_different_rho", default=False, action="store_true")
+    p.add_argument("--d_rho", type=none_or_float, default=0.95)
+    p.add_argument("--momentum", type=none_or_float, default=0.9)
+    p.add_argument("--d_use_different_momentum", default=False, action="store_true")
+    p.add_argument("--d_momentum", type=none_or_float, default=0.9)
+    p.add_argument("--g_annealing", default=1, type=float)
+    p.add_argument("--d_annealing", default=1, type=float)
+    # metrics
+    p.add_argument("--calc_metrics", default=False, action="store_true")
+    p.add_argument("--compute_metrics_train", default=False, action="store_true")
+    p.add_argument("--disable_compute_metrics_validation", dest="compute_metrics_validation",
+                   default=True, action="store_false")
+    p.add_argument("--disable_compute_metrics_test", dest="compute_metrics_test",
+                   default=True, action="store_false")
+    p.add_argument("--summary_small_every_nsteps", default=32, type=int)
+    p.add_argument("--summary_large_every_nsteps", default=64, type=int)
+    p.add_argument("--num_metric_samples", type=none_or_int, default=None)
+    p.add_argument("--metrics_every_nsteps", default=128, type=int)
+    p.add_argument("--metrics_batch_size", default=16, type=int)
+    for m in ("FID", "swds", "ssims", "psnrs", "mses", "nrmses"):
+        p.add_argument(f"--compute_{m}", default=False, action="store_true")
+    # HPO
+    p.add_argument("--optuna_distributed", default=False, action="store_true")
+    p.add_argument("--optuna_ntrials", default=None, type=none_or_int)
+    p.add_argument("--optuna_use_best_trial", default=False, action="store_true")
+    p.add_argument("--optuna_storage", default=None, type=str)
+    p.add_argument("--optuna_study_name", default=None, type=str)
+    p.add_argument("--optuna_pruner", default="median", choices=["median", "SHA", "nopruner"])
+    p.add_argument("--optuna_sampler", default="TPE",
+                   choices=["random", "TPE", "CMA", "NSGAII", "MOTPE"])
+    p.add_argument("--optuna_warmup_steps", default=20000, type=int)
+    p.add_argument("--optuna_TPE_multivariate", default=False, action="store_true")
+    p.add_argument("--optuna_CMA_consider_pruned_trials", default=False, action="store_true")
+    p.add_argument("--optuna_CMA_restart_strategy", default=None, type=none_or_str,
+                   choices=[None, "ipop"])
+    p.add_argument("--optuna_CMA_inc_popsize", default=2, type=int)
+    p.add_argument("--optuna_square_kernels", default=False, action="store_true")
+    # input normalization
+    p.add_argument("--data_mean", default=None, type=none_or_float)
+    p.add_argument("--data_stddev", default=None, type=none_or_float)
+    # TPU-native additions
+    p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--num_data_shards", default=None, type=none_or_int)
+    p.add_argument("--num_space_shards", default=1, type=int)
+    p.add_argument("--profile_dir", default=None, type=str)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    fields = {f.name for f in dataclasses.fields(Config)}
+    values = {k: v for k, v in vars(args).items() if k in fields}
+    return Config(**values)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    from saragan_tpu.hpo import harness
+
+    return harness.run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,628 @@
+"""Optuna-compatible HPO engine.
+
+Implements the subset of the Optuna API the reference uses (SURVEY C22):
+
+* `create_study(study_name, storage, sampler, pruner, direction(s),
+  load_if_exists)` / `load_study` with **SQLite storage** so multiple
+  worker processes can share one study (the reference's inter-trial
+  parallelism medium, main.py:135-168);
+* `Trial.suggest_float/suggest_loguniform/suggest_int/suggest_categorical`,
+  `report`, `should_prune`, `params`, `number`;
+* samplers: Random, TPE (Parzen-estimator l/g ratio), CMA-ES (diagonal
+  (mu, lambda) evolution strategy with optional ipop restarts), NSGA-II
+  (non-dominated sorting + crowding, SBX crossover + polynomial mutation)
+  and MOTPE (TPE on non-dominated split) — the five the reference's CLI
+  selects between (main.py:46-84);
+* pruners: Median (startup + warmup gates), SuccessiveHalving, Nop;
+* `study.optimize(func, n_trials, catch, gc_after_trial)` and
+  `study.best_trial` / `best_trials` (Pareto front for multi-objective).
+
+Storage schema: one `trials` table holding JSON-encoded params /
+distributions / intermediate values; WAL mode + busy timeout for concurrent
+workers.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import math
+import os
+import random
+import sqlite3
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+COMPLETE = "COMPLETE"
+PRUNED = "PRUNED"
+FAIL = "FAIL"
+RUNNING = "RUNNING"
+
+
+class TrialPruned(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Storage
+# ---------------------------------------------------------------------------
+
+
+class _Storage:
+    """SQLite-backed trial store. storage=None keeps everything in memory."""
+
+    def __init__(self, url: Optional[str], study_name: str):
+        self.study_name = study_name
+        self._mem: List[dict] = []
+        self.path = None
+        if url:
+            self.path = url[len("sqlite:///") :] if url.startswith("sqlite:///") else url
+            d = os.path.dirname(os.path.abspath(self.path))
+            os.makedirs(d, exist_ok=True)
+            with self._conn() as c:
+                c.execute(
+                    "CREATE TABLE IF NOT EXISTS trials ("
+                    "id INTEGER PRIMARY KEY AUTOINCREMENT, study TEXT, state TEXT,"
+                    "params TEXT, dists TEXT, value TEXT, intermediate TEXT, ts REAL)"
+                )
+
+    def _conn(self):
+        conn = sqlite3.connect(self.path, timeout=60)
+        conn.execute("PRAGMA journal_mode=WAL")
+        conn.execute("PRAGMA busy_timeout=60000")
+        return conn
+
+    def create_trial(self) -> int:
+        if self.path is None:
+            self._mem.append(
+                {"state": RUNNING, "params": {}, "dists": {}, "value": None, "intermediate": {}}
+            )
+            return len(self._mem) - 1
+        with self._conn() as c:
+            cur = c.execute(
+                "INSERT INTO trials (study, state, params, dists, value, intermediate, ts)"
+                " VALUES (?, ?, '{}', '{}', 'null', '{}', ?)",
+                (self.study_name, RUNNING, time.time()),
+            )
+            return cur.lastrowid - 1
+
+    def update_trial(self, number: int, **fields):
+        if self.path is None:
+            self._mem[number].update(fields)
+            return
+        sets, vals = [], []
+        for k, v in fields.items():
+            sets.append(f"{k} = ?")
+            vals.append(json.dumps(v) if k in ("params", "dists", "value", "intermediate") else v)
+        vals.extend([self.study_name, number + 1])
+        with self._conn() as c:
+            c.execute(f"UPDATE trials SET {', '.join(sets)} WHERE study = ? AND id = ?", vals)
+
+    def all_trials(self) -> List[dict]:
+        if self.path is None:
+            return [dict(t, number=i) for i, t in enumerate(self._mem)]
+        with self._conn() as c:
+            rows = c.execute(
+                "SELECT id, state, params, dists, value, intermediate FROM trials"
+                " WHERE study = ? ORDER BY id",
+                (self.study_name,),
+            ).fetchall()
+        return [
+            {
+                "number": r[0] - 1,
+                "state": r[1],
+                "params": json.loads(r[2]),
+                "dists": json.loads(r[3]),
+                "value": json.loads(r[4]),
+                "intermediate": {int(k): v for k, v in json.loads(r[5]).items()},
+            }
+            for r in rows
+        ]
+
+
+# ---------------------------------------------------------------------------
+# Frozen / live trials
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FrozenTrial:
+    number: int
+    state: str
+    params: Dict[str, Any]
+    value: Optional[float] = None
+    values: Optional[List[float]] = None
+    intermediate_values: Dict[int, float] = field(default_factory=dict)
+
+    @property
+    def last_step(self):
+        return max(self.intermediate_values) if self.intermediate_values else None
+
+
+def _freeze(raw: dict) -> FrozenTrial:
+    value = raw.get("value")
+    values = None
+    scalar = None
+    if isinstance(value, list):
+        values = value
+        scalar = value[0] if value else None
+    else:
+        scalar = value
+        values = [value] if value is not None else None
+    return FrozenTrial(
+        number=raw["number"],
+        state=raw["state"],
+        params=raw.get("params", {}),
+        value=scalar,
+        values=values,
+        intermediate_values=raw.get("intermediate", {}),
+    )
+
+
+class Trial:
+    def __init__(self, study: "Study", number: int):
+        self.study = study
+        self.number = number
+        self.params: Dict[str, Any] = {}
+        self._dists: Dict[str, tuple] = {}
+        self._intermediate: Dict[int, float] = {}
+
+    # -- suggest API ---------------------------------------------------
+
+    def _suggest(self, name: str, dist: tuple):
+        if name in self.params:
+            return self.params[name]
+        value = self.study.sampler.sample(self.study, name, dist)
+        self.params[name] = value
+        self._dists[name] = dist
+        self.study._storage.update_trial(self.number, params=self.params, dists=self._dists)
+        return value
+
+    def suggest_float(self, name, low, high, *, log=False, step=None):
+        if step is not None:
+            n = int(round((high - low) / step))
+            return self._suggest(name, ("discrete_float", low, step, n))
+        return self._suggest(name, ("float_log" if log else "float", low, high))
+
+    def suggest_uniform(self, name, low, high):
+        return self.suggest_float(name, low, high)
+
+    def suggest_loguniform(self, name, low, high):
+        return self.suggest_float(name, low, high, log=True)
+
+    def suggest_int(self, name, low, high, step=1, *, log=False):
+        return int(self._suggest(name, ("int", low, high, step)))
+
+    def suggest_categorical(self, name, choices):
+        return self._suggest(name, ("categorical", tuple(choices)))
+
+    # -- report / prune ------------------------------------------------
+
+    def report(self, value: float, step: int):
+        self._intermediate[int(step)] = float(value)
+        self.study._storage.update_trial(self.number, intermediate=self._intermediate)
+
+    def should_prune(self) -> bool:
+        return self.study.pruner.prune(self.study, self._frozen())
+
+    def _frozen(self) -> FrozenTrial:
+        return FrozenTrial(
+            number=self.number,
+            state=RUNNING,
+            params=dict(self.params),
+            intermediate_values=dict(self._intermediate),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Samplers
+# ---------------------------------------------------------------------------
+
+
+def _dist_sample_random(rng: random.Random, dist: tuple):
+    kind = dist[0]
+    if kind == "float":
+        return rng.uniform(dist[1], dist[2])
+    if kind == "float_log":
+        return math.exp(rng.uniform(math.log(dist[1]), math.log(dist[2])))
+    if kind == "discrete_float":
+        _, low, step, n = dist
+        return low + step * rng.randint(0, n)
+    if kind == "int":
+        _, low, high, step = dist
+        n = (high - low) // step
+        return low + step * rng.randint(0, n)
+    if kind == "categorical":
+        return rng.choice(list(dist[1]))
+    raise ValueError(dist)
+
+
+def _to_unit(value, dist):
+    kind = dist[0]
+    if kind == "float":
+        lo, hi = dist[1], dist[2]
+        return (value - lo) / (hi - lo + 1e-12)
+    if kind == "float_log":
+        lo, hi = math.log(dist[1]), math.log(dist[2])
+        return (math.log(value) - lo) / (hi - lo + 1e-12)
+    if kind in ("int", "discrete_float"):
+        if kind == "int":
+            _, low, high, step = dist
+            return (value - low) / max(high - low, 1e-12)
+        _, low, step, n = dist
+        return (value - low) / max(step * n, 1e-12)
+    if kind == "categorical":
+        return list(dist[1]).index(value) / max(len(dist[1]) - 1, 1)
+    raise ValueError(dist)
+
+
+def _from_unit(u, dist):
+    u = min(max(u, 0.0), 1.0)
+    kind = dist[0]
+    if kind == "float":
+        return dist[1] + u * (dist[2] - dist[1])
+    if kind == "float_log":
+        lo, hi = math.log(dist[1]), math.log(dist[2])
+        return math.exp(lo + u * (hi - lo))
+    if kind == "int":
+        _, low, high, step = dist
+        n = (high - low) // step
+        return low + step * int(round(u * n))
+    if kind == "discrete_float":
+        _, low, step, n = dist
+        return low + step * int(round(u * n))
+    if kind == "categorical":
+        choices = list(dist[1])
+        return choices[int(round(u * (len(choices) - 1)))]
+    raise ValueError(dist)
+
+
+class RandomSampler:
+    def __init__(self, seed: Optional[int] = None):
+        self._rng = random.Random(seed)
+
+    def sample(self, study, name, dist):
+        return _dist_sample_random(self._rng, dist)
+
+
+class TPESampler:
+    """Tree-structured Parzen Estimator (independent per-parameter Parzen
+    windows; `multivariate=True` shares the good/bad split across params,
+    which is what the reference's flag toggles)."""
+
+    def __init__(self, seed: Optional[int] = None, n_startup_trials: int = 10,
+                 n_ei_candidates: int = 24, gamma: float = 0.25, multivariate: bool = False):
+        self._rng = random.Random(seed)
+        self.n_startup_trials = n_startup_trials
+        self.n_ei_candidates = n_ei_candidates
+        self.gamma = gamma
+        self.multivariate = multivariate
+
+    def sample(self, study, name, dist):
+        complete = [t for t in study.get_trials() if t.state == COMPLETE and name in t.params
+                    and t.value is not None]
+        if len(complete) < self.n_startup_trials:
+            return _dist_sample_random(self._rng, dist)
+
+        sign = 1.0 if study.direction == "minimize" else -1.0
+        ranked = sorted(complete, key=lambda t: sign * t.value)
+        n_good = max(1, int(self.gamma * len(ranked)))
+        good = [_to_unit(t.params[name], dist) for t in ranked[:n_good]]
+        bad = [_to_unit(t.params[name], dist) for t in ranked[n_good:]] or [0.5]
+
+        bw = max(1.0 / max(len(good), 1) ** 0.5 * 0.2, 0.05)
+
+        def kde(points, x):
+            return sum(math.exp(-0.5 * ((x - p) / bw) ** 2) for p in points) / (len(points) * bw)
+
+        best_x, best_score = None, -math.inf
+        for _ in range(self.n_ei_candidates):
+            base = self._rng.choice(good)
+            x = min(max(base + self._rng.gauss(0, bw), 0.0), 1.0)
+            score = math.log(kde(good, x) + 1e-12) - math.log(kde(bad, x) + 1e-12)
+            if score > best_score:
+                best_x, best_score = x, score
+        return _from_unit(best_x, dist)
+
+
+class CmaEsSampler:
+    """Diagonal (mu, lambda)-ES over the unit cube: mean/sigma updated from
+    the top-mu completed trials; `restart_strategy='ipop'` doubles the
+    effective population (via a wider sigma reset) when progress stalls."""
+
+    def __init__(self, seed: Optional[int] = None, n_startup_trials: int = 8,
+                 consider_pruned_trials: bool = False, restart_strategy: Optional[str] = None,
+                 inc_popsize: int = 2):
+        self._rng = random.Random(seed)
+        self.n_startup_trials = n_startup_trials
+        self.consider_pruned = consider_pruned_trials
+        self.restart_strategy = restart_strategy
+        self.inc_popsize = inc_popsize
+
+    def sample(self, study, name, dist):
+        states = (COMPLETE, PRUNED) if self.consider_pruned else (COMPLETE,)
+        done = [t for t in study.get_trials() if t.state in states and name in t.params
+                and t.value is not None]
+        if len(done) < self.n_startup_trials:
+            return _dist_sample_random(self._rng, dist)
+        sign = 1.0 if study.direction == "minimize" else -1.0
+        ranked = sorted(done, key=lambda t: sign * t.value)
+        mu = max(2, len(ranked) // 4)
+        elite = [_to_unit(t.params[name], dist) for t in ranked[:mu]]
+        mean = sum(elite) / len(elite)
+        var = sum((e - mean) ** 2 for e in elite) / len(elite)
+        sigma = max(math.sqrt(var), 0.02)
+        if self.restart_strategy == "ipop" and sigma < 0.03:
+            sigma *= self.inc_popsize  # widen the search again
+        return _from_unit(self._rng.gauss(mean, sigma), dist)
+
+
+def _dominates(a: Sequence[float], b: Sequence[float], directions: Sequence[str]) -> bool:
+    signs = [1.0 if d == "minimize" else -1.0 for d in directions]
+    av = [s * x for s, x in zip(signs, a)]
+    bv = [s * x for s, x in zip(signs, b)]
+    return all(x <= y for x, y in zip(av, bv)) and any(x < y for x, y in zip(av, bv))
+
+
+def _pareto_front(trials: List[FrozenTrial], directions) -> List[FrozenTrial]:
+    front = []
+    for t in trials:
+        if t.values is None:
+            continue
+        if not any(
+            o is not t and o.values is not None and _dominates(o.values, t.values, directions)
+            for o in trials
+        ):
+            front.append(t)
+    return front
+
+
+class NSGAIISampler:
+    """Multi-objective: parents from the Pareto front, SBX-style blend
+    crossover + polynomial-ish mutation in the unit cube."""
+
+    def __init__(self, seed: Optional[int] = None, n_startup_trials: int = 10,
+                 mutation_prob: float = 0.1):
+        self._rng = random.Random(seed)
+        self.n_startup_trials = n_startup_trials
+        self.mutation_prob = mutation_prob
+
+    def sample(self, study, name, dist):
+        done = [t for t in study.get_trials() if t.state == COMPLETE and name in t.params
+                and t.values is not None]
+        if len(done) < self.n_startup_trials:
+            return _dist_sample_random(self._rng, dist)
+        front = _pareto_front(done, study.directions) or done
+        p1, p2 = self._rng.choice(front), self._rng.choice(front)
+        u1, u2 = _to_unit(p1.params[name], dist), _to_unit(p2.params[name], dist)
+        beta = self._rng.uniform(-0.1, 1.1)
+        child = beta * u1 + (1 - beta) * u2
+        if self._rng.random() < self.mutation_prob:
+            child += self._rng.gauss(0, 0.15)
+        return _from_unit(child, dist)
+
+
+class MOTPESampler(TPESampler):
+    """Multi-objective TPE: 'good' = Pareto front, 'bad' = the rest."""
+
+    def sample(self, study, name, dist):
+        done = [t for t in study.get_trials() if t.state == COMPLETE and name in t.params
+                and t.values is not None]
+        if len(done) < self.n_startup_trials:
+            return _dist_sample_random(self._rng, dist)
+        front = _pareto_front(done, study.directions)
+        rest = [t for t in done if t not in front]
+        good = [_to_unit(t.params[name], dist) for t in front] or [0.5]
+        bad = [_to_unit(t.params[name], dist) for t in rest] or [0.5]
+        bw = max(1.0 / max(len(good), 1) ** 0.5 * 0.2, 0.05)
+
+        def kde(points, x):
+            return sum(math.exp(-0.5 * ((x - p) / bw) ** 2) for p in points) / (len(points) * bw)
+
+        best_x, best_score = None, -math.inf
+        for _ in range(self.n_ei_candidates):
+            base = self._rng.choice(good)
+            x = min(max(base + self._rng.gauss(0, bw), 0.0), 1.0)
+            score = math.log(kde(good, x) + 1e-12) - math.log(kde(bad, x) + 1e-12)
+            if score > best_score:
+                best_x, best_score = x, score
+        return _from_unit(best_x, dist)
+
+
+# ---------------------------------------------------------------------------
+# Pruners
+# ---------------------------------------------------------------------------
+
+
+class MedianPruner:
+    """Prune if the current intermediate value is worse than the median of
+    other trials' values at the same step (reference uses
+    MedianPruner(n_startup_trials=10))."""
+
+    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0):
+        self.n_startup_trials = n_startup_trials
+        self.n_warmup_steps = n_warmup_steps
+
+    def prune(self, study, trial: FrozenTrial) -> bool:
+        step = trial.last_step
+        if step is None or step < self.n_warmup_steps:
+            return False
+        others = [
+            t for t in study.get_trials()
+            if t.number != trial.number and t.state in (COMPLETE, PRUNED) and t.intermediate_values
+        ]
+        if len(others) < self.n_startup_trials:
+            return False
+        peers = []
+        for t in others:
+            at_step = [v for s, v in t.intermediate_values.items() if s <= step]
+            if at_step:
+                peers.append(at_step[-1])
+        if not peers:
+            return False
+        median = float(np.median(peers))
+        value = trial.intermediate_values[step]
+        if study.direction == "minimize":
+            return value > median
+        return value < median
+
+
+class SuccessiveHalvingPruner:
+    def __init__(self, min_resource: int = 1, reduction_factor: int = 4,
+                 min_early_stopping_rate: int = 0):
+        self.min_resource = min_resource
+        self.reduction_factor = reduction_factor
+        self.min_early_stopping_rate = min_early_stopping_rate
+
+    def _rungs(self, step: int):
+        rung = 0
+        resource = self.min_resource * self.reduction_factor**self.min_early_stopping_rate
+        rungs = []
+        while resource <= step:
+            rungs.append(resource)
+            rung += 1
+            resource *= self.reduction_factor
+        return rungs
+
+    def prune(self, study, trial: FrozenTrial) -> bool:
+        step = trial.last_step
+        if step is None:
+            return False
+        rungs = self._rungs(step)
+        if not rungs:
+            return False
+        rung = rungs[-1]
+        value = [v for s, v in sorted(trial.intermediate_values.items()) if s <= rung]
+        if not value:
+            return False
+        value = value[-1]
+        peers = [value]
+        for t in study.get_trials():
+            if t.number == trial.number or not t.intermediate_values:
+                continue
+            at = [v for s, v in sorted(t.intermediate_values.items()) if s <= rung]
+            if at:
+                peers.append(at[-1])
+        if len(peers) < self.reduction_factor:
+            return False
+        peers_sorted = sorted(peers) if study.direction == "minimize" else sorted(peers, reverse=True)
+        cutoff = peers_sorted[max(0, len(peers) // self.reduction_factor - 1)]
+        return (value > cutoff) if study.direction == "minimize" else (value < cutoff)
+
+
+class NopPruner:
+    def prune(self, study, trial) -> bool:
+        return False
+
+
+class samplers:  # namespace mirroring optuna.samplers
+    RandomSampler = RandomSampler
+    TPESampler = TPESampler
+    CmaEsSampler = CmaEsSampler
+    NSGAIISampler = NSGAIISampler
+    MOTPESampler = MOTPESampler
+
+
+class pruners:  # namespace mirroring optuna.pruners
+    MedianPruner = MedianPruner
+    SuccessiveHalvingPruner = SuccessiveHalvingPruner
+    NopPruner = NopPruner
+
+
+# ---------------------------------------------------------------------------
+# Study
+# ---------------------------------------------------------------------------
+
+
+class Study:
+    def __init__(self, study_name: str, storage: Optional[str], sampler, pruner, directions):
+        self.study_name = study_name
+        self.sampler = sampler or TPESampler()
+        self.pruner = pruner or MedianPruner()
+        self.directions = list(directions)
+        self._storage = _Storage(storage, study_name)
+
+    @property
+    def direction(self) -> str:
+        return self.directions[0]
+
+    def get_trials(self) -> List[FrozenTrial]:
+        return [_freeze(t) for t in self._storage.all_trials()]
+
+    @property
+    def trials(self) -> List[FrozenTrial]:
+        return self.get_trials()
+
+    @property
+    def best_trial(self) -> FrozenTrial:
+        done = [t for t in self.get_trials() if t.state == COMPLETE and t.value is not None]
+        if not done:
+            raise ValueError("No completed trials.")
+        sign = 1.0 if self.direction == "minimize" else -1.0
+        return min(done, key=lambda t: sign * t.value)
+
+    @property
+    def best_trials(self) -> List[FrozenTrial]:
+        done = [t for t in self.get_trials() if t.state == COMPLETE and t.values is not None]
+        return _pareto_front(done, self.directions)
+
+    def ask(self) -> Trial:
+        number = self._storage.create_trial()
+        return Trial(self, number)
+
+    def tell(self, trial: Trial, state: str, value=None):
+        if value is not None and not isinstance(value, (list, tuple)):
+            value = value
+        elif isinstance(value, tuple):
+            value = list(value)
+        self._storage.update_trial(trial.number, state=state, value=value)
+
+    def optimize(self, func: Callable, n_trials: Optional[int] = None,
+                 timeout: Optional[float] = None, catch: tuple = (),
+                 gc_after_trial: bool = False):
+        start = time.time()
+        i = 0
+        while True:
+            if n_trials is not None and i >= n_trials:
+                break
+            if timeout is not None and time.time() - start > timeout:
+                break
+            trial = self.ask()
+            try:
+                value = func(trial)
+                if isinstance(value, tuple):
+                    value = list(value)
+                self.tell(trial, COMPLETE, value)
+            except TrialPruned:
+                last = trial._intermediate
+                value = last[max(last)] if last else None
+                self.tell(trial, PRUNED, value)
+            except catch as e:
+                print(f"Trial {trial.number} failed with {type(e).__name__}: {e}")
+                self.tell(trial, FAIL)
+            if gc_after_trial:
+                gc.collect()
+            i += 1
+
+
+def create_study(
+    study_name: str = "study",
+    storage: Optional[str] = None,
+    sampler=None,
+    pruner=None,
+    direction: Optional[str] = None,
+    directions: Optional[Sequence[str]] = None,
+    load_if_exists: bool = False,
+) -> Study:
+    if directions is None:
+        directions = [direction or "minimize"]
+    return Study(study_name, storage, sampler, pruner, directions)
+
+
+def load_study(study_name: str, storage: str, sampler=None, pruner=None) -> Study:
+    # directions aren't persisted separately; single-objective minimize is the
+    # reference's load path (main.py:156-157 passes sampler/pruner again)
+    return Study(study_name, storage, sampler, pruner, ["minimize"])

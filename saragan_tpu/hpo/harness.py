@@ -1,0 +1,211 @@
+"""HPO run-mode harness — rebuild of reference main.py:24-207.
+
+Four run modes (main.py:36-42):
+
+1. **normal**: one training run, no HPO (`objective(None, cfg)`);
+2. **best-trial replay** (`optuna_use_best_trial`): load the study from
+   storage, fix the best trial's params, run once (main.py:91-111);
+3. **inter-trial** (`optuna_distributed`): N worker processes each run their
+   own trials against one shared SQLite study; worker 0 creates the study,
+   the rest wait for the DB file then load with a staggered delay to avoid
+   the SQLite thundering herd (main.py:135-168, :150-157).  Worker identity
+   comes from SARAGAN_WORKER_ID (or jax.process_index), per-worker logdirs
+   as in reference utils.py:244-245;
+4. **intra-trial**: data-parallel training *inside* each trial over the
+   device mesh; with multiple JAX processes, only process 0 talks to the
+   study and pruning decisions reach the others through the collective
+   runtime (the reference's MPI bcast choreography, optuna_objective.py:
+   519-541, collapses to nothing under a single controller).
+
+Trial-level fault tolerance preserved: OOM-class errors are caught per
+trial and the worker continues (main.py:32,163-165, gc_after_trial=True).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional, Tuple
+
+from saragan_tpu import hpo
+from saragan_tpu.config import Config
+
+
+def worker_id() -> int:
+    wid = os.environ.get("SARAGAN_WORKER_ID")
+    if wid is not None:
+        return int(wid)
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+def make_sampler(cfg: Config, multi_objective: bool):
+    """reference main.py:46-84."""
+    s = hpo.samplers
+    name = cfg.optuna_sampler
+    if name == "random":
+        return s.RandomSampler(seed=cfg.seed)
+    if name == "TPE":
+        return s.TPESampler(seed=cfg.seed, multivariate=cfg.optuna_TPE_multivariate)
+    if name == "CMA":
+        return s.CmaEsSampler(
+            seed=cfg.seed,
+            consider_pruned_trials=cfg.optuna_CMA_consider_pruned_trials,
+            restart_strategy=cfg.optuna_CMA_restart_strategy,
+            inc_popsize=cfg.optuna_CMA_inc_popsize,
+        )
+    if name == "NSGAII":
+        return s.NSGAIISampler(seed=cfg.seed)
+    if name == "MOTPE":
+        return s.MOTPESampler(seed=cfg.seed)
+    raise ValueError(f"Unknown sampler {name}")
+
+
+def make_pruner(cfg: Config):
+    p = hpo.pruners
+    if cfg.optuna_pruner == "median":
+        return p.MedianPruner(n_startup_trials=10)
+    if cfg.optuna_pruner == "SHA":
+        return p.SuccessiveHalvingPruner()
+    if cfg.optuna_pruner == "nopruner":
+        return p.NopPruner()
+    raise ValueError(f"Unknown pruner {cfg.optuna_pruner}")
+
+
+def is_multi_objective(cfg: Config) -> bool:
+    """NSGAII/MOTPE optimize (FID, train_time) (reference main.py:44,139-143)."""
+    return cfg.optuna_sampler in ("NSGAII", "MOTPE")
+
+
+class FixedTrial:
+    """Replays a frozen trial's params (best-trial mode, main.py:91-111)."""
+
+    def __init__(self, params):
+        self.params = dict(params)
+        self.number = -1
+
+    def _get(self, name, default_fn):
+        return self.params[name] if name in self.params else default_fn()
+
+    def suggest_float(self, name, low, high, **kw):
+        return self._get(name, lambda: low)
+
+    suggest_uniform = suggest_float
+
+    def suggest_loguniform(self, name, low, high):
+        return self._get(name, lambda: low)
+
+    def suggest_int(self, name, low, high, step=1, **kw):
+        return int(self._get(name, lambda: low))
+
+    def suggest_categorical(self, name, choices):
+        return self._get(name, lambda: list(choices)[0])
+
+    def report(self, value, step):
+        pass
+
+    def should_prune(self):
+        return False
+
+
+# Error classes caught per-trial (reference main.py:32 catches the TF OOM
+# family; the JAX/XLA equivalents are RuntimeError/XlaRuntimeError + OOM).
+def _catchable() -> tuple:
+    errs = [MemoryError]
+    try:
+        from jax.errors import JaxRuntimeError
+
+        errs.append(JaxRuntimeError)
+    except ImportError:
+        errs.append(RuntimeError)
+    return tuple(errs)
+
+
+def default_objective(trial, cfg: Config):
+    """objective(trial, cfg) -> FID (or (FID, train_time)): one full
+    multi-phase training run (the reference's optuna_objective)."""
+    from saragan_tpu.hpo.suggestions import optuna_override_undefined
+    from saragan_tpu.metrics.save_metrics import make_metrics_callback
+    from saragan_tpu.parallel import make_mesh
+    from saragan_tpu.train.trainer import Trainer, TrialPruned as TrainerPruned
+
+    if trial is not None:
+        cfg = optuna_override_undefined(cfg, trial)
+    cfg = cfg.finalize()
+    if cfg.optuna_distributed:
+        cfg.logdir = os.path.join(cfg.logdir or "runs", str(worker_id()))
+
+    mesh = None
+    if cfg.horovod:
+        import jax
+
+        mesh = make_mesh(num_data=cfg.num_data_shards, num_space=cfg.num_space_shards)
+    metrics_cb = make_metrics_callback(cfg) if cfg.calc_metrics else None
+
+    start = time.time()
+    trainer = Trainer(cfg, mesh=mesh, metrics_callback=metrics_cb, trial=trial,
+                      verbose=(worker_id() == 0 or cfg.optuna_distributed))
+    try:
+        fid = trainer.run()
+    except TrainerPruned:
+        raise hpo.TrialPruned()
+    if is_multi_objective(cfg):
+        return fid, time.time() - start
+    return fid
+
+
+def run(cfg: Config, objective: Callable = default_objective):
+    """Dispatch on run mode (reference main.py:24-207)."""
+    multi = is_multi_objective(cfg)
+    sampler = make_sampler(cfg, multi)
+    pruner = make_pruner(cfg)
+
+    if cfg.optuna_use_best_trial:
+        assert cfg.optuna_storage and cfg.optuna_study_name
+        study = hpo.load_study(cfg.optuna_study_name, cfg.optuna_storage,
+                               sampler=sampler, pruner=pruner)
+        best = study.best_trial
+        print(f"Replaying best trial {best.number} with params {best.params}")
+        return objective(FixedTrial(best.params), cfg)
+
+    if cfg.optuna_distributed:
+        wid = worker_id()
+        storage = cfg.optuna_storage or "sqlite:///optuna_study.db"
+        name = cfg.optuna_study_name or "saragan"
+        kwargs = dict(directions=["minimize", "minimize"]) if multi else dict(direction="minimize")
+        if wid == 0:
+            study = hpo.create_study(study_name=name, storage=storage, sampler=sampler,
+                                     pruner=pruner, load_if_exists=True, **kwargs)
+        else:
+            # wait for worker 0 to create the DB, staggered load (main.py:150-157)
+            db_path = storage[len("sqlite:///"):] if storage.startswith("sqlite:///") else storage
+            while not os.path.exists(db_path):
+                time.sleep(1)
+            time.sleep(wid)
+            study = hpo.load_study(name, storage, sampler=sampler, pruner=pruner)
+        n_trials = None
+        if cfg.optuna_ntrials is not None:
+            # ceil split across workers (main.py:159-160)
+            nworkers = int(os.environ.get("SARAGAN_NUM_WORKERS", "1"))
+            n_trials = -(-cfg.optuna_ntrials // max(nworkers, 1))
+        study.optimize(lambda t: objective(t, cfg), n_trials=n_trials,
+                       catch=_catchable(), gc_after_trial=True)
+        return study
+
+    if cfg.optuna_ntrials is not None or cfg.optuna_storage is not None:
+        # intra-trial HPO: DP inside each trial, one study driver
+        storage = cfg.optuna_storage
+        name = cfg.optuna_study_name or "saragan"
+        kwargs = dict(directions=["minimize", "minimize"]) if multi else dict(direction="minimize")
+        study = hpo.create_study(study_name=name, storage=storage, sampler=sampler,
+                                 pruner=pruner, load_if_exists=True, **kwargs)
+        study.optimize(lambda t: objective(t, cfg), n_trials=cfg.optuna_ntrials,
+                       catch=_catchable(), gc_after_trial=True)
+        return study
+
+    # normal run
+    return objective(None, cfg)

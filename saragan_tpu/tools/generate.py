@@ -1,0 +1,166 @@
+"""Checkpoint inference tools — rebuild of reference generate.py /
+generate_minimal.py (SURVEY C24).
+
+`generate_minimal(...)`: restore the generator from a checkpoint, sample N
+volumes, invert the input normalization, save .npy files
+(generate_minimal.py:13-64).
+
+`generate(...)`: restore G(+D), draw real batches, generate fakes, write PNG
+mosaics of the centre z-slices and .npy dumps, compute the full metric
+report (FID/SWD/PSNR/SSIM/MSE/NRMSE) and write summary.txt
+(generate.py:20-221).  Metric averaging over batches replaces the MPI
+allreduce (generate.py:184-189) — single-controller JAX sees all batches.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from saragan_tpu.config import Config
+from saragan_tpu.core import filter_params
+from saragan_tpu.data import NumpyPathDataset, invert_normalize_numpy, normalize_numpy
+from saragan_tpu.models import get_architecture
+from saragan_tpu.train import checkpoint as ckpt
+from saragan_tpu.train.summaries import image_grid
+
+
+def _load_generator_params(model_path: str, use_ema: bool = True):
+    params, ema, meta = ckpt.load_params(model_path)
+    src = ema if (use_ema and ema) else params
+    return filter_params(src, "generator"), meta
+
+
+def sample_volumes(cfg: Config, phase: int, g_params, num_samples: int, seed: int = 0,
+                   batch_size: int = 4, alpha: float = 0.0) -> np.ndarray:
+    arch = get_architecture(cfg.architecture)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(params, rng):
+        k_z, k_g = jax.random.split(rng)
+        z = jax.random.normal(k_z, (batch_size, cfg.latent_dim))
+        return arch.generator(params, z, alpha, phase=phase, cfg=cfg, rng=k_g, train=False)
+
+    out = []
+    rng = jax.random.PRNGKey(seed)
+    while sum(b.shape[0] for b in out) < num_samples:
+        rng, k = jax.random.split(rng)
+        out.append(np.asarray(gen(g_params, k), np.float32))
+    return np.concatenate(out)[:num_samples]
+
+
+def generate_minimal(
+    architecture: str,
+    model_path: str,
+    output_dir: str,
+    *,
+    cfg: Optional[Config] = None,
+    phase: Optional[int] = None,
+    num_samples: int = 8,
+    seed: int = 0,
+    data_mean: Optional[float] = None,
+    data_stddev: Optional[float] = None,
+    use_ema: bool = True,
+) -> list:
+    """Restore G, sample, un-normalize, save npy (generate_minimal.py:13-64)."""
+    assert cfg is not None, "pass the run Config (shapes/specs are needed to rebuild G)"
+    phase = phase or cfg.ending_phase
+    g_params, _ = _load_generator_params(model_path, use_ema)
+    fakes = sample_volumes(cfg, phase, g_params, num_samples, seed)
+    fakes = invert_normalize_numpy(fakes, data_mean, data_stddev)
+    os.makedirs(output_dir, exist_ok=True)
+    paths = []
+    for i, vol in enumerate(fakes):
+        path = os.path.join(output_dir, f"fake_{i:04d}.npy")
+        np.save(path, vol[0])  # drop channel axis like the reference dumps
+        paths.append(path)
+    return paths
+
+
+def _save_png(path: str, grid: np.ndarray):
+    import imageio
+
+    lo, hi = grid.min(), grid.max()
+    img = np.zeros_like(grid) if hi == lo else (grid - lo) / (hi - lo)
+    imageio.imwrite(path, (img * 255).astype(np.uint8))
+
+
+def generate(
+    architecture: str,
+    dataset_path: str,
+    model_path: str,
+    output_dir: str,
+    *,
+    cfg: Config,
+    phase: Optional[int] = None,
+    num_samples: int = 16,
+    batch_size: int = 4,
+    seed: int = 0,
+    compute_metrics: Optional[Dict[str, bool]] = None,
+    use_ema: bool = True,
+) -> Dict[str, float]:
+    """Full inference report (generate.py:20-221)."""
+    from saragan_tpu.metrics import (
+        calculate_fid_given_batch_volumes,
+        get_mean_squared_error,
+        get_normalized_root_mse,
+        get_psnr,
+        get_ssim,
+        get_swd_for_volumes,
+    )
+
+    phase = phase or cfg.ending_phase
+    g_params, _ = _load_generator_params(model_path, use_ema)
+    os.makedirs(output_dir, exist_ok=True)
+
+    size = cfg.start_shape_t[-1] * 2 ** (phase - 1)
+    real_ds = NumpyPathDataset(os.path.join(dataset_path, f"{size}x{size}/"), seed=seed)
+
+    compute_metrics = compute_metrics or dict(
+        compute_FID=cfg.compute_FID, compute_swds=cfg.compute_swds,
+        compute_ssims=cfg.compute_ssims, compute_psnrs=cfg.compute_psnrs,
+        compute_mses=cfg.compute_mses, compute_nrmses=cfg.compute_nrmses,
+    )
+
+    sums: Dict[str, list] = {k: [] for k in ("fid", "swd", "psnr", "ssim", "mse", "nrmse")}
+    done = 0
+    batch_i = 0
+    while done < num_samples:
+        n = min(batch_size, num_samples - done)
+        real = normalize_numpy(real_ds.batch(n), cfg.data_mean, cfg.data_stddev).astype(np.float32)
+        fake = sample_volumes(cfg, phase, g_params, n, seed + batch_i, batch_size=n)
+
+        # PNG mosaics + npy dumps (generate.py:137-175)
+        _save_png(os.path.join(output_dir, f"real_{batch_i:04d}.png"), image_grid(real))
+        _save_png(os.path.join(output_dir, f"fake_{batch_i:04d}.png"), image_grid(fake))
+        for j, vol in enumerate(fake):
+            np.save(os.path.join(output_dir, f"fake_{batch_i:04d}_{j}.npy"),
+                    invert_normalize_numpy(vol[0], cfg.data_mean, cfg.data_stddev))
+
+        if compute_metrics.get("compute_FID"):
+            sums["fid"].append(calculate_fid_given_batch_volumes(real, fake, verbose=False))
+        if compute_metrics.get("compute_swds") and real.ndim == 5 and real.shape[-1] >= 16:
+            swd = get_swd_for_volumes(real, fake)
+            if swd is not None:
+                sums["swd"].append(swd[-1])
+        if compute_metrics.get("compute_psnrs"):
+            sums["psnr"].append(get_psnr(real, fake))
+        if compute_metrics.get("compute_ssims") and min(real.shape[2:]) >= 16:
+            sums["ssim"].append(float(np.mean(get_ssim(real, fake))))
+        if compute_metrics.get("compute_mses"):
+            sums["mse"].append(get_mean_squared_error(real, fake))
+        if compute_metrics.get("compute_nrmses"):
+            sums["nrmse"].append(get_normalized_root_mse(real, fake))
+
+        done += n
+        batch_i += 1
+
+    report = {k: float(np.mean(v)) for k, v in sums.items() if v}
+    with open(os.path.join(output_dir, "summary.txt"), "w") as f:
+        for k, v in report.items():
+            f.write(f"{k}: {v}\n")
+    return report

