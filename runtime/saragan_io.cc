@@ -1,0 +1,274 @@
+// saragan_io — native data-loading runtime.
+//
+// The reference's input pipeline is pure Python (np.load per file per step,
+// rank-0 reads the whole global batch — SURVEY C14, §3.1 "synchronous and
+// unpipelined").  This library provides the native fast path the TPU
+// pipeline binds via ctypes (saragan_tpu/data/native.py):
+//
+//   * saragan_npy_probe   — parse a .npy header (v1/v2), return shape+dtype
+//   * saragan_npy_read    — decode one file into a caller buffer (mmap'd,
+//                           no Python allocator churn)
+//   * saragan_npy_read_batch — decode N same-shape files into a contiguous
+//                           float32 batch with a thread pool, converting
+//                           dtype on the fly (int16 CT volumes -> float32)
+//
+// Build: cd runtime && make    (produces build/libsaragan_io.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+enum DtypeCode {
+  DT_UNKNOWN = 0,
+  DT_F32 = 1,
+  DT_F64 = 2,
+  DT_I16 = 3,
+  DT_I32 = 4,
+  DT_I64 = 5,
+  DT_U8 = 6,
+  DT_F16 = 7,
+};
+
+struct NpyInfo {
+  int64_t shape[8];
+  int ndim = 0;
+  DtypeCode dtype = DT_UNKNOWN;
+  size_t data_offset = 0;
+  size_t data_bytes = 0;
+};
+
+size_t dtype_size(DtypeCode d) {
+  switch (d) {
+    case DT_F32: case DT_I32: return 4;
+    case DT_F64: case DT_I64: return 8;
+    case DT_I16: case DT_F16: return 2;
+    case DT_U8: return 1;
+    default: return 0;
+  }
+}
+
+DtypeCode parse_descr(const std::string& descr) {
+  // descr like "<f4", "|u1", "<i2" ... big-endian unsupported.
+  if (descr.size() < 3) return DT_UNKNOWN;
+  if (descr[0] == '>') return DT_UNKNOWN;
+  const char kind = descr[1];
+  const char size = descr[2];
+  if (kind == 'f' && size == '4') return DT_F32;
+  if (kind == 'f' && size == '8') return DT_F64;
+  if (kind == 'f' && size == '2') return DT_F16;
+  if (kind == 'i' && size == '2') return DT_I16;
+  if (kind == 'i' && size == '4') return DT_I32;
+  if (kind == 'i' && size == '8') return DT_I64;
+  if (kind == 'u' && size == '1') return DT_U8;
+  return DT_UNKNOWN;
+}
+
+// Minimal .npy header parser (format spec v1.0/v2.0). Returns false on any
+// malformed/unsupported input (fortran order, big endian, >8 dims).
+bool parse_npy_header(const uint8_t* buf, size_t len, NpyInfo* info) {
+  static const uint8_t magic[] = {0x93, 'N', 'U', 'M', 'P', 'Y'};
+  if (len < 10 || memcmp(buf, magic, 6) != 0) return false;
+  const int major = buf[6];
+  size_t header_len, header_start;
+  if (major == 1) {
+    header_len = buf[8] | (buf[9] << 8);
+    header_start = 10;
+  } else {
+    if (len < 12) return false;
+    header_len = buf[8] | (buf[9] << 8) | (buf[10] << 16) |
+                 (static_cast<size_t>(buf[11]) << 24);
+    header_start = 12;
+  }
+  if (header_start + header_len > len) return false;
+  std::string header(reinterpret_cast<const char*>(buf + header_start), header_len);
+
+  // descr
+  size_t p = header.find("'descr'");
+  if (p == std::string::npos) return false;
+  p = header.find('\'', p + 7);
+  if (p == std::string::npos) return false;
+  size_t q = header.find('\'', p + 1);
+  if (q == std::string::npos) return false;
+  info->dtype = parse_descr(header.substr(p + 1, q - p - 1));
+  if (info->dtype == DT_UNKNOWN) return false;
+
+  // fortran_order must be False
+  p = header.find("'fortran_order'");
+  if (p == std::string::npos) return false;
+  if (header.find("False", p) == std::string::npos) return false;
+
+  // shape tuple
+  p = header.find("'shape'");
+  if (p == std::string::npos) return false;
+  p = header.find('(', p);
+  q = header.find(')', p);
+  if (p == std::string::npos || q == std::string::npos) return false;
+  std::string shape_str = header.substr(p + 1, q - p - 1);
+  info->ndim = 0;
+  int64_t total = 1;
+  const char* s = shape_str.c_str();
+  while (*s) {
+    while (*s == ' ' || *s == ',') s++;
+    if (!*s) break;
+    char* end = nullptr;
+    long long v = strtoll(s, &end, 10);
+    if (end == s) break;
+    if (info->ndim >= 8) return false;
+    info->shape[info->ndim++] = v;
+    total *= v;
+    s = end;
+  }
+  if (info->ndim == 0) {  // 0-d scalar
+    info->shape[0] = 1;
+  }
+  info->data_offset = header_start + header_len;
+  info->data_bytes = static_cast<size_t>(total) * dtype_size(info->dtype);
+  return true;
+}
+
+struct MappedFile {
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+
+  bool open_file(const char* path) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0) { ::close(fd); fd = -1; return false; }
+    size = st.st_size;
+    data = static_cast<const uint8_t*>(mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0));
+    if (data == MAP_FAILED) { data = nullptr; ::close(fd); fd = -1; return false; }
+    // the reader walks the file front-to-back exactly once
+    madvise(const_cast<uint8_t*>(data), size, MADV_SEQUENTIAL);
+    return true;
+  }
+
+  ~MappedFile() {
+    if (data) munmap(const_cast<uint8_t*>(data), size);
+    if (fd >= 0) ::close(fd);
+  }
+};
+
+template <typename T>
+void convert_to_f32(const uint8_t* src, float* dst, size_t count) {
+  const T* in = reinterpret_cast<const T*>(src);
+  for (size_t i = 0; i < count; ++i) dst[i] = static_cast<float>(in[i]);
+}
+
+// fp16 -> fp32 (scalar; good enough for the loader path)
+void convert_f16_to_f32(const uint8_t* src, float* dst, size_t count) {
+  const uint16_t* in = reinterpret_cast<const uint16_t*>(src);
+  for (size_t i = 0; i < count; ++i) {
+    uint16_t h = in[i];
+    uint32_t sign = (h & 0x8000u) << 16;
+    uint32_t exp = (h >> 10) & 0x1f;
+    uint32_t mant = h & 0x3ffu;
+    uint32_t out;
+    if (exp == 0) {
+      if (mant == 0) {
+        out = sign;
+      } else {
+        exp = 127 - 15 + 1;
+        while (!(mant & 0x400u)) { mant <<= 1; exp--; }
+        mant &= 0x3ffu;
+        out = sign | (exp << 23) | (mant << 13);
+      }
+    } else if (exp == 31) {
+      out = sign | 0x7f800000u | (mant << 13);
+    } else {
+      out = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+    }
+    memcpy(&dst[i], &out, 4);
+  }
+}
+
+bool decode_to_f32(const NpyInfo& info, const uint8_t* payload, float* dst) {
+  const size_t count = info.data_bytes / dtype_size(info.dtype);
+  switch (info.dtype) {
+    case DT_F32: memcpy(dst, payload, info.data_bytes); return true;
+    case DT_F64: convert_to_f32<double>(payload, dst, count); return true;
+    case DT_I16: convert_to_f32<int16_t>(payload, dst, count); return true;
+    case DT_I32: convert_to_f32<int32_t>(payload, dst, count); return true;
+    case DT_I64: convert_to_f32<int64_t>(payload, dst, count); return true;
+    case DT_U8: convert_to_f32<uint8_t>(payload, dst, count); return true;
+    case DT_F16: convert_f16_to_f32(payload, dst, count); return true;
+    default: return false;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int saragan_npy_probe(const char* path, int64_t* shape_out, int* ndim_out, int* dtype_out) {
+  MappedFile f;
+  if (!f.open_file(path)) return 1;
+  NpyInfo info;
+  if (!parse_npy_header(f.data, f.size, &info)) return 2;
+  for (int i = 0; i < info.ndim; ++i) shape_out[i] = info.shape[i];
+  *ndim_out = info.ndim;
+  *dtype_out = static_cast<int>(info.dtype);
+  return 0;
+}
+
+// Read raw (same-dtype) payload into dst (dst_bytes must match exactly).
+int saragan_npy_read(const char* path, void* dst, int64_t dst_bytes) {
+  MappedFile f;
+  if (!f.open_file(path)) return 1;
+  NpyInfo info;
+  if (!parse_npy_header(f.data, f.size, &info)) return 2;
+  if (static_cast<int64_t>(info.data_bytes) != dst_bytes) return 3;
+  if (info.data_offset + info.data_bytes > f.size) return 4;
+  memcpy(dst, f.data + info.data_offset, info.data_bytes);
+  return 0;
+}
+
+// Decode n same-shape files into a contiguous float32 batch, converting
+// dtype on the fly, with a thread pool.
+int saragan_npy_read_batch(const char** paths, int n, void* dst,
+                           int64_t bytes_per_item, int num_threads) {
+  if (n <= 0) return 0;
+  if (num_threads < 1) num_threads = 1;
+  std::vector<int> results(n, 0);
+
+  auto work = [&](int start, int stride) {
+    for (int i = start; i < n; i += stride) {
+      MappedFile f;
+      if (!f.open_file(paths[i])) { results[i] = 1; continue; }
+      NpyInfo info;
+      if (!parse_npy_header(f.data, f.size, &info)) { results[i] = 2; continue; }
+      const size_t count = info.data_bytes / dtype_size(info.dtype);
+      if (static_cast<int64_t>(count * 4) != bytes_per_item) { results[i] = 3; continue; }
+      if (info.data_offset + info.data_bytes > f.size) { results[i] = 4; continue; }
+      float* out = reinterpret_cast<float*>(static_cast<uint8_t*>(dst) +
+                                            static_cast<size_t>(i) * bytes_per_item);
+      if (!decode_to_f32(info, f.data + info.data_offset, out)) results[i] = 5;
+    }
+  };
+
+  if (num_threads == 1 || n == 1) {
+    work(0, 1);
+  } else {
+    std::vector<std::thread> threads;
+    int t = std::min(num_threads, n);
+    threads.reserve(t);
+    for (int i = 0; i < t; ++i) threads.emplace_back(work, i, t);
+    for (auto& th : threads) th.join();
+  }
+  for (int r : results)
+    if (r != 0) return r;
+  return 0;
+}
+
+}  // extern "C"

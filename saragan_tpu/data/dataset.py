@@ -154,6 +154,16 @@ class NumpyPathDataset:
     # ------------------------------------------------------------------
 
     def _load_batch_from_filelist(self, batch_paths: Sequence[str]) -> np.ndarray:
+        from saragan_tpu.data import native
+
+        n = len(batch_paths)
+        if n > 0 and hasattr(self, "shape") and native.available():
+            # fast path: C++ thread-pool reader decodes straight into the
+            # contiguous float32 batch (dtype conversion included)
+            vol_shape = tuple(self.shape[1:])
+            out = np.empty((n, *vol_shape), np.float32)
+            if native.load_npy_batch(list(batch_paths), out, num_threads=min(8, n)):
+                return out[:, np.newaxis, ...]
         batch = [_load_volume(p).astype("float32") for p in batch_paths]
         if len(batch) > 0:
             batch = np.stack(batch)
