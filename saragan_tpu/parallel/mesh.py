@@ -57,9 +57,17 @@ def shard_global_batch(mesh: Mesh, batch: np.ndarray, space_axis: Optional[int] 
     return jax.device_put(batch, batch_sharding(mesh, batch.ndim, space_axis))
 
 
-def jit_train_step(train_step, mesh: Optional[Mesh], batch_ndim: int, donate: bool = True):
+def jit_train_step(
+    train_step,
+    mesh: Optional[Mesh],
+    batch_ndim: int,
+    donate: bool = True,
+    space_axis: Optional[int] = None,
+):
     """Compile a train step for the mesh: state replicated, batch sharded on
-    'data', scalars replicated.  With mesh=None, a plain jit (single chip).
+    'data' (and optionally one spatial axis on 'space' — GSPMD then inserts
+    halo exchanges for every conv touching that axis, SURVEY §5.7), scalars
+    replicated.  With mesh=None, a plain jit (single chip).
 
     Buffers for the state are donated so parameter/optimizer memory is
     updated in place across steps (HBM headroom matters at 512^3 phases).
@@ -68,7 +76,7 @@ def jit_train_step(train_step, mesh: Optional[Mesh], batch_ndim: int, donate: bo
     if mesh is None:
         return jax.jit(train_step, donate_argnums=donate_argnums)
     repl = replicated_sharding(mesh)
-    bshard = batch_sharding(mesh, batch_ndim)
+    bshard = batch_sharding(mesh, batch_ndim, space_axis)
     return jax.jit(
         train_step,
         in_shardings=(repl, bshard, repl, repl, repl, repl),

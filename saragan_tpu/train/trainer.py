@@ -233,8 +233,14 @@ class Trainer:
         )
         step_stab = make_train_step(self.arch, cfg, phase, g_optimizer, d_optimizer)
         batch_ndim = len(cfg.current_shape(phase, batch_size))
-        jit_mixing = jit_train_step(step_mixing, self.mesh, batch_ndim, donate=True)
-        jit_stab = jit_train_step(step_stab, self.mesh, batch_ndim, donate=True)
+        # spatial (halo) sharding of the depth axis for huge phases (§5.7)
+        space_axis = (
+            2
+            if (self.mesh is not None and self.mesh.shape.get("space", 1) > 1 and batch_ndim == 5)
+            else None
+        )
+        jit_mixing = jit_train_step(step_mixing, self.mesh, batch_ndim, donate=True, space_axis=space_axis)
+        jit_stab = jit_train_step(step_stab, self.mesh, batch_ndim, donate=True, space_axis=space_axis)
         eval_losses, sample_fn = self._make_eval_fns(phase)
 
         if self.mesh is not None:
@@ -285,7 +291,7 @@ class Trainer:
 
                 batch = next(prefetcher) if prefetcher else make_batch()
                 if self.mesh is not None:
-                    batch = shard_global_batch(self.mesh, batch)
+                    batch = shard_global_batch(self.mesh, batch, space_axis)
 
                 small_summary_bool = local_step % cfg.summary_small_every_nsteps < batch_size
                 large_summary_bool = local_step % cfg.summary_large_every_nsteps < batch_size

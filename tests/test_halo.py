@@ -1,0 +1,89 @@
+"""Spatial (halo) sharding tests: explicit shard_map halo conv matches a
+plain conv, and a fully spatially-sharded train step matches the unsharded
+one — XLA's GSPMD halo exchange validated end to end through the WGAN-GP
+double-backward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saragan_tpu.config import Config
+from saragan_tpu.models import get_architecture
+from saragan_tpu.parallel import jit_train_step, make_mesh, replicated_sharding
+from saragan_tpu.parallel.halo import halo_conv3d, volume_sharding, with_spatial_sharding
+from saragan_tpu.train import init_train_state, make_train_step
+
+
+def test_halo_conv_matches_plain():
+    mesh = make_mesh(num_data=1, num_space=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 3, 5)) * 0.1
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCDHW", "DHWIO", "NCDHW"))
+    expected = jax.lax.conv_general_dilated(x, w, (1, 1, 1), "SAME", dimension_numbers=dn)
+    with jax.sharding.set_mesh(mesh):
+        got = halo_conv3d(x, w, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-4, atol=1e-5)
+
+
+def test_halo_conv_1x1():
+    mesh = make_mesh(num_data=1, num_space=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 4))
+    w = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 1, 2, 2))
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCDHW", "DHWIO", "NCDHW"))
+    expected = jax.lax.conv_general_dilated(x, w, (1, 1, 1), "SAME", dimension_numbers=dn)
+    with jax.sharding.set_mesh(mesh):
+        got = halo_conv3d(x, w, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-4, atol=1e-5)
+
+
+def tiny_cfg():
+    return Config(
+        architecture="pgan",
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 16, 16, 16)",
+        latent_dim=16,
+        base_batch_size=4,
+        kernel_spec=[[[], [3, 3, 3]], [[3, 3, 3], [3, 3, 3]]],
+        filter_spec=[[8, 8], [8, 8]],
+        loss_fn="wgan",
+        noise_stddev=0.0,
+        g_lr=1e-3,
+        d_lr=1e-3,
+    ).finalize()
+
+
+def test_spatially_sharded_train_step_matches_single_device():
+    """data=2 x space=4 mesh: batch sharded on N, volume depth sharded on D.
+    The updated parameters must match the single-device step bit-for-bit
+    (up to fp accumulation order)."""
+    cfg = tiny_cfg()
+    arch = get_architecture("pgan")
+    batch = np.random.default_rng(0).normal(size=(4, 1, 8, 8, 8)).astype(np.float32)
+    step_rng = jax.random.PRNGKey(42)
+
+    state1, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+    step1 = jit_train_step(make_train_step(arch, cfg, 2, g_opt, d_opt), None, 5, donate=False)
+    out1, m1 = step1(state1, jnp.asarray(batch), step_rng, 0.5, 1e-3, 1e-3)
+
+    mesh = make_mesh(num_data=2, num_space=4)
+    stateN, _ = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+    stateN = jax.device_put(stateN, replicated_sharding(mesh))
+    stepN = jit_train_step(
+        make_train_step(arch, cfg, 2, g_opt, d_opt), mesh, 5, donate=False, space_axis=2
+    )
+    sharded = jax.device_put(batch, volume_sharding(mesh))
+    outN, mN = stepN(stateN, sharded, step_rng, 0.5, 1e-3, 1e-3)
+
+    np.testing.assert_allclose(float(m1.disc_loss), float(mN.disc_loss), rtol=1e-4)
+    for k in out1.g_params:
+        np.testing.assert_allclose(
+            np.asarray(out1.g_params[k]), np.asarray(outN.g_params[k]), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_with_spatial_sharding_noop_without_space():
+    mesh = make_mesh(num_data=8, num_space=1)
+    x = jnp.zeros((2, 1, 4, 4, 4))
+    assert with_spatial_sharding(None, x) is x
+    assert with_spatial_sharding(mesh, x) is x
