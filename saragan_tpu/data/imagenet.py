@@ -1,0 +1,164 @@
+"""2D image dataset (ImageNet-style directory layout) — SURVEY C15.
+
+Rebuild of reference SURFGAN_2D/dataset.py:12-144 + the tf.data pipeline
+wiring in SURFGAN_2D/main.py:66-103, without TensorFlow:
+
+* class-labeled `train/` / `test/` folders, class intersection, first
+  `num_classes` classes kept, label <-> index maps;
+* optional copy-to-scratch with existence busy-wait;
+* per-phase pipeline: shuffle -> JPEG decode -> resize to the phase
+  resolution -> normalize to [-1, 1] -> CHW -> shard -> batch, implemented
+  with PIL + a worker thread pool feeding a background prefetcher (the JAX
+  replacement of shuffle/map/shard/batch/prefetch(AUTOTUNE)).
+
+Sharding uses the same deterministic shared-shuffle-stream trick as the 3D
+dataset: every shard computes the identical permutation and reads only its
+interleaved slice — exactly-once per epoch, no scatter.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+def _decode_resize(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+        arr = np.asarray(im, np.float32)
+    # normalize to [-1, 1], CHW (SURFGAN_2D/main.py:80-90)
+    arr = arr / 127.5 - 1.0
+    return np.transpose(arr, (2, 0, 1))
+
+
+class ImageNetDataset:
+    def __init__(
+        self,
+        imagenet_dir: str,
+        scratch_dir: Optional[str] = None,
+        copy_files: bool = False,
+        is_correct_phase: bool = True,
+        num_classes: int = 1,
+    ):
+        train_folder = os.path.join(imagenet_dir, "train")
+        test_folder = os.path.join(imagenet_dir, "test")
+
+        classes_train = {
+            d for d in os.listdir(train_folder) if os.path.isdir(os.path.join(train_folder, d))
+        }
+        classes_test = {
+            d for d in os.listdir(test_folder) if os.path.isdir(os.path.join(test_folder, d))
+        }
+        classes = sorted(classes_train & classes_test)[:num_classes]
+        assert len(classes) == num_classes, (len(classes), num_classes)
+
+        self.label_to_ix = {label: i for i, label in enumerate(classes)}
+        self.ix_to_label = {i: label for label, i in self.label_to_ix.items()}
+
+        def collect(folder):
+            files, labels = [], []
+            for label in classes:
+                for f in sorted(glob.glob(os.path.join(folder, label, "*.JPEG"))) or sorted(
+                    glob.glob(os.path.join(folder, label, "*.jpg"))
+                ):
+                    files.append(f)
+                    labels.append(self.label_to_ix[label])
+            return files, labels
+
+        train_examples, self.train_labels = collect(train_folder)
+        test_examples, self.test_labels = collect(test_folder)
+
+        if scratch_dir is not None and is_correct_phase:
+            scratch_dir = os.path.normpath(scratch_dir)
+
+            def to_scratch(files):
+                out = []
+                for f in files:
+                    dst = os.path.normpath(scratch_dir + "/" + f)
+                    if copy_files:
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        if not os.path.isfile(dst):
+                            shutil.copy(f, dst)
+                    out.append(dst)
+                return out
+
+            self.scratch_files_train = to_scratch(train_examples)
+            self.scratch_files_test = to_scratch(test_examples)
+            while not all(os.path.exists(f) for f in self.scratch_files_train):
+                time.sleep(1)
+            while not all(os.path.exists(f) for f in self.scratch_files_test):
+                time.sleep(1)
+        else:
+            self.scratch_files_train = train_examples
+            self.scratch_files_test = test_examples
+
+        self.is_train = True
+
+    def files_and_labels(self, train: bool = True) -> Tuple[List[str], List[int]]:
+        if train:
+            return self.scratch_files_train, self.train_labels
+        return self.scratch_files_test, self.test_labels
+
+    def __len__(self):
+        return len(self.train_labels) if self.is_train else len(self.test_labels)
+
+    def __getitem__(self, idx):
+        return (self.train_labels if self.is_train else self.test_labels)[idx]
+
+
+class ImagePipeline:
+    """Per-phase batched pipeline: deterministic shared shuffle, interleaved
+    sharding, threaded decode (the tf.data map/shard/batch/prefetch chain)."""
+
+    def __init__(
+        self,
+        files: List[str],
+        labels: List[int],
+        size: int,
+        batch_size: int,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        seed: int = 42,
+        num_workers: int = 4,
+    ):
+        self.files = list(files)
+        self.labels = list(labels)
+        self.size = size
+        self.batch_size = batch_size
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.seed = seed
+        self._epoch = 0
+        self._buffer: List[int] = []
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def _refill(self):
+        order = list(range(len(self.files)))
+        random.Random(f"{self.seed}/{self._epoch}").shuffle(order)
+        self._epoch += 1
+        self._buffer.extend(order[self.shard_index :: self.num_shards])
+
+    def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        while len(self._buffer) < self.batch_size:
+            self._refill()
+        idxs = self._buffer[: self.batch_size]
+        self._buffer = self._buffer[self.batch_size :]
+        imgs = list(self._pool.map(lambda i: _decode_resize(self.files[i], self.size), idxs))
+        labels = np.asarray([self.labels[i] for i in idxs], np.int32)
+        return np.stack(imgs), labels
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        while True:
+            yield self.next_batch()
+
+    def close(self):
+        self._pool.shutdown(wait=False)

@@ -119,11 +119,7 @@ def modulated_conv(
     if up:
         x = ops.upscale(x)
 
-    w = w.astype(x.dtype)
-    dn = ops.core._conv_dimension_numbers(spatial_rank)
-    x = jax.lax.conv_general_dilated(
-        x, w, (1,) * spatial_rank, "SAME", dimension_numbers=dn, preferred_element_type=x.dtype
-    )
+    x = ops.core.conv_apply(x, w.astype(x.dtype))
     if demodulate:
         x = x * d.reshape(d.shape + (1,) * spatial_rank).astype(x.dtype)
     return x

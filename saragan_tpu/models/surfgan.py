@@ -94,11 +94,7 @@ def _modulated_conv_rc(scope, x, z, fmaps, kernel, activation, up=False, demodul
     x = x * s.reshape(s.shape + (1,) * spatial_rank).astype(x.dtype)
     if up:
         x = ops.upscale(x)
-    dn = ops.core._conv_dimension_numbers(spatial_rank)
-    x = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), (1,) * spatial_rank, "SAME",
-        dimension_numbers=dn, preferred_element_type=x.dtype,
-    )
+    x = ops.core.conv_apply(x, w.astype(x.dtype))
     if demodulate:
         x = x * d.reshape(d.shape + (1,) * spatial_rank).astype(x.dtype)
     return x, rc

@@ -29,6 +29,7 @@ Design notes (TPU-first, not a translation):
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -137,6 +138,38 @@ def _conv_dimension_numbers(spatial_rank: int) -> lax.ConvDimensionNumbers:
     raise ValueError(f"Unsupported spatial rank {spatial_rank}")
 
 
+# 3D conv algorithm: "gemm" (default) lowers to per-offset channel GEMMs,
+# "direct" uses lax.conv_general_dilated.  On the v5e target XLA's direct 3D
+# conv lowering runs at <1% MXU utilization for the small channel counts of
+# the high-resolution PGGAN layers; the shifted-GEMM formulation measured
+# 12-16x faster at 128x128x32/C16 (see bench.py history).  Autodiff through
+# slices + einsum yields the standard conv gradients.
+CONV3D_ALGORITHM = os.environ.get("SARAGAN_CONV3D", "gemm")
+
+
+def _conv3d_shifted_gemm(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME NCDHW conv as a sum of kernel-offset channel contractions.
+
+    y[n, f, z] = sum_{o in kernel offsets} x_pad[n, :, z + o] @ w[o]
+    Each term is an (N*D*H*W, C) x (C, F) GEMM on the MXU; XLA fuses the
+    shifted reads (pure slices of one padded buffer) into the GEMM loads.
+    Accumulation in float32.
+    """
+    n, c, d, h, w_sp = x.shape
+    kd, kh, kw, _, f = w.shape
+    pd, ph, pw = kd // 2, kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pd, pd), (ph, ph), (pw, pw)))
+    acc = jnp.zeros((n, f, d, h, w_sp), jnp.float32)
+    for i in range(kd):
+        for j in range(kh):
+            for k in range(kw):
+                xs = lax.slice(xp, (0, 0, i, j, k), (n, c, i + d, j + h, k + w_sp))
+                acc = acc + jnp.einsum(
+                    "ncdhw,cf->nfdhw", xs, w[i, j, k], preferred_element_type=jnp.float32
+                )
+    return acc.astype(x.dtype)
+
+
 def conv(
     scope: Scope,
     x: jax.Array,
@@ -153,6 +186,14 @@ def conv(
     assert len(kernel) == spatial_rank, (kernel, x.shape)
     w = get_weight(scope, (*kernel, x.shape[1], fmaps), activation, param=param, lrmul=lrmul)
     w = w.astype(x.dtype)
+    return conv_apply(x, w)
+
+
+def conv_apply(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME stride-1 conv on explicit weights, algorithm-selected."""
+    spatial_rank = x.ndim - 2
+    if spatial_rank == 3 and CONV3D_ALGORITHM == "gemm":
+        return _conv3d_shifted_gemm(x, w)
     return lax.conv_general_dilated(
         x,
         w,
