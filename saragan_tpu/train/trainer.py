@@ -272,6 +272,11 @@ class Trainer:
         prefetcher = Prefetcher(make_batch) if self.prefetch else None
         self._log(f"Begin mixing epochs in phase {phase}" if mixing_bool else f"Begin stabilizing epochs in phase {phase}")
 
+        # jax.profiler trace of a few steady-state steps (SURVEY §5.1 —
+        # strict upgrade over the reference's wall-clock-only telemetry)
+        profile_steps = (5, 10) if cfg.profile_dir else None
+        step_idx = 0
+
         try:
             while True:
                 start = time.time()
@@ -297,9 +302,17 @@ class Trainer:
                 large_summary_bool = local_step % cfg.summary_large_every_nsteps < batch_size
                 metrics_summary_bool = local_step % cfg.metrics_every_nsteps < batch_size
 
+                if profile_steps and step_idx == profile_steps[0] and phase == cfg.starting_phase:
+                    jax.profiler.start_trace(cfg.profile_dir)
+
                 step_rng, k = jax.random.split(step_rng)
                 step_fn = jit_mixing if mixing_bool else jit_stab
                 state, metrics = step_fn(state, batch, k, alpha, g_lr_val, d_lr_val)
+
+                if profile_steps and step_idx == profile_steps[1] and phase == cfg.starting_phase:
+                    jax.block_until_ready(metrics.gen_loss)
+                    jax.profiler.stop_trace()
+                step_idx += 1
 
                 if small_summary_bool or large_summary_bool:
                     # block for accurate values only on summary steps
