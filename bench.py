@@ -28,7 +28,7 @@ def main():
     from saragan_tpu.train import init_train_state, make_train_step
 
     phase = 6  # (1,1,4,4) * 2^(6-1) = 32 x 128 x 128
-    batch = 4
+    batch = 8  # best measured throughput point that fits one chip's HBM
     cfg = Config(
         architecture="pgan",
         start_shape="(1, 1, 4, 4)",

@@ -174,6 +174,7 @@ class Config:
     num_data_shards: Optional[int] = None  # mesh 'data' axis; None = all devices
     num_space_shards: int = 1  # spatial halo sharding for huge phases (SURVEY §5.7)
     profile_dir: Optional[str] = None
+    use_pallas_fusion: bool = False  # fused bias+lrelu+pixelnorm Pallas kernels
 
     # ------------------------------------------------------------------
     # Derived properties

@@ -62,7 +62,21 @@ def get_kernels(kernel_spec, phase_i, layer_i):
 # ---------------------------------------------------------------------------
 
 
-def _generator_in(scope, x, shape, activation, kernel_spec, filter_spec, param):
+def _bias_act_pn(scope, x, activation, param, fused: bool):
+    """bias -> act -> pixel_norm; one fused Pallas pass when enabled
+    (cfg.use_pallas_fusion) and the activation is leaky_relu."""
+    if fused and activation == "leaky_relu":
+        from saragan_tpu.core import zeros_initializer
+        from saragan_tpu.ops.pallas_kernels import bias_act_pixelnorm
+
+        b = scope.get("bias", (x.shape[1],), zeros_initializer())
+        return bias_act_pixelnorm(x, b, alpha_lr=param, pixelnorm=True)
+    x = ops.apply_bias(scope, x)
+    x = ops.act(x, activation, param=param)
+    return ops.pixel_norm(x)
+
+
+def _generator_in(scope, x, shape, activation, kernel_spec, filter_spec, param, fused=False):
     """reference generator.py:26-45."""
     d = scope.sub("dense")
     f0 = get_filters(filter_spec, 0, 0)
@@ -72,13 +86,11 @@ def _generator_in(scope, x, shape, activation, kernel_spec, filter_spec, param):
     x = x.reshape((-1, f0, *shape))
     c = scope.sub("conv")
     x = ops.conv(c, x, get_filters(filter_spec, 0, 1), get_kernels(kernel_spec, 0, 1), activation, param=param)
-    x = ops.apply_bias(c, x)
-    x = ops.act(x, activation, param=param)
-    x = ops.pixel_norm(x)
+    x = _bias_act_pn(c, x, activation, param, fused)
     return x
 
 
-def _generator_block(scope, x, activation, kernel_spec, filter_spec, i, param):
+def _generator_block(scope, x, activation, kernel_spec, filter_spec, i, param, fused=False):
     """reference generator.py:48-71."""
     x = ops.upscale(x)
     for li, name in enumerate(("conv_1", "conv_2")):
@@ -91,9 +103,7 @@ def _generator_block(scope, x, activation, kernel_spec, filter_spec, i, param):
             activation,
             param=param,
         )
-        x = ops.apply_bias(c, x)
-        x = ops.act(x, activation, param=param)
-        x = ops.pixel_norm(x)
+        x = _bias_act_pn(c, x, activation, param, fused)
     return x
 
 
@@ -104,8 +114,10 @@ def _generator(scope, z, alpha, phase, cfg, param):
     activation = cfg.activation
     g = scope.sub("generator")
 
+    fused = getattr(cfg, "use_pallas_fusion", False)
     x = _generator_in(
-        g.sub("generator_in"), z, base_shape[1:], activation, kernel_spec, filter_spec, param
+        g.sub("generator_in"), z, base_shape[1:], activation, kernel_spec, filter_spec, param,
+        fused=fused,
     )
 
     x_upsample = None
@@ -115,7 +127,8 @@ def _generator(scope, z, alpha, phase, cfg, param):
                 ops.to_rgb(g.sub(f"to_rgb_{phase - 1}"), x, channels=base_shape[0])
             )
         x = _generator_block(
-            g.sub(f"generator_block_{i}"), x, activation, kernel_spec, filter_spec, i, param
+            g.sub(f"generator_block_{i}"), x, activation, kernel_spec, filter_spec, i, param,
+            fused=fused,
         )
 
     x_out = ops.to_rgb(g.sub(f"to_rgb_{phase}"), x, channels=base_shape[0])

@@ -138,13 +138,16 @@ def _conv_dimension_numbers(spatial_rank: int) -> lax.ConvDimensionNumbers:
     raise ValueError(f"Unsupported spatial rank {spatial_rank}")
 
 
-# 3D conv algorithm: "gemm" (default) lowers to per-offset channel GEMMs,
-# "direct" uses lax.conv_general_dilated.  On the v5e target XLA's direct 3D
-# conv lowering runs at <1% MXU utilization for the small channel counts of
-# the high-resolution PGGAN layers; the shifted-GEMM formulation measured
-# 12-16x faster at 128x128x32/C16 (see bench.py history).  Autodiff through
-# slices + einsum yields the standard conv gradients.
-CONV3D_ALGORITHM = os.environ.get("SARAGAN_CONV3D", "gemm")
+# 3D conv algorithm: "direct" (default) uses lax.conv_general_dilated;
+# "gemm" lowers to per-offset channel GEMMs.  Measured on the v5e target
+# (interleaved A/B, pgan xs @ 128x128x32 bf16, full WGAN-GP train step):
+# the GEMM formulation is ~12x faster for the isolated forward conv but its
+# autodiff backward (pad-transposes + fp32 accumulator traffic) loses to
+# XLA's direct conv backward — full step 453 ms vs 297 ms.  Direct stays the
+# default; the GEMM path remains selectable (SARAGAN_CONV3D=gemm) and is the
+# building block for a future Pallas implicit-GEMM kernel with a custom
+# backward.
+CONV3D_ALGORITHM = os.environ.get("SARAGAN_CONV3D", "direct")
 
 
 def _conv3d_shifted_gemm(x: jax.Array, w: jax.Array) -> jax.Array:
