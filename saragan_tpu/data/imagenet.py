@@ -162,3 +162,56 @@ class ImagePipeline:
 
     def close(self):
         self._pool.shutdown(wait=False)
+
+
+class ImageDatasetAdapter:
+    """Presents an (files, labels, size) image source with the
+    NumpyPathDataset batching interface so the Trainer's phase driver works
+    unchanged for 2D runs (the reference kept a separate 2D main loop,
+    SURFGAN_2D/main.py; here one trainer serves both ranks)."""
+
+    def __init__(self, files: List[str], labels: List[int], size: int, seed: int = 42):
+        self.files = list(files)
+        self.labels = list(labels)
+        self.size = size
+        self.seed = seed
+        self._pipe: Optional[ImagePipeline] = None
+        self.shape = (1, 3, size, size)
+
+    def _pipeline(self, batch_size: int) -> ImagePipeline:
+        if self._pipe is None or self._pipe.batch_size != batch_size:
+            if self._pipe is not None:
+                self._pipe.close()
+            self._pipe = ImagePipeline(self.files, self.labels, self.size, batch_size,
+                                       seed=self.seed)
+        return self._pipe
+
+    def batch(self, batch_size: int, auto_repeat: bool = True, verbose: bool = False):
+        imgs, _ = self._pipeline(batch_size).next_batch()
+        return imgs
+
+    def split_by_fraction(self, fraction: float):
+        n1 = int(np.round(fraction * len(self.files)) + 1e-5)
+        return self.split_by_index(n1)
+
+    def split_by_index(self, index: int):
+        a = ImageDatasetAdapter(self.files[:index], self.labels[:index], self.size, self.seed)
+        b = ImageDatasetAdapter(self.files[index:], self.labels[index:], self.size, self.seed)
+        return a, b
+
+    def __len__(self):
+        return len(self.files)
+
+
+def imagenet_dataset_factory(cfg, imagenet_dir: str, num_classes: int = 1):
+    """dataset_factory(phase) for Trainer: ImageNet images at the phase's
+    resolution (the reference's per-phase resize, SURFGAN_2D/main.py:66-103)."""
+    ds = ImageNetDataset(imagenet_dir, cfg.scratch_path, copy_files=False,
+                         is_correct_phase=True, num_classes=num_classes)
+    files, labels = ds.files_and_labels(train=True)
+
+    def factory(phase: int) -> ImageDatasetAdapter:
+        size = cfg.start_shape_t[-1] * 2 ** (phase - 1)
+        return ImageDatasetAdapter(files, labels, size, seed=cfg.seed)
+
+    return factory
