@@ -211,6 +211,53 @@ conv2d = conv
 conv3d = conv
 
 
+def group_conv(x: jax.Array, w: jax.Array, groups: int) -> jax.Array:
+    """Grouped SAME conv (reference ops.py:153-164 splits/concats manually;
+    lax supports feature_group_count natively — one fused op).
+
+    w: (*kernel, in_per_group, out_total)."""
+    spatial_rank = x.ndim - 2
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,) * spatial_rank,
+        padding="SAME",
+        dimension_numbers=_conv_dimension_numbers(spatial_rank),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+
+
+def depthwise_conv(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Depthwise conv (reference conv3d_depthwise, ops.py:351-355):
+    one filter per input channel. w: (*kernel, 1, C)."""
+    return group_conv(x, w, groups=x.shape[1])
+
+
+def spectral_normalize(w: jax.Array, u: jax.Array, iterations: int = 1, eps: float = 1e-12):
+    """Spectral normalization by power iteration (reference ops.py:80-108).
+
+    Functional: takes and returns the power-iteration vector `u` (the
+    reference stores it as a non-trainable variable). Returns (w / sigma,
+    u_new); gradients do not flow through u/v (stop_gradient, matching the
+    reference).
+    """
+    w_mat = w.reshape(-1, w.shape[-1])
+
+    def l2n(v):
+        return v / (jnp.linalg.norm(v) + eps)
+
+    u_hat = u
+    v_hat = None
+    for _ in range(iterations):
+        v_hat = l2n(u_hat @ w_mat.T)
+        u_hat = l2n(v_hat @ w_mat)
+    u_hat = lax.stop_gradient(u_hat)
+    v_hat = lax.stop_gradient(v_hat)
+    sigma = (v_hat @ w_mat) @ u_hat.T
+    return (w_mat / sigma).reshape(w.shape), u_hat
+
+
 # ---------------------------------------------------------------------------
 # Activations
 # ---------------------------------------------------------------------------

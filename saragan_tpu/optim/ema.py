@@ -41,3 +41,33 @@ def ema_update(ema: Params, params: Params, decay: float) -> Params:
 def fold_ema(params: Params, ema: Params) -> Params:
     """`ema_update_weights`: overwrite live weights with the averages."""
     return jax.tree_util.tree_map(lambda p, e: e, params, ema)
+
+
+class ExtendedEMA:
+    """Class-style API mirroring the reference's ExtendedEMA for users
+    migrating code: apply/assign_ema_weights/restore_original_weights over a
+    held (params, shadow) pair. The functional helpers above are the
+    primitives; this is sugar."""
+
+    def __init__(self, params: Params, decay: float):
+        self.decay = decay
+        self.shadow = ema_init(params)
+        self._backup: Params | None = None
+
+    def apply(self, params: Params) -> Params:
+        """One EMA step; returns the params unchanged (chainable)."""
+        self.shadow = ema_update(self.shadow, params, self.decay)
+        return params
+
+    def assign_ema_weights(self, params: Params) -> Params:
+        """Back up live weights, return the averaged ones."""
+        self._backup = params
+        return fold_ema(params, self.shadow)
+
+    def restore_original_weights(self) -> Params:
+        assert self._backup is not None, "assign_ema_weights was not called"
+        params, self._backup = self._backup, None
+        return params
+
+    def average(self, name: str):
+        return self.shadow.get(name)

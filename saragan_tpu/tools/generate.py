@@ -164,3 +164,45 @@ def generate(
         for k, v in report.items():
             f.write(f"{k}: {v}\n")
     return report
+
+
+def main(argv=None):
+    """CLI: python -m saragan_tpu.tools.generate <arch> <dataset> <model> <out> ...
+    (reference generate.py:223-269 surface, trimmed to the used flags)."""
+    import argparse
+
+    from saragan_tpu.cli import build_parser, config_from_args
+
+    p = argparse.ArgumentParser(prog="saragan_tpu.tools.generate")
+    p.add_argument("architecture")
+    p.add_argument("dataset_path")
+    p.add_argument("model_path")
+    p.add_argument("output_dir")
+    p.add_argument("--config_args", nargs=argparse.REMAINDER, default=[],
+                   help="remaining args forwarded to the training CLI parser "
+                        "(shapes/specs needed to rebuild the nets)")
+    p.add_argument("--phase", type=int, default=None)
+    p.add_argument("--num_samples", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--minimal", action="store_true", help="generate_minimal mode")
+    args = p.parse_args(argv)
+
+    train_args = build_parser().parse_args([args.architecture, args.dataset_path] + args.config_args)
+    cfg = config_from_args(train_args).finalize()
+
+    if args.minimal:
+        paths = generate_minimal(
+            args.architecture, args.model_path, args.output_dir, cfg=cfg, phase=args.phase,
+            num_samples=args.num_samples, data_mean=cfg.data_mean, data_stddev=cfg.data_stddev,
+        )
+        print(f"wrote {len(paths)} volumes to {args.output_dir}")
+    else:
+        report = generate(
+            args.architecture, args.dataset_path, args.model_path, args.output_dir,
+            cfg=cfg, phase=args.phase, num_samples=args.num_samples, batch_size=args.batch_size,
+        )
+        print(report)
+
+
+if __name__ == "__main__":
+    main()
