@@ -175,6 +175,7 @@ class Config:
     num_space_shards: int = 1  # spatial halo sharding for huge phases (SURVEY §5.7)
     profile_dir: Optional[str] = None
     use_pallas_fusion: bool = False  # fused bias+lrelu+pixelnorm Pallas kernels
+    remat: bool = False  # jax.checkpoint G/D forwards: recompute activations in backward (HBM for FLOPs)
 
     # ------------------------------------------------------------------
     # Derived properties

@@ -53,8 +53,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_global_batch(mesh: Mesh, batch: np.ndarray, space_axis: Optional[int] = None):
-    """Place a host-global batch onto the mesh, sharded over 'data'."""
-    return jax.device_put(batch, batch_sharding(mesh, batch.ndim, space_axis))
+    """Place a batch onto the mesh, sharded over 'data'.
+
+    Single-host: `batch` is the global batch, one device_put. Multi-host:
+    `batch` is this *process's* shard of the global batch and assembly uses
+    `jax.make_array_from_process_local_data` — each host feeds only its own
+    chips (SURVEY §5.8: per-host loading replaces the reference's rank-0
+    scatter)."""
+    sharding = batch_sharding(mesh, batch.ndim, space_axis)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)
 
 
 def jit_train_step(

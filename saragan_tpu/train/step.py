@@ -123,6 +123,13 @@ def make_train_step(
         def disc_a(p, x):
             return arch.discriminator(p, x, alpha, phase=phase, cfg=cfg)
 
+        if getattr(cfg, "remat", False):
+            # rematerialize forwards in the backward pass: trades recompute
+            # FLOPs for activation HBM -> larger per-chip batches at the
+            # big-volume phases (SURVEY §7: donated buffers + remat)
+            gen_a = jax.checkpoint(gen_a, static_argnums=())
+            disc_a = jax.checkpoint(disc_a)
+
         if cfg.optim_strategy == "simultaneous":
 
             def total_loss(g_params, d_params):

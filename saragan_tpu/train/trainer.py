@@ -264,9 +264,16 @@ class Trainer:
         step_rng = jax.random.PRNGKey(cfg.seed + phase * 1000)
         img_s = local_img_s = 0.0
 
-        # background prefetch of normalized global batches
+        # background prefetch of normalized batches. Multi-host: every
+        # process draws from the same deterministic shuffle stream and loads
+        # only its interleaved shard (exactly-once, no scatter — §5.8).
+        nproc = jax.process_count()
+
         def make_batch():
-            b = npy_train.batch(global_batch)
+            if nproc > 1:
+                b = npy_train.batch_sharded(global_batch // nproc, nproc, jax.process_index())
+            else:
+                b = npy_train.batch(global_batch)
             return normalize_numpy(b, cfg.data_mean, cfg.data_stddev).astype(np.float32)
 
         prefetcher = Prefetcher(make_batch) if self.prefetch else None
