@@ -131,9 +131,12 @@ class InceptionFeatures:
     """Frozen-Inception pool_3 features from a converted weights .npz.
 
     The reference uses Google's classify_image_graph_def.pb
-    (fid_new.py:291-317).  Ship the converted weights at `npz_path` (or set
-    SARAGAN_INCEPTION_NPZ); without them this raises — there is no network
-    egress in the build environment to download them.
+    (fid_new.py:291-317); the full FID-Inception architecture is implemented
+    in metrics/inception.py and accepts the standard pytorch-fid
+    `pt_inception-2015-12-05` weights after offline conversion
+    (`convert_torch_state_dict` + `save_inception_npz`).  Ship the npz at
+    `npz_path` (or set SARAGAN_INCEPTION_NPZ); without it this raises —
+    there is no network egress in the build environment to download weights.
     """
 
     def __init__(self, npz_path: Optional[str] = None):
@@ -144,9 +147,12 @@ class InceptionFeatures:
                 "SARAGAN_INCEPTION_NPZ; falling back to RandomConvFeatures gives "
                 "run-internal (not cross-paper-comparable) FID values."
             )
-        raise NotImplementedError(
-            "InceptionV1 JAX port pending weight availability (SURVEY §7 hard part 2)."
-        )
+        from saragan_tpu.metrics.inception import InceptionPool3Features, load_inception_npz
+
+        self._impl = InceptionPool3Features(load_inception_npz(self.npz_path))
+
+    def extract(self, images: np.ndarray) -> np.ndarray:
+        return self._impl.extract(images)
 
 
 def default_extractor() -> "RandomConvFeatures":
