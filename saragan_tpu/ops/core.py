@@ -192,11 +192,8 @@ def conv(
     return conv_apply(x, w)
 
 
-def conv_apply(x: jax.Array, w: jax.Array) -> jax.Array:
-    """SAME stride-1 conv on explicit weights, algorithm-selected."""
+def _conv_direct(x: jax.Array, w: jax.Array) -> jax.Array:
     spatial_rank = x.ndim - 2
-    if spatial_rank == 3 and CONV3D_ALGORITHM == "gemm":
-        return _conv3d_shifted_gemm(x, w)
     return lax.conv_general_dilated(
         x,
         w,
@@ -205,6 +202,34 @@ def conv_apply(x: jax.Array, w: jax.Array) -> jax.Array:
         dimension_numbers=_conv_dimension_numbers(spatial_rank),
         preferred_element_type=x.dtype,
     )
+
+
+@jax.custom_jvp
+def _conv3d_hybrid(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Hybrid conv3d: shifted-GEMM primal (fast forward on this target) with
+    direct-conv tangents, so reverse-mode transposes to XLA's native conv
+    backward (which beat the GEMM formulation's autodiff backward in the
+    hardware A/B — see CONV3D_ALGORITHM note)."""
+    return _conv3d_shifted_gemm(x, w)
+
+
+@_conv3d_hybrid.defjvp
+def _conv3d_hybrid_jvp(primals, tangents):
+    x, w = primals
+    dx, dw = tangents
+    y = _conv3d_hybrid(x, w)
+    dy = _conv_direct(dx, w) + _conv_direct(x, dw)
+    return y, dy
+
+
+def conv_apply(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME stride-1 conv on explicit weights, algorithm-selected."""
+    spatial_rank = x.ndim - 2
+    if spatial_rank == 3 and CONV3D_ALGORITHM == "gemm":
+        return _conv3d_shifted_gemm(x, w)
+    if spatial_rank == 3 and CONV3D_ALGORITHM == "hybrid" and w.shape[0] * w.shape[1] * w.shape[2] > 1:
+        return _conv3d_hybrid(x, w)
+    return _conv_direct(x, w)
 
 
 conv2d = conv

@@ -58,6 +58,10 @@ class StepMetrics(NamedTuple):
     gp_loss: jax.Array
     max_g_norm: jax.Array
     max_d_norm: jax.Array
+    # per-variable post-clip gradient norms (the scalar analog of the
+    # reference's per-var gradient histograms, summary.py / SURVEY C20)
+    g_norms: Any = None
+    d_norms: Any = None
 
 
 def split_params(params: Params) -> Tuple[Params, Params]:
@@ -78,15 +82,15 @@ def init_train_state(arch, rng: jax.Array, *, phase: int, cfg) -> Tuple[TrainSta
     return state, (g_optimizer, d_optimizer)
 
 
-def _clip_and_norms(grads: Params, clipping: bool) -> Tuple[Params, jax.Array]:
-    """Optional global-norm clip + max per-variable norm (reference
+def _clip_and_norms(grads: Params, clipping: bool):
+    """Optional global-norm clip + per-variable norms (reference
     optimization.py:64-71: norms are computed on the possibly-clipped grads)."""
     if clipping:
         gnorm = optax.global_norm(grads)
         scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-16))
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-    norms = jnp.stack([jnp.linalg.norm(g.reshape(-1)) for g in jax.tree_util.tree_leaves(grads)])
-    return grads, jnp.max(norms)
+    norms = {k: jnp.linalg.norm(g.reshape(-1)) for k, g in grads.items()}
+    return grads, jnp.max(jnp.stack(list(norms.values()))), norms
 
 
 def make_train_step(
@@ -107,11 +111,11 @@ def make_train_step(
     frozen = frozen_names if freeze else frozenset()
 
     def apply_updates(optimizer, params, opt_state, grads, lr, clipping):
-        grads, max_norm = _clip_and_norms(grads, clipping)
+        grads, max_norm, norms = _clip_and_norms(grads, clipping)
         new_params, new_opt = optimizer.update(grads, opt_state, params, lr)
         new_params = freeze_select(params, new_params, frozen)
         new_opt = freeze_select(opt_state, new_opt, frozen)
-        return new_params, new_opt, max_norm
+        return new_params, new_opt, max_norm, norms
 
     def train_step(state: TrainState, real: jax.Array, rng: jax.Array, alpha, g_lr, d_lr):
         real = real.astype(compute_dtype)
@@ -150,10 +154,10 @@ def make_train_step(
             grad_fn = jax.grad(total_loss, argnums=(0, 1), has_aux=True)
             (g_grads, d_grads), out = grad_fn(state.g_params, state.d_params)
 
-            g_params, g_opt, max_g_norm = apply_updates(
+            g_params, g_opt, max_g_norm, g_norms = apply_updates(
                 g_optimizer, state.g_params, state.g_opt, g_grads, g_lr, cfg.g_clipping
             )
-            d_params, d_opt, max_d_norm = apply_updates(
+            d_params, d_opt, max_d_norm, d_norms = apply_updates(
                 d_optimizer, state.d_params, state.d_opt, d_grads, d_lr, cfg.d_clipping
             )
             gen_loss, disc_loss, gp_loss = out.gen_loss, out.disc_loss, out.gp_loss
@@ -178,7 +182,7 @@ def make_train_step(
             (disc_loss, gp_loss), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
                 state.d_params
             )
-            d_params, d_opt, max_d_norm = apply_updates(
+            d_params, d_opt, max_d_norm, d_norms = apply_updates(
                 d_optimizer, state.d_params, state.d_opt, d_grads, d_lr, cfg.d_clipping
             )
 
@@ -199,7 +203,7 @@ def make_train_step(
                 return gen_loss
 
             gen_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
-            g_params, g_opt, max_g_norm = apply_updates(
+            g_params, g_opt, max_g_norm, g_norms = apply_updates(
                 g_optimizer, state.g_params, state.g_opt, g_grads, g_lr, cfg.g_clipping
             )
         else:
@@ -213,6 +217,8 @@ def make_train_step(
             gp_loss=gp_loss,
             max_g_norm=max_g_norm,
             max_d_norm=max_d_norm,
+            g_norms=g_norms,
+            d_norms=d_norms,
         )
         return new_state, metrics
 

@@ -453,6 +453,13 @@ class Trainer:
             summ.gradients_summary(float(metrics.max_g_norm), float(metrics.max_d_norm), suffix),
             global_step,
         )
+        # per-variable gradient norms (reference's per-var grad histograms,
+        # summary.py; logged as scalars here)
+        for tree in (metrics.g_norms, metrics.d_norms):
+            if tree:
+                w.scalars(
+                    {f"grad_norm/{k}{suffix}": float(v) for k, v in tree.items()}, global_step
+                )
         w.scalars(
             {
                 "d_loss": float(metrics.disc_loss),
