@@ -176,6 +176,7 @@ class Config:
     profile_dir: Optional[str] = None
     use_pallas_fusion: bool = False  # fused bias+lrelu+pixelnorm Pallas kernels
     remat: bool = False  # jax.checkpoint G/D forwards: recompute activations in backward (HBM for FLOPs)
+    lazy_gp: int = 1  # apply the gradient penalty every k-th step with k-scaled weight (StyleGAN2 lazy regularization; 1 = reference-exact)
 
     # ------------------------------------------------------------------
     # Derived properties

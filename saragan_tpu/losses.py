@@ -70,6 +70,7 @@ def forward_simultaneous(
     gp_weight: float = 1.0,
     noise_stddev: float = 0.0,
     gp_full_reduction: bool = False,
+    compute_gp: bool = True,
 ) -> LossOutput:
     """Joint G+D forward (reference loss.py:101-165).
 
@@ -97,10 +98,11 @@ def forward_simultaneous(
     disc_fake_d = disc_fn(d_params, fake_sg)
     disc_real = disc_fn(d_params, real)
 
-    gamma = jax.random.uniform(k_gamma, (n,) + (1,) * (real.ndim - 1), dtype)
-    interpolates = gamma * real + (1 - gamma) * fake_sg
-    axes = _simultaneous_axes(real.ndim, gp_full_reduction)
-    slopes = _gp_slopes(disc_fn, d_params, interpolates, axes)
+    if compute_gp:
+        gamma = jax.random.uniform(k_gamma, (n,) + (1,) * (real.ndim - 1), dtype)
+        interpolates = gamma * real + (1 - gamma) * fake_sg
+        axes = _simultaneous_axes(real.ndim, gp_full_reduction)
+        slopes = _gp_slopes(disc_fn, d_params, interpolates, axes)
 
     # Generator pass through a gradient-blocked critic: same values, but the
     # combined scalar's d_params-gradient stays the reference's disc-only one.
@@ -112,14 +114,20 @@ def forward_simultaneous(
     disc_fake_g = disc_fake_g.astype(jnp.float32)
 
     if loss_fn == "wgan":
-        gradient_penalty = (slopes - 1.0) ** 2
-        gp_loss = gp_weight * gradient_penalty
+        if compute_gp:
+            gradient_penalty = (slopes - 1.0) ** 2
+            gp_loss = gp_weight * gradient_penalty
+        else:
+            gp_loss = jnp.zeros((), jnp.float32)
         drift_loss = 1e-3 * disc_real**2
         disc_loss = jnp.mean(disc_fake_d - disc_real + gp_loss + drift_loss)
         gen_loss = -jnp.mean(disc_fake_g)
     elif loss_fn == "logistic":
-        gradient_penalty = jnp.mean(slopes**2)
-        gp_loss = gp_weight * gradient_penalty
+        if compute_gp:
+            gradient_penalty = jnp.mean(slopes**2)
+            gp_loss = gp_weight * gradient_penalty
+        else:
+            gp_loss = jnp.zeros((), jnp.float32)
         disc_loss = jnp.mean(_softplus(disc_fake_d)) + jnp.mean(_softplus(-disc_real)) + gp_loss
         gen_loss = jnp.mean(_softplus(-disc_fake_g))
     else:

@@ -101,6 +101,7 @@ def make_train_step(
     d_optimizer: Optimizer,
     frozen_names: FrozenSet[str] = frozenset(),
     freeze: bool = False,
+    apply_gp: bool = True,
 ):
     """Build the (un-jitted) train step for one phase.
 
@@ -109,6 +110,10 @@ def make_train_step(
     """
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     frozen = frozen_names if freeze else frozenset()
+    # StyleGAN2-style lazy regularization: GP applied every k-th step with
+    # k-scaled weight (cfg.lazy_gp; 1 = the reference's every-step GP)
+    lazy_k = max(1, int(getattr(cfg, "lazy_gp", 1)))
+    gp_weight_eff = cfg.gp_weight * lazy_k if apply_gp else 0.0
 
     def apply_updates(optimizer, params, opt_state, grads, lr, clipping):
         grads, max_norm, norms = _clip_and_norms(grads, clipping)
@@ -146,8 +151,9 @@ def make_train_step(
                     rng,
                     latent_dim=cfg.latent_dim,
                     loss_fn=cfg.loss_fn,
-                    gp_weight=cfg.gp_weight,
+                    gp_weight=gp_weight_eff,
                     noise_stddev=cfg.noise_stddev,
+                    compute_gp=apply_gp,
                 )
                 return out.gen_loss + out.disc_loss, out
 

@@ -232,7 +232,18 @@ class Trainer:
             self.arch, cfg, phase, g_optimizer, d_optimizer, frozen_names=frozen, freeze=bool(frozen)
         )
         step_stab = make_train_step(self.arch, cfg, phase, g_optimizer, d_optimizer)
+        lazy_k = max(1, int(getattr(cfg, "lazy_gp", 1)))
+        if lazy_k > 1:
+            # StyleGAN2 lazy regularization: GP only every k-th step
+            step_mixing_nogp = make_train_step(
+                self.arch, cfg, phase, g_optimizer, d_optimizer,
+                frozen_names=frozen, freeze=bool(frozen), apply_gp=False,
+            )
+            step_stab_nogp = make_train_step(
+                self.arch, cfg, phase, g_optimizer, d_optimizer, apply_gp=False
+            )
         batch_ndim = len(cfg.current_shape(phase, batch_size))
+        step_count = 0
         # spatial (halo) sharding of the depth axis for huge phases (§5.7)
         space_axis = (
             2
@@ -241,6 +252,9 @@ class Trainer:
         )
         jit_mixing = jit_train_step(step_mixing, self.mesh, batch_ndim, donate=True, space_axis=space_axis)
         jit_stab = jit_train_step(step_stab, self.mesh, batch_ndim, donate=True, space_axis=space_axis)
+        if lazy_k > 1:
+            jit_mixing_nogp = jit_train_step(step_mixing_nogp, self.mesh, batch_ndim, donate=True, space_axis=space_axis)
+            jit_stab_nogp = jit_train_step(step_stab_nogp, self.mesh, batch_ndim, donate=True, space_axis=space_axis)
         eval_losses, sample_fn = self._make_eval_fns(phase)
 
         if self.mesh is not None:
@@ -313,7 +327,12 @@ class Trainer:
                     jax.profiler.start_trace(cfg.profile_dir)
 
                 step_rng, k = jax.random.split(step_rng)
-                step_fn = jit_mixing if mixing_bool else jit_stab
+                use_gp = lazy_k == 1 or (step_count % lazy_k == 0)
+                if use_gp:
+                    step_fn = jit_mixing if mixing_bool else jit_stab
+                else:
+                    step_fn = jit_mixing_nogp if mixing_bool else jit_stab_nogp
+                step_count += 1
                 state, metrics = step_fn(state, batch, k, alpha, g_lr_val, d_lr_val)
 
                 if profile_steps and step_idx == profile_steps[1] and phase == cfg.starting_phase:
