@@ -1,0 +1,103 @@
+"""HPO harness run-mode dispatch tests (reference main.py's 4 modes) with a
+stub objective — fast, no training."""
+
+import os
+
+import pytest
+
+from saragan_tpu.config import Config
+from saragan_tpu.hpo import create_study, samplers
+from saragan_tpu.hpo.harness import is_multi_objective, run, worker_id
+
+
+def stub_objective_factory(calls):
+    def objective(trial, cfg):
+        value = 100.0
+        if trial is not None:
+            value = trial.suggest_float("x", 0, 10)
+        calls.append((None if trial is None else getattr(trial, "number", -1), value))
+        return value
+
+    return objective
+
+
+def test_normal_run_mode(tmp_path):
+    calls = []
+    cfg = Config(optuna_ntrials=None, optuna_storage=None)
+    result = run(cfg, stub_objective_factory(calls))
+    assert result == 100.0
+    assert calls == [(None, 100.0)]
+
+
+def test_intra_trial_mode(tmp_path):
+    calls = []
+    cfg = Config(
+        optuna_ntrials=5,
+        optuna_storage=f"sqlite:///{tmp_path}/study.db",
+        optuna_study_name="s",
+        optuna_sampler="random",
+        optuna_pruner="nopruner",
+    )
+    study = run(cfg, stub_objective_factory(calls))
+    assert len(calls) == 5
+    assert len(study.trials) == 5
+    assert study.best_trial.value == min(v for _, v in calls)
+
+
+def test_inter_trial_mode(tmp_path, monkeypatch):
+    monkeypatch.setenv("SARAGAN_WORKER_ID", "0")
+    monkeypatch.setenv("SARAGAN_NUM_WORKERS", "2")
+    monkeypatch.chdir(tmp_path)
+    calls = []
+    cfg = Config(
+        optuna_distributed=True,
+        optuna_ntrials=4,  # ceil(4/2) = 2 per worker
+        optuna_storage=f"sqlite:///{tmp_path}/inter.db",
+        optuna_study_name="s",
+        optuna_sampler="random",
+    )
+    study = run(cfg, stub_objective_factory(calls))
+    assert len(calls) == 2
+    assert os.path.isfile(tmp_path / "inter.db")
+    assert worker_id() == 0
+
+
+def test_best_trial_replay(tmp_path):
+    storage = f"sqlite:///{tmp_path}/replay.db"
+    study = create_study(study_name="s", storage=storage,
+                         sampler=samplers.RandomSampler(seed=0))
+    study.optimize(lambda t: t.suggest_float("x", 0, 10), n_trials=5)
+    best_x = study.best_trial.params["x"]
+
+    calls = []
+
+    def objective(trial, cfg):
+        calls.append(trial.suggest_float("x", 0, 10))
+        return 0.0
+
+    cfg = Config(optuna_use_best_trial=True, optuna_storage=storage, optuna_study_name="s")
+    run(cfg, objective)
+    assert calls == [best_x]
+
+
+def test_multi_objective_flag():
+    assert is_multi_objective(Config(optuna_sampler="NSGAII"))
+    assert is_multi_objective(Config(optuna_sampler="MOTPE"))
+    assert not is_multi_objective(Config(optuna_sampler="TPE"))
+
+
+def test_multi_objective_run(tmp_path):
+    cfg = Config(
+        optuna_sampler="NSGAII",
+        optuna_ntrials=6,
+        optuna_storage=f"sqlite:///{tmp_path}/mo.db",
+        optuna_study_name="mo",
+    )
+
+    def objective(trial, c):
+        x = trial.suggest_float("x", 0, 1)
+        return x, 1 - x  # (FID, train_time)-style pair
+
+    study = run(cfg, objective)
+    assert len(study.best_trials) >= 1
+    assert all(t.values is not None and len(t.values) == 2 for t in study.best_trials)
