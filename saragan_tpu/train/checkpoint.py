@@ -94,6 +94,29 @@ def phase_checkpoint_path(logdir: str, phase: int, step: Optional[int] = None) -
     return os.path.join(logdir, name)
 
 
+def save_params_orbax(path: str, params: Params, ema: Optional[Params] = None) -> str:
+    """Alternative backend: orbax PyTreeCheckpointer (SURVEY §5.4 suggested
+    orbax; the npz format remains the default for its trivially-inspectable
+    name-intersection restore). Directory-based."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = {"params": {k: np.asarray(v) for k, v in params.items()}}
+    if ema is not None:
+        tree["ema"] = {k: np.asarray(v) for k, v in ema.items()}
+    path = os.path.abspath(path)
+    ckptr.save(path, tree, force=True)
+    return path
+
+
+def load_params_orbax(path: str) -> Tuple[Params, Optional[Params]]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    return tree["params"], tree.get("ema")
+
+
 def save_full_state(path: str, state, counters: Dict[str, float]) -> str:
     """Exact-resume save: entire TrainState (incl. optimizer slots) pickled
     with arrays converted to numpy. For mid-phase resume only."""
