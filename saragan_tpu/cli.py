@@ -167,6 +167,14 @@ def config_from_args(args: argparse.Namespace) -> Config:
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("SARAGAN_MULTIHOST"):
+        # TPU pod: one process per host; topology auto-detected
+        import jax
+
+        jax.distributed.initialize()
+
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     from saragan_tpu.hpo import harness

@@ -177,6 +177,7 @@ class Config:
     use_pallas_fusion: bool = False  # fused bias+lrelu+pixelnorm Pallas kernels
     remat: bool = False  # jax.checkpoint G/D forwards: recompute activations in backward (HBM for FLOPs)
     lazy_gp: int = 1  # apply the gradient penalty every k-th step with k-scaled weight (StyleGAN2 lazy regularization; 1 = reference-exact)
+    full_state_checkpoints: bool = False  # periodic checkpoints also save the full TrainState (optimizer slots) for exact mid-phase resume
 
     # ------------------------------------------------------------------
     # Derived properties

@@ -115,7 +115,15 @@ class Trainer:
         )
 
     def _restore_for_phase(self, phase: int, state: TrainState) -> TrainState:
-        """Phase-chaining / continue_path restore (optuna_objective.py:334-354)."""
+        """Phase-chaining / continue_path restore (optuna_objective.py:334-354).
+
+        continue_path semantics (reference parity): weights restored by name
+        intersection, counters reset, alpha = --starting_alpha.  Extension
+        beyond the reference: a `.pkl` continue_path (written by
+        `full_state_checkpoints`) restores the ENTIRE TrainState including
+        optimizer slots for exact mid-phase resume — the reference's
+        tf.train.Saver only carried trainables, resetting Adam moments.
+        """
         cfg = self.cfg
         restore_path = None
         if phase > cfg.starting_phase:
@@ -125,6 +133,15 @@ class Trainer:
         if restore_path is None:
             self._log("Not restoring variables.")
             return state
+
+        if restore_path.endswith(".pkl"):
+            self._log(f"Restoring FULL train state (incl. optimizer) from: {restore_path}")
+            full_state, counters = ckpt.load_full_state(restore_path)
+            assert set(full_state.g_params) == set(state.g_params), (
+                "full-state checkpoint is for a different phase/architecture"
+            )
+            self._resume_counters = counters
+            return jax.tree_util.tree_map(jnp.asarray, full_state)
 
         self._log(f"Restoring variables from: {restore_path}")
         saved_params, _saved_ema, _meta = ckpt.load_params(restore_path)
@@ -275,6 +292,15 @@ class Trainer:
         mixing_bool = cfg.mixing_nimg > 0
         local_step = 0
         in_phase_step = 0
+        # exact mid-phase resume from a full-state checkpoint
+        resume = self.__dict__.pop("_resume_counters", None)
+        if resume:
+            alpha = float(resume.get("alpha", alpha))
+            in_phase_step = int(resume.get("in_phase_step", 0))
+            local_step = int(resume.get("local_step", 0))
+            global_step = int(resume.get("global_step", global_step))
+            mixing_bool = bool(resume.get("mixing", mixing_bool)) and cfg.mixing_nimg > 0
+            self._log(f"Resumed counters: step {global_step}, alpha {alpha}, mixing {mixing_bool}")
         step_rng = jax.random.PRNGKey(cfg.seed + phase * 1000)
         img_s = local_img_s = 0.0
 
@@ -314,6 +340,14 @@ class Trainer:
 
                 if global_step % cfg.checkpoint_every_nsteps < global_batch and local_step > 0:
                     self._save_phase_checkpoint(phase, state, global_step, step=global_step)
+                    if cfg.full_state_checkpoints:
+                        ckpt.save_full_state(
+                            ckpt.phase_checkpoint_path(self.logdir, phase, global_step) + "_full",
+                            state,
+                            {"global_step": global_step, "in_phase_step": in_phase_step,
+                             "local_step": local_step, "alpha": alpha,
+                             "mixing": mixing_bool, "phase": phase},
+                        )
 
                 batch = next(prefetcher) if prefetcher else make_batch()
                 if self.mesh is not None:
