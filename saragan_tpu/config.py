@@ -215,14 +215,23 @@ class Config:
         return (batch_size, s[0], *[d * 2 ** (phase - 1) for d in s[1:]])
 
     def resolved_kernel_spec(self) -> list:
+        """Derive a kernel spec from --conv_kernel_size with the reference's
+        adaptive shrinking: kernels never exceed the phase's spatial dims
+        (largest odd size that fits — reference networks/ops.py:31-58
+        `get_kernel`, applied per layer in the legacy num_filters models)."""
         if self.kernel_spec is not None:
             return self.kernel_spec
+        from saragan_tpu.ops import get_kernel
+
         k = list(self.conv_kernel_size)[: self.ndim]
         if len(k) < self.ndim:
             k = k + [k[-1]] * (self.ndim - len(k))
-        spec = [[[], list(k)]]
-        for _ in range(1, self.num_phases):
-            spec.append([list(k), list(k)])
+        base = self.base_shape
+        spec = []
+        for phase in range(1, self.num_phases + 1):
+            spatial = [d * 2 ** (phase - 1) for d in base[1:]]
+            kk = get_kernel(spatial, k)
+            spec.append([([] if phase == 1 else list(kk)), list(kk)])
         return spec
 
     def resolved_filter_spec(self) -> list:
