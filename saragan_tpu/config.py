@@ -13,8 +13,8 @@ import ast
 import dataclasses
 import json
 import math
-from dataclasses import dataclass, field
-from typing import Any, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
 
 
 def parse_tuple(value) -> Tuple[int, ...]:

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 from saragan_tpu import hpo
 from saragan_tpu.config import Config

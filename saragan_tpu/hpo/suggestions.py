@@ -12,8 +12,6 @@ filter counts (powers of two with per-phase caps :251-276).
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any
 
 import numpy as np
 

@@ -24,8 +24,7 @@ from __future__ import annotations
 
 import os
 import warnings
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,7 @@ names, so conversion is mechanical; BatchNorm runs in inference mode
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ The reference uses the global numpy RNG; we accept a seedable Generator
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 import scipy.ndimage

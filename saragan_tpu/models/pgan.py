@@ -27,7 +27,6 @@ spatial rank comes from ``cfg.base_shape``.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -10,8 +10,6 @@ Adaptive kernels shrink to 1 on spatial dims < 3 (ops.py:25-29).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -19,8 +19,6 @@ passed the noise is omitted (eval determinism).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

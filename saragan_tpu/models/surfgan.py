@@ -17,7 +17,6 @@ Style index conventions preserved exactly (g_synthesis.py): num_styles =
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ also the fallback if a future XLA regression mishandles some layout).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

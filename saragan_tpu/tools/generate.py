@@ -37,8 +37,7 @@ def _load_generator_params(model_path: str, use_ema: bool = True):
 def sample_volumes(cfg: Config, phase: int, g_params, num_samples: int, seed: int = 0,
                    batch_size: int = 4, alpha: float = 0.0) -> np.ndarray:
     arch = get_architecture(cfg.architecture)
-    import jax.numpy as jnp
-
+    
     @jax.jit
     def gen(params, rng):
         k_z, k_g = jax.random.split(rng)

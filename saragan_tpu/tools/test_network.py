@@ -17,7 +17,6 @@ import time
 def run_smoke_test(architecture: str, phase: int, cfg, batch_size: int = 2,
                    verbose: bool = True) -> dict:
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from saragan_tpu.core import param_count

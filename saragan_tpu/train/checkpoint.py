@@ -19,7 +19,6 @@ separate full-state save exists for exact mid-phase resume.
 
 from __future__ import annotations
 
-import io
 import os
 import pickle
 from typing import Dict, Optional, Tuple

@@ -30,8 +30,7 @@ gradients and optimizer state stay fp32 (SURVEY §5.9).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, FrozenSet, NamedTuple, Optional, Tuple
+from typing import Any, FrozenSet, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,8 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional
+from dataclasses import dataclass
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,8 +39,7 @@ from saragan_tpu.data import NumpyPathDataset, Prefetcher, get_numpy_dataset, no
 from saragan_tpu.models import get_architecture
 from saragan_tpu.optim import lr_schedule, scale_lr
 from saragan_tpu.optim.ema import fold_ema
-from saragan_tpu.optim.freeze import apply_freeze_names
-from saragan_tpu.parallel import jit_train_step, make_mesh, replicated_sharding, shard_global_batch
+from saragan_tpu.parallel import jit_train_step, replicated_sharding, shard_global_batch
 from saragan_tpu.train import checkpoint as ckpt
 from saragan_tpu.train import summaries as summ
 from saragan_tpu.train.step import TrainState, init_train_state, make_train_step, split_params
