@@ -89,10 +89,22 @@ def _generator_in(scope, x, shape, activation, kernel_spec, filter_spec, param, 
     return x
 
 
-def _generator_block(scope, x, activation, kernel_spec, filter_spec, i, param, fused=False):
+def _generator_block(scope, x, activation, kernel_spec, filter_spec, i, param, fused=False,
+                     fused_transitions=False):
     """reference generator.py:48-71."""
-    x = ops.upscale(x)
-    for li, name in enumerate(("conv_1", "conv_2")):
+    if fused_transitions:
+        # upscale + conv_1 as one transposed conv (exact algebraic fusion)
+        c = scope.sub("conv_1")
+        kernel = tuple(int(k) for k in get_kernels(kernel_spec, i - 1, 0))
+        fmaps = get_filters(filter_spec, i - 1, 0)
+        w = ops.get_weight(c, (*kernel, x.shape[1], fmaps), activation, param=param)
+        x = ops.core.upscale_conv(x, w.astype(x.dtype))
+        x = _bias_act_pn(c, x, activation, param, fused)
+        rest = (("conv_2", 1),)
+    else:
+        x = ops.upscale(x)
+        rest = (("conv_1", 0), ("conv_2", 1))
+    for name, li in rest:
         c = scope.sub(name)
         x = ops.conv(
             c,
@@ -127,7 +139,7 @@ def _generator(scope, z, alpha, phase, cfg, param):
             )
         x = _generator_block(
             g.sub(f"generator_block_{i}"), x, activation, kernel_spec, filter_spec, i, param,
-            fused=fused,
+            fused=fused, fused_transitions=getattr(cfg, "fused_transitions", False),
         )
 
     x_out = ops.to_rgb(g.sub(f"to_rgb_{phase}"), x, channels=base_shape[0])

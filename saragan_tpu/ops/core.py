@@ -351,6 +351,52 @@ def upscale(x: jax.Array, factor: int = 2) -> jax.Array:
     return avg_unpool(x, factor)
 
 
+def upscale_conv(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Fused nearest-2x-upscale + SAME conv: conv(repeat(x), w), computed
+    WITHOUT materializing the upscaled activation.
+
+    Because repeat and conv are both linear they fuse exactly:
+    repeat(x) = zero-dilate(x) ⊛ ones(2)^d, so
+    conv(repeat(x), w) = transposed-conv(x, w ⊛ ones(2)^d) — one
+    lhs_dilated conv with the per-dim box-summed kernel (size k+1), reading
+    x at coarse resolution.  3.4x fewer madds than conv-after-repeat for
+    k=3 (2^3 taps/voxel vs 27) when the lowering skips dilation zeros.
+
+    w: (*kernel, in, out), odd kernel. Output: fine resolution, SAME-aligned
+    with conv(repeat(x), w) exactly (validated in tests incl. grads).
+    """
+    spatial_rank = x.ndim - 2
+    kernel = w.shape[:spatial_rank]
+
+    # per-dim kernel' = box-sum of w: w'[j] = w[j-1] + w[j] (length k+1)
+    def box_sum(arr, axis):
+        k = arr.shape[axis]
+        z = jnp.zeros_like(lax.slice_in_dim(arr, 0, 1, axis=axis))
+        shifted = jnp.concatenate([z, arr], axis=axis)  # w[j-1] terms
+        padded = jnp.concatenate([arr, z], axis=axis)  # w[j] terms
+        return shifted + padded  # length k+1
+
+    wp = w
+    for axis in range(spatial_rank):
+        wp = box_sum(wp, axis)
+
+    # Alignment (1D, odd k, h = (k-1)/2): SAME conv over repeat(x) gives
+    # y[o] = sum_c x[c] * w'[2c + 1 + h - o]; an lhs_dilation=2 correlation
+    # with padding pl satisfies out[o] = sum_c x[c] * w'[2c - o + pl], so
+    # pl = h + 1 = (k+1)/2, and output length 2n requires ph = (k+1)/2 too.
+    dn = _conv_dimension_numbers(spatial_rank)
+    pads = [((kk + 1) // 2, (kk + 1) // 2) for kk in kernel]
+    return lax.conv_general_dilated(
+        x,
+        wp.astype(x.dtype),
+        window_strides=(1,) * spatial_rank,
+        padding=pads,
+        lhs_dilation=(2,) * spatial_rank,
+        dimension_numbers=dn,
+        preferred_element_type=x.dtype,
+    )
+
+
 def downscale(x: jax.Array, factor: int = 2) -> jax.Array:
     """Average pool. Reference VJP: (1/factor**n)-scaled nearest upsample,
     second order: avg-pool again (ops.py:292-305) — identical to autodiff."""
