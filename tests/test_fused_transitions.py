@@ -1,0 +1,65 @@
+"""Fused upscale+conv transition: exact equality with the unfused path
+through 1st-order gradients, and pgan parity under cfg.fused_transitions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saragan_tpu.config import Config
+from saragan_tpu.models import get_architecture
+from saragan_tpu.ops.core import _conv_direct, avg_unpool, upscale_conv
+
+
+@pytest.mark.parametrize(
+    "shape,kshape",
+    [
+        ((2, 3, 4, 5, 6), (3, 3, 3)),
+        ((1, 2, 2, 2, 2), (3, 3, 3)),
+        ((2, 3, 6, 5), (3, 3)),
+        ((1, 2, 4, 4, 4), (1, 3, 3)),
+        ((1, 2, 4, 4, 4), (1, 1, 1)),
+        ((2, 2, 3, 4, 4), (5, 5, 5)),
+    ],
+)
+def test_upscale_conv_matches_oracle(np_rng, shape, kshape):
+    x = jnp.asarray(np_rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(np_rng.normal(size=(*kshape, shape[1], 4)).astype(np.float32)) * 0.1
+    oracle = _conv_direct(avg_unpool(x, 2), w)
+    got = upscale_conv(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), rtol=1e-4, atol=1e-5)
+
+
+def test_upscale_conv_gradients(np_rng):
+    x = jnp.asarray(np_rng.normal(size=(2, 3, 4, 4, 4)).astype(np.float32))
+    w = jnp.asarray(np_rng.normal(size=(3, 3, 3, 3, 4)).astype(np.float32)) * 0.1
+    f1 = lambda x, w: jnp.sum(jnp.sin(upscale_conv(x, w)))
+    f2 = lambda x, w: jnp.sum(jnp.sin(_conv_direct(avg_unpool(x, 2), w)))
+    for arg in (0, 1):
+        g1 = jax.grad(f1, arg)(x, w)
+        g2 = jax.grad(f2, arg)(x, w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
+
+
+def test_pgan_fused_transitions_parity(rng):
+    base = dict(
+        architecture="pgan",
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 16, 16, 16)",
+        latent_dim=16,
+        kernel_spec=[[[], [3, 3, 3]], [[3, 3, 3], [3, 3, 3]]],
+        filter_spec=[[8, 8], [8, 8]],
+        noise_stddev=0.0,
+        g_lr=1e-3,
+        d_lr=1e-3,
+    )
+    cfg = Config(**base).finalize()
+    cfg_f = Config(**base, fused_transitions=True).finalize()
+    arch = get_architecture("pgan")
+    params = arch.init(rng, phase=2, cfg=cfg)
+    params_f = arch.init(rng, phase=2, cfg=cfg_f)
+    assert set(params) == set(params_f)  # identical parameter tree
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    a = arch.generator(params, z, 0.5, phase=2, cfg=cfg)
+    b = arch.generator(params, z, 0.5, phase=2, cfg=cfg_f)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
