@@ -44,6 +44,7 @@ def main():
         g_lr=1e-3,
         d_lr=1e-3,
         compute_dtype="bfloat16",
+        fused_transitions=True,  # exact upscale+conv fusion (+5.6% measured)
     ).finalize()
 
     arch = get_architecture("pgan")

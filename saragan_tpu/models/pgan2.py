@@ -36,13 +36,24 @@ def _generator_in(scope, x, filters, shape, activation, param):
     return x
 
 
-def _generator_block(scope, x, filters_out, activation, param):
+def _generator_block(scope, x, filters_out, activation, param, fused_transitions=False):
     r = scope.sub("residual")
     t = ops.conv(r, x, filters_out, (1,) * (x.ndim - 2), activation, param=param)
     t = ops.upscale(t)
 
-    x = ops.upscale(x)
-    for name in ("conv_1", "conv_2"):
+    if fused_transitions:
+        c = scope.sub("conv_1")
+        kernel = adaptive_kernel([s * 2 for s in x.shape[2:]])
+        w = ops.get_weight(c, (*kernel, x.shape[1], filters_out), activation, param=param)
+        x = ops.core.upscale_conv(x, w.astype(x.dtype))
+        x = ops.apply_bias(c, x)
+        x = ops.act(x, activation, param=param)
+        x = ops.pixel_norm(x)
+        names = ("conv_2",)
+    else:
+        x = ops.upscale(x)
+        names = ("conv_1", "conv_2")
+    for name in names:
         c = scope.sub(name)
         kernel = adaptive_kernel(x.shape[2:])
         x = ops.conv(c, x, filters_out, kernel, activation, param=param)
@@ -66,7 +77,8 @@ def _generator(scope, z, alpha, phase, cfg, param):
 
     for i in range(2, phase + 1):
         filters_out = phase_filters(cfg, i)
-        x = _generator_block(g.sub(f"generator_block_{i}"), x, filters_out, activation, param)
+        x = _generator_block(g.sub(f"generator_block_{i}"), x, filters_out, activation, param,
+                             fused_transitions=getattr(cfg, "fused_transitions", False))
         rgb = ops.to_rgb(g.sub(f"to_rgb_{i}"), x, channels)
         if i == phase:
             a = jnp.asarray(alpha, x.dtype)

@@ -97,6 +97,7 @@ def modulated_conv(
     demodulate: bool = True,
     param=None,
     lrmul: float = 1.0,
+    fused_transitions: bool = False,
 ):
     """Modulated conv (reference stylegan2/ops.py:5-37), rank-generic."""
     spatial_rank = x.ndim - 2
@@ -117,6 +118,13 @@ def modulated_conv(
 
     x = x * s.reshape(s.shape + (1,) * spatial_rank).astype(x.dtype)
     if up:
+        if fused_transitions:
+            # upscale commutes with the per-channel modulation already
+            # applied; fuse the upscale into the conv (exact)
+            x = ops.core.upscale_conv(x, w.astype(x.dtype))
+            if demodulate:
+                x = x * d.reshape(d.shape + (1,) * spatial_rank).astype(x.dtype)
+            return x
         x = ops.upscale(x)
 
     x = ops.core.conv_apply(x, w.astype(x.dtype))
