@@ -54,9 +54,23 @@ def _synthesis_in(scope, d_z, base_dim, base_shape, activation, param, rng):
     return x
 
 
-def _synthesis_block(scope, x, filters_out, d_z, layer_idx, activation, param, rng):
-    x = ops.upscale(x)
-    for j, name in enumerate(("conv_1", "conv_2")):
+def _synthesis_block(scope, x, filters_out, d_z, layer_idx, activation, param, rng,
+                     fused_transitions=False):
+    if fused_transitions:
+        c = scope.sub("conv_1")
+        kernel = adaptive_kernel([s * 2 for s in x.shape[2:]])
+        w = ops.get_weight(c, (*kernel, x.shape[1], filters_out), activation, param=param)
+        x = ops.core.upscale_conv(x, w.astype(x.dtype))
+        x = style_ops.maybe_noise(c, x, rng, "noise")
+        x = ops.apply_bias(c, x)
+        x = ops.act(x, activation, param)
+        x = ops.instance_norm(x)
+        x = ops.style_mod(c, x, d_z[:, layer_idx * 2 - 2], activation, param)
+        layers = (("conv_2", 1),)
+    else:
+        x = ops.upscale(x)
+        layers = (("conv_1", 0), ("conv_2", 1))
+    for name, j in layers:
         c = scope.sub(name)
         kernel = adaptive_kernel(x.shape[2:])
         x = ops.conv(c, x, filters_out, kernel, activation, param)
@@ -85,6 +99,7 @@ def _g_synthesis(scope, d_z, alpha, phase, cfg, param, rng):
         x = _synthesis_block(
             s.sub(f"generator_block_{layer_idx}"), x, filters_out, d_z, layer_idx,
             activation, param, rng,
+            fused_transitions=getattr(cfg, "fused_transitions", False),
         )
     x_out = ops.to_rgb(s.sub(f"to_rgb_{phase}"), x, base_shape[0])
     if x_upsample is not None:

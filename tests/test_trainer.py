@@ -149,3 +149,26 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(restored["new/weight"], current["new/weight"])
     with pytest.raises(KeyError):
         ckpt.restore_into({"nope/x": np.zeros(1)}, p, strict=True)
+
+
+def test_alternate_strategy_end_to_end(tmp_path):
+    """Full run with the alternate (D-then-G) optimization strategy."""
+    make_pyramid(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path, ending_phase=1, optim_strategy="alternate")
+    tr = Trainer(cfg, verbose=False)
+    tr.run()
+    assert os.path.isfile(os.path.join(cfg.logdir, "model_1.npz"))
+
+
+def test_trainer_dp_sp_mesh(tmp_path):
+    """Trainer over a data x space mesh: batch on 'data', volume depth on
+    'space' (configs[3]-style with spatial sharding)."""
+    from saragan_tpu.parallel import make_mesh
+
+    make_pyramid(tmp_path / "data", n=16)
+    cfg = tiny_cfg(tmp_path, base_batch_size=4, mixing_nimg=8, stabilizing_nimg=8,
+                   num_space_shards=2)
+    mesh = make_mesh(num_data=2, num_space=2)
+    tr = Trainer(cfg, mesh=mesh, verbose=False)
+    tr.run()
+    assert os.path.isfile(os.path.join(cfg.logdir, "model_2.npz"))
