@@ -1,0 +1,87 @@
+"""Trainer counter/schedule semantics: alpha fade trajectory, periodic
+checkpoint cadence, summary tag names (reference optuna_objective.py
+counters and summary.py families)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+
+from saragan_tpu.train.trainer import Trainer
+from tests.test_trainer import make_pyramid, tiny_cfg
+
+
+def test_alpha_fades_linearly_then_zero(tmp_path, monkeypatch):
+    """alpha: starting_alpha -> 0 over mixing_nimg, exactly 0 while
+    stabilizing (reference ops.py:4-23 + optuna_objective.py:406-407,
+    :494-495, :564-570)."""
+    make_pyramid(tmp_path / "data")
+    # 16 mixing images at global batch 4 -> 4 mixing steps, alpha step 0.25
+    cfg = tiny_cfg(tmp_path, ending_phase=1, mixing_nimg=16, stabilizing_nimg=16)
+    tr = Trainer(cfg, verbose=False)
+
+    alphas = []
+    orig = tr._run_phase
+
+    # capture alpha each step by wrapping the step functions via writer... simpler:
+    # intercept through the lr_schedule hook is messy; instead use the jsonl
+    # events from a verbose run below. Here: verify via trainer internals by
+    # monkeypatching summaries off and reading the trajectory from a probe.
+    from saragan_tpu.train import trainer as trainer_mod
+
+    recorded = []
+    real_jit = trainer_mod.jit_train_step
+
+    def probe_jit(*args, **kw):
+        fn = real_jit(*args, **kw)
+
+        def wrapped(state, real, rng, alpha, g_lr, d_lr):
+            # outside jit: alpha is the host scalar the trainer passes
+            recorded.append(float(alpha))
+            return fn(state, real, rng, alpha, g_lr, d_lr)
+
+        return wrapped
+
+    monkeypatch.setattr(trainer_mod, "jit_train_step", probe_jit)
+    Trainer(cfg, verbose=False, prefetch=False).run()
+
+    # 8 steps total (32 images / batch 4): alphas 1.0, .75, .5, .25 then 0s
+    assert recorded[0] == 1.0
+    np.testing.assert_allclose(recorded[:4], [1.0, 0.75, 0.5, 0.25], rtol=1e-6)
+    assert all(a == 0.0 for a in recorded[4:])
+
+
+def test_periodic_checkpoint_cadence(tmp_path):
+    """model_{phase}_ckpt_{step} appears whenever global_step %
+    checkpoint_every_nsteps < global_batch (reference
+    optuna_objective.py:409-419)."""
+    make_pyramid(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path, ending_phase=1, mixing_nimg=16, stabilizing_nimg=16,
+                   checkpoint_every_nsteps=8)
+    Trainer(cfg, verbose=False, prefetch=False).run()
+    ckpts = sorted(glob.glob(os.path.join(cfg.logdir, "model_1_ckpt_*.npz")))
+    steps = sorted(int(os.path.basename(p).split("_")[-1].split(".")[0]) for p in ckpts)
+    # global batch 4, every 8 images, skipping step 0: 8, 16, 24
+    assert steps == [8, 16, 24]
+
+
+def test_summary_tags_reference_names(tmp_path):
+    """events.jsonl carries the reference summary families: d_loss/g_loss/
+    gp_loss (+_val/_EMA), alpha, g_lr, d_lr, max_*_grad_norm, img_s
+    (reference summary.py / SURVEY C20)."""
+    make_pyramid(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path, ending_phase=1, mixing_nimg=8, stabilizing_nimg=8,
+                   summary_small_every_nsteps=4)
+    Trainer(cfg, verbose=True, prefetch=False).run()
+    events = [json.loads(l) for l in open(os.path.join(cfg.logdir, "events.jsonl"))]
+    tags = {e["tag"] for e in events}
+    expected = {
+        "d_loss", "g_loss", "gp_loss",
+        "d_loss_val", "g_loss_val", "gp_loss_val",
+        "d_loss_EMA", "g_loss_EMA", "gp_loss_EMA",
+        "alpha", "g_lr", "d_lr", "img_s",
+        "max_g_grad_norm", "max_d_grad_norm",
+    }
+    assert expected <= tags, expected - tags
+    assert any(t.startswith("grad_norm/generator/") for t in tags)
