@@ -53,9 +53,10 @@ def _on_tpu() -> bool:
 
 
 def _fused_kernel(x_ref, b_ref, o_ref, *, alpha_lr: float, pixelnorm: bool, eps: float):
-    # block: (1, C, BLOCK_R, W) -> squeeze the leading grid axis
-    x = x_ref[0]  # (C, R, W)
-    b = b_ref[:].reshape(-1, 1, 1).astype(x.dtype)
+    # block: (1, C, T) -> squeeze the leading grid axis; 2D vectors keep
+    # Mosaic's (sublane, lane) layout happy (a (C,1,1) reshape does not)
+    x = x_ref[0]  # (C, T)
+    b = b_ref[:].astype(x.dtype)  # (C, 1), broadcasts over lanes
     y = x + b
     y = jnp.where(y >= 0, y, y * jnp.asarray(alpha_lr, y.dtype))
     if pixelnorm:
@@ -69,30 +70,30 @@ def _fused_forward(x: jax.Array, b: jax.Array, alpha_lr: float, pixelnorm: bool,
     """x: (N, C, *spatial); b: (C,)."""
     orig_shape = x.shape
     n, c = x.shape[:2]
-    spatial = x.shape[2:]
-    w = spatial[-1]
-    rows = 1
-    for s in spatial[:-1]:
-        rows *= s
-    x3 = x.reshape(n, c, rows, w)
+    total = 1
+    for s in x.shape[2:]:
+        total *= s
+    x3 = x.reshape(n, c, total)
+    b2 = b.reshape(c, 1)
 
-    block_r = rows
-    # keep blocks comfortably inside VMEM (~4MB budget for in+out)
-    while c * block_r * w * x.dtype.itemsize * 2 > 4 * 1024 * 1024 and block_r % 2 == 0:
-        block_r //= 2
-    grid = (n, rows // block_r)
+    # tiles sized to stay comfortably inside VMEM (halving keeps tile a
+    # divisor of total; Mosaic pads sub-128 lane tiles)
+    tile = total
+    while c * tile * x.dtype.itemsize * 2 > 4 * 1024 * 1024 and tile % 2 == 0:
+        tile //= 2
+    grid = (n, total // tile)
 
     out = pl.pallas_call(
         functools.partial(_fused_kernel, alpha_lr=alpha_lr, pixelnorm=pixelnorm, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((n, c, rows, w), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, c, total), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, c, block_r, w), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec((c,), lambda i, j: (0,)),
+            pl.BlockSpec((1, c, tile), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((c, 1), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, c, block_r, w), lambda i, j: (i, 0, j, 0)),
+        out_specs=pl.BlockSpec((1, c, tile), lambda i, j: (i, 0, j)),
         interpret=not _on_tpu(),
-    )(x3, b)
+    )(x3, b2)
     return out.reshape(orig_shape)
 
 
