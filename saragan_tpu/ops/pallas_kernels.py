@@ -53,16 +53,16 @@ def _on_tpu() -> bool:
 
 
 def _fused_kernel(x_ref, b_ref, o_ref, *, alpha_lr: float, pixelnorm: bool, eps: float):
-    # block: (1, C, T) -> squeeze the leading grid axis; 2D vectors keep
-    # Mosaic's (sublane, lane) layout happy (a (C,1,1) reshape does not)
-    x = x_ref[0]  # (C, T)
-    b = b_ref[:].astype(x.dtype)  # (C, 1), broadcasts over lanes
+    # strictly 2D (sublane=C, lane=T) blocks, math in f32 — 3D blocks and
+    # bf16 compares both hit Mosaic layout limits on the real chip
+    x = x_ref[:].astype(jnp.float32)  # (C, T)
+    b = b_ref[:].astype(jnp.float32)  # (C, 1), broadcasts over lanes
     y = x + b
-    y = jnp.where(y >= 0, y, y * jnp.asarray(alpha_lr, y.dtype))
+    y = jnp.where(y >= 0, y, y * alpha_lr)
     if pixelnorm:
-        m = jnp.mean(jnp.square(y.astype(jnp.float32)), axis=0, keepdims=True)
-        y = (y.astype(jnp.float32) * lax.rsqrt(m + eps)).astype(x.dtype)
-    o_ref[0] = y
+        m = jnp.mean(jnp.square(y), axis=0, keepdims=True)
+        y = y * lax.rsqrt(m + eps)
+    o_ref[:] = y.astype(o_ref.dtype)
 
 
 def _fused_forward(x: jax.Array, b: jax.Array, alpha_lr: float, pixelnorm: bool,
@@ -73,7 +73,7 @@ def _fused_forward(x: jax.Array, b: jax.Array, alpha_lr: float, pixelnorm: bool,
     total = 1
     for s in x.shape[2:]:
         total *= s
-    x3 = x.reshape(n, c, total)
+    x2 = x.reshape(n * c, total)
     b2 = b.reshape(c, 1)
 
     # tiles sized to stay comfortably inside VMEM (halving keeps tile a
@@ -85,15 +85,15 @@ def _fused_forward(x: jax.Array, b: jax.Array, alpha_lr: float, pixelnorm: bool,
 
     out = pl.pallas_call(
         functools.partial(_fused_kernel, alpha_lr=alpha_lr, pixelnorm=pixelnorm, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((n, c, total), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n * c, total), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, c, tile), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((c, tile), lambda i, j: (i, j)),
             pl.BlockSpec((c, 1), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, c, tile), lambda i, j: (i, 0, j)),
+        out_specs=pl.BlockSpec((c, tile), lambda i, j: (i, j)),
         interpret=not _on_tpu(),
-    )(x3, b2)
+    )(x2, b2)
     return out.reshape(orig_shape)
 
 
@@ -145,12 +145,15 @@ def bias_act_pixelnorm(x, b, alpha_lr: float = 0.2, pixelnorm: bool = True,
 # ---------------------------------------------------------------------------
 
 
-def _mbstd_kernel(x_ref, o_ref, *, eps: float):
-    x = x_ref[0].astype(jnp.float32)  # (G, F) with F = C*D*H*W flattened
-    mu = jnp.mean(x, axis=0, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=0)
-    y = jnp.sqrt(var + eps)
-    o_ref[0, 0] = jnp.mean(y)
+def _mbstd_kernel(x_ref, o_ref, *, eps: float, groups: int, gsize: int):
+    # 2D full-array block (groups*G, F); static per-group loop
+    x = x_ref[:].astype(jnp.float32)
+    for g in range(groups):
+        blk = x[g * gsize : (g + 1) * gsize]
+        mu = jnp.mean(blk, axis=0, keepdims=True)
+        var = jnp.mean(jnp.square(blk - mu), axis=0)
+        val = jnp.mean(jnp.sqrt(var + eps))
+        o_ref[g, :] = jnp.full((o_ref.shape[1],), val, o_ref.dtype)
 
 
 def minibatch_stddev_stat(x: jax.Array, group_size: int = 4, eps: float = 1e-8):
@@ -165,13 +168,12 @@ def minibatch_stddev_stat(x: jax.Array, group_size: int = 4, eps: float = 1e-8):
     groups = n // group_size
     flat = x.reshape(group_size, groups, -1).transpose(1, 0, 2)
     feat = flat.shape[-1]
-    # lane-pad to 128 for the TPU path
+    flat2 = flat.reshape(groups * group_size, feat)
     out = pl.pallas_call(
-        functools.partial(_mbstd_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((groups, 1), jnp.float32),
-        grid=(groups,),
-        in_specs=[pl.BlockSpec((1, group_size, feat), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0)),
+        functools.partial(_mbstd_kernel, eps=eps, groups=groups, gsize=group_size),
+        out_shape=jax.ShapeDtypeStruct((groups, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=getattr(pltpu, "VMEM", None)) if pltpu else pl.BlockSpec((groups * group_size, feat), lambda: (0, 0))],
+        out_specs=pl.BlockSpec((groups, 128), lambda: (0, 0)),
         interpret=not _on_tpu(),
-    )(flat)
-    return out  # (groups, 1)
+    )(flat2)
+    return out[:, :1]  # (groups, 1)
