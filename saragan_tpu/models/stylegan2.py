@@ -43,11 +43,14 @@ def _synthesis_in(scope, d_z, base_dim, base_shape, activation, param, rng):
     return x
 
 
-def _synthesis_block(scope, x, filters_out, d_z, layer_idx, activation, param, rng):
+def _synthesis_block(scope, x, filters_out, d_z, layer_idx, activation, param, rng,
+                     fused_transitions=False):
     c1 = scope.sub("conv_1")
+    # NB kernel fit to the PRE-upscale dims (reference g_synthesis.py:28-30
+    # reads x's shape before modulated_conv3d(up=True))
     x = style_ops.modulated_conv(
         c1, x, d_z[:, layer_idx * 3 - 5], filters_out, adaptive_kernel(x.shape[2:]),
-        activation, up=True, param=param,
+        activation, up=True, param=param, fused_transitions=fused_transitions,
     )
     x = style_ops.maybe_noise(c1, x, rng, "noise")
     x = ops.apply_bias(c1, x)
@@ -77,6 +80,7 @@ def _g_synthesis(scope, d_z, alpha, phase, cfg, param, rng):
         x = _synthesis_block(
             s.sub(f"generator_block_{layer_idx}"), x, filters_out, d_z, layer_idx,
             activation, param, rng,
+            fused_transitions=getattr(cfg, "fused_transitions", False),
         )
         rgb = style_ops.to_rgb_mod(
             s.sub(f"to_rgb_{layer_idx}"), x, d_z[:, layer_idx * 3 - 3], base_shape[0]
