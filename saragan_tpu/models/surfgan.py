@@ -73,7 +73,8 @@ def _conv_rc(scope: Scope, x, fmaps, kernel, activation, param=None, lrmul=1.0):
     return ops.conv(scope, x, fmaps, kernel, activation, param=param, lrmul=lrmul), rc
 
 
-def _modulated_conv_rc(scope, x, z, fmaps, kernel, activation, up=False, demodulate=True, param=None):
+def _modulated_conv_rc(scope, x, z, fmaps, kernel, activation, up=False, demodulate=True, param=None,
+                       fused_transitions=False):
     """surfgan/ops.py:63-97: stylegan2 modulated conv, with surfgan's
     runtime-coef-threaded bias inside the 'modulate' dense."""
     spatial_rank = x.ndim - 2
@@ -92,6 +93,11 @@ def _modulated_conv_rc(scope, x, z, fmaps, kernel, activation, up=False, demodul
 
     x = x * s.reshape(s.shape + (1,) * spatial_rank).astype(x.dtype)
     if up:
+        if fused_transitions:
+            x = ops.core.upscale_conv(x, w.astype(x.dtype))
+            if demodulate:
+                x = x * d.reshape(d.shape + (1,) * spatial_rank).astype(x.dtype)
+            return x, rc
         x = ops.upscale(x)
     x = ops.core.conv_apply(x, w.astype(x.dtype))
     if demodulate:
@@ -154,17 +160,19 @@ def _synthesis_in(scope, d_z, base_dim, base_shape, activation, param, rng):
     return x
 
 
-def _synthesis_block(scope, x, filters_out, d_z, layer_idx, activation, param, rng):
+def _synthesis_block(scope, x, filters_out, d_z, layer_idx, activation, param, rng,
+                     fused_transitions=False):
     r = scope.sub("residual")
     t, _ = _modulated_conv_rc(
         r, x, d_z[:, layer_idx * 4 - 6], filters_out, (1,) * (x.ndim - 2),
-        activation, up=True, param=param,
+        activation, up=True, param=param, fused_transitions=fused_transitions,
     )
 
     c1 = scope.sub("conv_1")
+    # kernel fit to PRE-upscale dims (reference surfgan/g_synthesis.py:34-36)
     x, rc = _modulated_conv_rc(
         c1, x, d_z[:, layer_idx * 3 - 5], filters_out, adaptive_kernel(x.shape[2:]),
-        activation, up=True, param=param,
+        activation, up=True, param=param, fused_transitions=fused_transitions,
     )
     x = _apply_noise_rc(c1.sub("apply_noise"), x, rng, rc)
     x = _apply_bias_rc(c1, x, rc)
@@ -196,6 +204,7 @@ def _g_synthesis(scope, d_z, alpha, phase, cfg, param, rng):
         x = _synthesis_block(
             s.sub(f"generator_block_{layer_idx}"), x, filters_out, d_z, layer_idx,
             activation, param, rng,
+            fused_transitions=getattr(cfg, "fused_transitions", False),
         )
         rgb = _to_rgb_mod(s.sub(f"to_rgb_{layer_idx}"), x, d_z[:, layer_idx * 4 - 3], base_shape[0])
         if layer_idx == phase:

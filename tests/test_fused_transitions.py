@@ -139,3 +139,28 @@ def test_stylegan2_fused_transitions_parity(rng):
     np.testing.assert_allclose(
         np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-3, atol=1e-4
     )
+
+
+def test_surfgan_fused_transitions_parity(rng):
+    cfg_base = dict(
+        architecture="surfgan",
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 32, 32, 32)",
+        latent_dim=16,
+        network_size="xxs",
+        noise_stddev=0.0,
+        g_lr=1e-3,
+        d_lr=1e-3,
+    )
+    cfg = Config(**cfg_base).finalize()
+    cfg_f = Config(**cfg_base, fused_transitions=True).finalize()
+    arch = get_architecture("surfgan")
+    params = arch.init(rng, phase=2, cfg=cfg)
+    params_f = arch.init(rng, phase=2, cfg=cfg_f)
+    assert set(params) == set(params_f)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    a = arch.generator(params, z, 0.0, phase=2, cfg=cfg, train=False)
+    b = arch.generator(params, z, 0.0, phase=2, cfg=cfg_f, train=False)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-3, atol=1e-4
+    )
