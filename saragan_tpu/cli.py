@@ -99,11 +99,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_adasum", default=False, action="store_true")  # parity no-op
     p.add_argument("--ema_beta", type=float, default=0.99)
     p.add_argument("--noise_stddev", default=None, type=float, required=True)
-    p.add_argument("--optimizer", type=none_or_str,
-                   choices=[None, "Adam", "SGD", "Momentum", "Adadelta"], default="Adam")
+    # LAMB/RAdam/AdamW are the reference 2D path's hand-written TF1
+    # optimizers (SURFGAN_2D/optim.py, lamb.py, rectified_adam.py)
+    _optim_choices = [None, "Adam", "SGD", "Momentum", "Adadelta", "LAMB", "RAdam", "AdamW"]
+    p.add_argument("--optimizer", type=none_or_str, choices=_optim_choices, default="Adam")
     p.add_argument("--d_use_different_optimizer", default=False, action="store_true")
-    p.add_argument("--d_optimizer", type=none_or_str,
-                   choices=[None, "Adam", "SGD", "Momentum", "Adadelta"], default="Adam")
+    p.add_argument("--d_optimizer", type=none_or_str, choices=_optim_choices, default="Adam")
+    p.add_argument("--weight_decay", type=float, default=0.01,
+                   help="Decoupled weight decay for LAMB/AdamW (SURFGAN_2D/optim.py:191-426)")
+    p.add_argument("--d_use_different_weight_decay", default=False, action="store_true")
+    p.add_argument("--d_weight_decay", type=float, default=0.01)
+    p.add_argument("--gradient_accumulation", type=int, default=1,
+                   help="Micro-batches averaged per optimizer step (SURFGAN_2D/optim.py:95-160)")
+    p.add_argument("--use_spectral_norm", default=False, action="store_true",
+                   help="Spectral-normalize discriminator weights (networks/ops.py:111-127)")
+    p.add_argument("--spectral_iterations", type=int, default=3)
     p.add_argument("--adam_beta1", type=none_or_float, default=0)
     p.add_argument("--d_use_different_beta1", default=False, action="store_true")
     p.add_argument("--d_adam_beta1", type=none_or_float, default=0)
@@ -125,6 +135,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True, action="store_false")
     p.add_argument("--disable_compute_metrics_test", dest="compute_metrics_test",
                    default=True, action="store_false")
+    p.add_argument("--disable_grad_histograms", dest="grad_histograms",
+                   default=True, action="store_false")
     p.add_argument("--summary_small_every_nsteps", default=32, type=int)
     p.add_argument("--summary_large_every_nsteps", default=64, type=int)
     p.add_argument("--num_metric_samples", type=none_or_int, default=None)
@@ -132,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics_batch_size", default=16, type=int)
     for m in ("FID", "swds", "ssims", "psnrs", "mses", "nrmses"):
         p.add_argument(f"--compute_{m}", default=False, action="store_true")
+    p.add_argument("--inception_weights", default=None, type=none_or_str,
+                   help="Converted pt_inception-2015-12-05 npz for calibrated FID")
+    p.add_argument("--allow_uncalibrated_fid", default=False, action="store_true",
+                   help="Allow random-feature FID when no Inception weights are "
+                        "available (run-internal values only; never sent to the pruner)")
     # HPO
     p.add_argument("--optuna_distributed", default=False, action="store_true")
     p.add_argument("--optuna_ntrials", default=None, type=none_or_int)

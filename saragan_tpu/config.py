@@ -113,6 +113,8 @@ class Config:
     # --- loss & optimization (reference main.py:289-319) ---
     loss_fn: str = "logistic"
     gp_weight: float = 1.0
+    use_spectral_norm: bool = False  # spectral-normalize discriminator weights (reference ops.py:111-127)
+    spectral_iterations: int = 3  # power iterations per forward (reference amortizes 1/step via an assigned u)
     g_clipping: bool = False
     d_clipping: bool = False
     optim_strategy: str = "simultaneous"
@@ -134,6 +136,12 @@ class Config:
     momentum: Optional[float] = 0.9
     d_use_different_momentum: bool = False
     d_momentum: Optional[float] = 0.9
+    # 2D-path extras (reference SURFGAN_2D/main.py:206-212, optim.py:95-160):
+    # LAMB/RAdam/AdamW weight decay and micro-batch gradient accumulation.
+    weight_decay: float = 0.01
+    d_use_different_weight_decay: bool = False
+    d_weight_decay: float = 0.01
+    gradient_accumulation: int = 1  # micro-batches per optimizer step (1 = off)
     g_annealing: float = 1.0
     d_annealing: float = 1.0
     # --- metrics (reference main.py:325-341) ---
@@ -141,12 +149,15 @@ class Config:
     compute_metrics_train: bool = False
     compute_metrics_validation: bool = True
     compute_metrics_test: bool = True
+    grad_histograms: bool = True  # per-variable grad histograms, binned on device (reference summary.py:83-87)
     summary_small_every_nsteps: int = 32
     summary_large_every_nsteps: int = 64
     num_metric_samples: Optional[int] = None
     metrics_every_nsteps: int = 128
     metrics_batch_size: int = 16
     compute_FID: bool = False
+    inception_weights: Optional[str] = None  # converted pt_inception npz (or SARAGAN_INCEPTION_NPZ)
+    allow_uncalibrated_fid: bool = False  # explicit opt-in to random-feature FID (run-internal only)
     compute_swds: bool = False
     compute_ssims: bool = False
     compute_psnrs: bool = False
@@ -279,6 +290,8 @@ class Config:
             c.d_rho = c.rho
         if not c.d_use_different_momentum:
             c.d_momentum = c.momentum
+        if not c.d_use_different_weight_decay:
+            c.d_weight_decay = c.weight_decay
         if c.architecture == "stylegan2":
             # reference main.py:413-414: stylegan2 has no progressive alpha
             assert c.starting_phase == c.ending_phase, (

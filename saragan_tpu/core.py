@@ -46,16 +46,23 @@ class Scope:
         init: bool = False,
         rng: Optional[jax.Array] = None,
         dtype: jnp.dtype = jnp.float32,
+        spectral: int = 0,
     ):
         self.params = params
         self.prefix = prefix
         self.init = init
         self.rng = rng
         self.dtype = dtype
+        # >0: every get_weight under this scope is spectrally normalized with
+        # this many power iterations (reference ops.py:111-127 get_weight's
+        # use_spectral_norm; set on the discriminator scope via
+        # cfg.use_spectral_norm)
+        self.spectral = spectral
 
     def sub(self, name: str) -> "Scope":
         prefix = f"{self.prefix}/{name}" if self.prefix else name
-        return Scope(self.params, prefix, init=self.init, rng=self.rng, dtype=self.dtype)
+        return Scope(self.params, prefix, init=self.init, rng=self.rng, dtype=self.dtype,
+                     spectral=self.spectral)
 
     def path(self, name: str) -> str:
         return f"{self.prefix}/{name}" if self.prefix else name

@@ -136,6 +136,7 @@ class FrozenTrial:
     value: Optional[float] = None
     values: Optional[List[float]] = None
     intermediate_values: Dict[int, float] = field(default_factory=dict)
+    dists: Dict[str, tuple] = field(default_factory=dict)
 
     @property
     def last_step(self):
@@ -159,6 +160,7 @@ def _freeze(raw: dict) -> FrozenTrial:
         value=scalar,
         values=values,
         intermediate_values=raw.get("intermediate", {}),
+        dists=raw.get("dists", {}),
     )
 
 
@@ -175,7 +177,7 @@ class Trial:
     def _suggest(self, name: str, dist: tuple):
         if name in self.params:
             return self.params[name]
-        value = self.study.sampler.sample(self.study, name, dist)
+        value = self.study.sampler.sample(self.study, name, dist, trial=self)
         self.params[name] = value
         self._dists[name] = dist
         self.study._storage.update_trial(self.number, params=self.params, dists=self._dists)
@@ -284,14 +286,22 @@ class RandomSampler:
     def __init__(self, seed: Optional[int] = None):
         self._rng = random.Random(seed)
 
-    def sample(self, study, name, dist):
+    def sample(self, study, name, dist, trial=None):
         return _dist_sample_random(self._rng, dist)
 
 
 class TPESampler:
-    """Tree-structured Parzen Estimator (independent per-parameter Parzen
-    windows; `multivariate=True` shares the good/bad split across params,
-    which is what the reference's flag toggles)."""
+    """Tree-structured Parzen Estimator.
+
+    Default: independent per-parameter Parzen windows (Optuna's classic
+    univariate TPE).  ``multivariate=True`` (the reference's
+    --optuna_TPE_multivariate, main.py:62-66) switches to JOINT modelling:
+    on the first suggest call of a trial, `n_ei_candidates` full parameter
+    vectors are drawn from Gaussian kernels centered on complete *good*
+    trials, scored by the joint l(x)/g(x) ratio (product kernels,
+    log-sum-exp over mixture components), and the argmax vector is cached on
+    the trial — so correlated parameters are proposed together rather than
+    coordinate-wise."""
 
     def __init__(self, seed: Optional[int] = None, n_startup_trials: int = 10,
                  n_ei_candidates: int = 24, gamma: float = 0.25, multivariate: bool = False):
@@ -301,17 +311,74 @@ class TPESampler:
         self.gamma = gamma
         self.multivariate = multivariate
 
-    def sample(self, study, name, dist):
+    def _split(self, study, complete):
+        sign = 1.0 if study.direction == "minimize" else -1.0
+        ranked = sorted(complete, key=lambda t: sign * t.value)
+        n_good = max(1, int(self.gamma * len(ranked)))
+        return ranked[:n_good], ranked[n_good:]
+
+    # -- joint (multivariate) path --------------------------------------
+
+    def _sample_joint(self, study, complete) -> Dict[str, float]:
+        good_t, bad_t = self._split(study, complete)
+        dists: Dict[str, tuple] = {}
+        for t in complete:
+            dists.update(t.dists)
+        names = sorted(dists)
+
+        def vec(t):
+            return {
+                n: _to_unit(t.params[n], dists[n]) for n in names if n in t.params
+            }
+
+        good = [vec(t) for t in good_t]
+        bad = [vec(t) for t in bad_t] or [{n: 0.5 for n in names}]
+        bw = max(1.0 / max(len(good), 1) ** 0.5 * 0.2, 0.05)
+
+        def log_mix(points, cand):
+            # log of the mixture density with product kernels over shared dims
+            comps = []
+            for p in points:
+                s = 0.0
+                for n, x in cand.items():
+                    if n in p:
+                        s += -0.5 * ((x - p[n]) / bw) ** 2 - math.log(bw)
+                comps.append(s)
+            m = max(comps)
+            return m + math.log(sum(math.exp(c - m) for c in comps) / len(comps) + 1e-300)
+
+        best, best_score = None, -math.inf
+        for _ in range(self.n_ei_candidates):
+            base = self._rng.choice(good)
+            cand = {
+                n: min(max(base.get(n, 0.5) + self._rng.gauss(0, bw), 0.0), 1.0)
+                for n in names
+            }
+            score = log_mix(good, cand) - log_mix(bad, cand)
+            if score > best_score:
+                best, best_score = cand, score
+        return best
+
+    # -- public ----------------------------------------------------------
+
+    def sample(self, study, name, dist, trial=None):
         complete = [t for t in study.get_trials() if t.state == COMPLETE and name in t.params
                     and t.value is not None]
         if len(complete) < self.n_startup_trials:
             return _dist_sample_random(self._rng, dist)
 
-        sign = 1.0 if study.direction == "minimize" else -1.0
-        ranked = sorted(complete, key=lambda t: sign * t.value)
-        n_good = max(1, int(self.gamma * len(ranked)))
-        good = [_to_unit(t.params[name], dist) for t in ranked[:n_good]]
-        bad = [_to_unit(t.params[name], dist) for t in ranked[n_good:]] or [0.5]
+        if self.multivariate and trial is not None:
+            cache = getattr(trial, "_tpe_joint", None)
+            if cache is None:
+                cache = self._sample_joint(study, complete)
+                trial._tpe_joint = cache
+            if name in cache:
+                return _from_unit(cache[name], dist)
+            # params never seen jointly fall through to the univariate path
+
+        good_t, bad_t = self._split(study, complete)
+        good = [_to_unit(t.params[name], dist) for t in good_t]
+        bad = [_to_unit(t.params[name], dist) for t in bad_t] or [0.5]
 
         bw = max(1.0 / max(len(good), 1) ** 0.5 * 0.2, 0.05)
 
@@ -342,7 +409,7 @@ class CmaEsSampler:
         self.restart_strategy = restart_strategy
         self.inc_popsize = inc_popsize
 
-    def sample(self, study, name, dist):
+    def sample(self, study, name, dist, trial=None):
         states = (COMPLETE, PRUNED) if self.consider_pruned else (COMPLETE,)
         done = [t for t in study.get_trials() if t.state in states and name in t.params
                 and t.value is not None]
@@ -390,7 +457,7 @@ class NSGAIISampler:
         self.n_startup_trials = n_startup_trials
         self.mutation_prob = mutation_prob
 
-    def sample(self, study, name, dist):
+    def sample(self, study, name, dist, trial=None):
         done = [t for t in study.get_trials() if t.state == COMPLETE and name in t.params
                 and t.values is not None]
         if len(done) < self.n_startup_trials:
@@ -408,7 +475,7 @@ class NSGAIISampler:
 class MOTPESampler(TPESampler):
     """Multi-objective TPE: 'good' = Pareto front, 'bad' = the rest."""
 
-    def sample(self, study, name, dist):
+    def sample(self, study, name, dist, trial=None):
         done = [t for t in study.get_trials() if t.state == COMPLETE and name in t.params
                 and t.values is not None]
         if len(done) < self.n_startup_trials:

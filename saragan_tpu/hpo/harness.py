@@ -31,6 +31,15 @@ from saragan_tpu import hpo
 from saragan_tpu.config import Config
 
 
+def _nproc() -> int:
+    try:
+        import jax
+
+        return jax.process_count()
+    except Exception:
+        return 1
+
+
 def worker_id() -> int:
     wid = os.environ.get("SARAGAN_WORKER_ID")
     if wid is not None:
@@ -131,11 +140,27 @@ def default_objective(trial, cfg: Config):
     from saragan_tpu.hpo.suggestions import optuna_override_undefined
     from saragan_tpu.metrics.save_metrics import make_metrics_callback
     from saragan_tpu.parallel import make_mesh
+    from saragan_tpu.parallel.multihost import synchronized_trial
     from saragan_tpu.train.trainer import Trainer, TrialPruned as TrainerPruned
 
+    if trial is not None or _nproc() > 1:
+        # Multi-process lockstep: process 0 holds the real trial (trial is
+        # None on the others); suggestions and prune decisions broadcast from
+        # process 0 (reference optuna_objective.py:519-541) — so the override
+        # below samples IDENTICAL params on every process.
+        trial = synchronized_trial(trial)
     if trial is not None:
         cfg = optuna_override_undefined(cfg, trial)
     cfg = cfg.finalize()
+    # None means "let the HPO trial pick it" (reference main.py:212-223);
+    # in a normal run nothing fills these — fail with the remedy instead of
+    # a mid-training TypeError (the reference crashes in tf.Variable(None)).
+    for field in ("g_lr", "d_lr", "base_batch_size", "optimizer", "noise_stddev"):
+        if getattr(cfg, field) is None:
+            raise ValueError(
+                f"--{field} is unset (None). Either pass --{field} explicitly or "
+                f"run under HPO (--optuna_ntrials N) so the trial samples it."
+            )
     if cfg.optuna_distributed:
         cfg.logdir = os.path.join(cfg.logdir or "runs", str(worker_id()))
 
@@ -197,12 +222,29 @@ def run(cfg: Config, objective: Callable = default_objective):
         return study
 
     if cfg.optuna_ntrials is not None or cfg.optuna_storage is not None:
-        # intra-trial HPO: DP inside each trial, one study driver
+        # intra-trial HPO: DP inside each trial, process 0 drives the study.
+        # Under jax.process_count() > 1 the other processes run the SAME
+        # number of trials against a local throwaway study — every suggested
+        # param and prune decision reaches them via broadcast from process 0
+        # (synchronized_trial in default_objective), so their own sampled
+        # values are never used and never touch the shared storage
+        # (reference main.py:183-205 rank-0 gating).
         storage = cfg.optuna_storage
         name = cfg.optuna_study_name or "saragan"
         kwargs = dict(directions=["minimize", "minimize"]) if multi else dict(direction="minimize")
-        study = hpo.create_study(study_name=name, storage=storage, sampler=sampler,
-                                 pruner=pruner, load_if_exists=True, **kwargs)
+        coordinator = True
+        if _nproc() > 1:
+            import jax
+
+            coordinator = jax.process_index() == 0
+        study = hpo.create_study(
+            study_name=name,
+            storage=storage if coordinator else None,
+            sampler=sampler,
+            pruner=pruner,
+            load_if_exists=True,
+            **kwargs,
+        )
         study.optimize(lambda t: objective(t, cfg), n_trials=cfg.optuna_ntrials,
                        catch=_catchable(), gc_after_trial=True)
         return study

@@ -83,6 +83,10 @@ class RandomConvFeatures:
     convs to /16 resolution, global mean+max pooling, random projection.
     """
 
+    #: random features are run-internally consistent but NOT numerically
+    #: comparable to Inception FID — never report them as "FID" externally.
+    calibrated = False
+
     def __init__(self, seed: int = 1234, out_dim: int = 2048):
         self.seed = seed
         self.out_dim = out_dim
@@ -138,6 +142,8 @@ class InceptionFeatures:
     there is no network egress in the build environment to download weights.
     """
 
+    calibrated = True
+
     def __init__(self, npz_path: Optional[str] = None):
         self.npz_path = npz_path or os.environ.get("SARAGAN_INCEPTION_NPZ")
         if not self.npz_path or not os.path.isfile(self.npz_path):
@@ -154,11 +160,38 @@ class InceptionFeatures:
         return self._impl.extract(images)
 
 
-def default_extractor() -> "RandomConvFeatures":
+class UncalibratedFIDError(RuntimeError):
+    """Raised when FID is requested but no Inception weights are available."""
+
+
+def default_extractor(allow_uncalibrated: bool = False, npz_path: Optional[str] = None):
+    """Inception pool_3 extractor, or a HARD error without weights.
+
+    The reference's FID is defined by frozen Inception features
+    (fid_new.py:291-317); silently substituting random features would feed
+    incomparable numbers to the HPO pruner and to logs labelled "fid".  Only
+    with ``allow_uncalibrated=True`` (cfg/CLI --allow_uncalibrated_fid, or
+    SARAGAN_ALLOW_UNCALIBRATED_FID=1) does this fall back to
+    ``RandomConvFeatures`` — and even then the trainer withholds the value
+    from ``trial.report`` (train/trainer.py).
+    """
     try:
-        return InceptionFeatures()
-    except (FileNotFoundError, NotImplementedError):
-        return RandomConvFeatures()
+        return InceptionFeatures(npz_path)
+    except (FileNotFoundError, NotImplementedError) as e:
+        if allow_uncalibrated or os.environ.get("SARAGAN_ALLOW_UNCALIBRATED_FID"):
+            warnings.warn(
+                "FID requested without Inception weights: falling back to "
+                "RandomConvFeatures. Values are run-internal only and are NOT "
+                "comparable to published FID numbers."
+            )
+            return RandomConvFeatures()
+        raise UncalibratedFIDError(
+            "compute_FID requires converted Inception weights (set "
+            "SARAGAN_INCEPTION_NPZ or --inception_weights; converter: "
+            "saragan_tpu.metrics.inception.convert_torch_state_dict). "
+            "Pass --allow_uncalibrated_fid to knowingly use random-feature "
+            "FID for run-internal comparison only."
+        ) from e
 
 
 # -----------------------------------------------------------------------------
@@ -179,13 +212,20 @@ def get_activations_from_volume(volume_dhwc: np.ndarray, extractor, batch_size: 
     return np.concatenate(preds, axis=0)
 
 
-def calculate_fid_given_batch_volumes(
+def volume_batch_activations(
     volumes_batch_real: np.ndarray,
     volumes_batch_fake: np.ndarray,
     extractor=None,
     data_format: str = "NCDHW",
     verbose: bool = True,
-) -> float:
+):
+    """Pooled per-z-slice activations for a (real, fake) volume batch.
+
+    Returns (acts_real, acts_fake), each (num_volumes * depth, feat_dim).
+    Exposed separately from `calculate_fid_given_batch_volumes` so the
+    orchestrator can pool activations across *all* metric batches into one
+    set before a single Frechet distance (the reference gathers all fakes to
+    rank 0 for exactly this bias concern, save_metrics.py:148-151)."""
     if volumes_batch_real.shape != volumes_batch_fake.shape:
         raise Exception(
             "ERROR: unequal shape for batches of real images (%s) and fake images (%s)"
@@ -221,6 +261,17 @@ def calculate_fid_given_batch_volumes(
         acts_fake.append(get_activations_from_volume(volumes_batch_fake[i], extractor, batch_size))
 
     # all z-slices of all volumes pooled into one activation set (fid_new.py:419-427)
-    activations_real = np.concatenate(acts_real, axis=0)
-    activations_fake = np.concatenate(acts_fake, axis=0)
-    return frechet_distance(activations_real, activations_fake)
+    return np.concatenate(acts_real, axis=0), np.concatenate(acts_fake, axis=0)
+
+
+def calculate_fid_given_batch_volumes(
+    volumes_batch_real: np.ndarray,
+    volumes_batch_fake: np.ndarray,
+    extractor=None,
+    data_format: str = "NCDHW",
+    verbose: bool = True,
+) -> float:
+    acts_real, acts_fake = volume_batch_activations(
+        volumes_batch_real, volumes_batch_fake, extractor, data_format, verbose
+    )
+    return frechet_distance(acts_real, acts_fake)

@@ -22,7 +22,11 @@ import jax
 import numpy as np
 
 from saragan_tpu.data.normalize import normalize_numpy
-from saragan_tpu.metrics.fid import calculate_fid_given_batch_volumes
+from saragan_tpu.metrics.fid import (
+    calculate_fid_given_batch_volumes,
+    frechet_distance,
+    volume_batch_activations,
+)
 from saragan_tpu.metrics.skim import (
     get_mean_squared_error,
     get_normalized_root_mse,
@@ -48,8 +52,20 @@ def save_metrics(
     suffix: str = "",
     extractor=None,
     rng: Optional[jax.Array] = None,
+    fid_mode: str = "pooled",
 ) -> Dict[str, float]:
-    """sample_fn(rng_key, n) -> (n, C, ...) generated batch (host numpy)."""
+    """sample_fn(rng_key, n) -> (n, C, ...) generated batch (host numpy).
+
+    fid_mode:
+      * "pooled" (default): activations of ALL metric batches are pooled into
+        one set and a single Frechet distance is computed over the full
+        `num_metric_samples` — FID estimates are biased at small sample
+        counts, which is why the reference gathers everything to rank 0
+        before computing (save_metrics.py:148-151); pooling across the loop
+        takes that reasoning to its conclusion.
+      * "per_batch": one FID per metric batch, averaged — the reference's
+        literal loop structure (save_metrics.py:156-213).
+    """
     compute_metrics = dict(compute_metrics)
     # size gates (reference save_metrics.py:77-79)
     compute_metrics["compute_swds"] = imagesize_xy >= 16 and compute_metrics.get("compute_swds", False)
@@ -62,8 +78,19 @@ def save_metrics(
     fids_local, swds_local, psnrs_local, mses_local, nrmses_local, ssims_local = (
         [], [], [], [], [], [],
     )
+    acts_real_pool, acts_fake_pool = [], []
     metrics: Dict[str, float] = {}
 
+    if compute_metrics.get("compute_FID") and extractor is None:
+        from saragan_tpu.metrics.fid import default_extractor
+
+        extractor = default_extractor()
+
+    # counter advances by the number of DISTINCT samples actually consumed —
+    # under the single-controller runtime every batch is globally visible, so
+    # `num_metric_samples` means what it says regardless of global_size (the
+    # reference's per-rank draw+gather advances by global_size*batch,
+    # save_metrics.py:199-205).
     counter = 0
     while counter < num_metric_samples:
         n = min(batch_size, num_metric_samples - counter)
@@ -74,11 +101,18 @@ def save_metrics(
         fake_batch = np.asarray(sample_fn(k, real_batch.shape[0]), np.float32)
 
         if compute_metrics.get("compute_FID"):
-            fids_local.append(
-                calculate_fid_given_batch_volumes(
+            if fid_mode == "pooled":
+                ar, af = volume_batch_activations(
                     real_batch, fake_batch, extractor=extractor, verbose=verbose
                 )
-            )
+                acts_real_pool.append(ar)
+                acts_fake_pool.append(af)
+            else:
+                fids_local.append(
+                    calculate_fid_given_batch_volumes(
+                        real_batch, fake_batch, extractor=extractor, verbose=verbose
+                    )
+                )
         if compute_metrics.get("compute_swds"):
             swds = get_swd_for_volumes(real_batch, fake_batch)
             if swds is not None:
@@ -92,9 +126,15 @@ def save_metrics(
         if compute_metrics.get("compute_nrmses"):
             nrmses_local.append(get_normalized_root_mse(real_batch, fake_batch))
 
-        counter += real_batch.shape[0] * max(1, global_size)
+        counter += real_batch.shape[0]
 
     scalars: Dict[str, float] = {}
+    if compute_metrics.get("compute_FID") and acts_real_pool:
+        fids_local = [
+            frechet_distance(
+                np.concatenate(acts_real_pool, axis=0), np.concatenate(acts_fake_pool, axis=0)
+            )
+        ]
     if compute_metrics.get("compute_FID") and fids_local:
         fid = float(np.mean(fids_local))
         metrics["FID"] = fid
@@ -142,8 +182,23 @@ def save_metrics(
 
 
 def make_metrics_callback(cfg, extractor=None):
-    """Adapter plugging save_metrics into Trainer.metrics_callback."""
+    """Adapter plugging save_metrics into Trainer.metrics_callback.
+
+    When FID is requested the extractor is resolved HERE, once, at setup —
+    so a run missing Inception weights fails at startup (loudly) rather than
+    mid-training, unless cfg.allow_uncalibrated_fid opts in.  The callback
+    carries ``fid_calibrated`` so the trainer can withhold uncalibrated
+    values from the HPO pruner.
+    """
     from saragan_tpu.config import parse_tuple
+
+    if extractor is None and cfg.compute_FID:
+        from saragan_tpu.metrics.fid import default_extractor
+
+        extractor = default_extractor(
+            allow_uncalibrated=getattr(cfg, "allow_uncalibrated_fid", False),
+            npz_path=getattr(cfg, "inception_weights", None),
+        )
 
     compute = {
         "compute_FID": cfg.compute_FID,
@@ -183,4 +238,5 @@ def make_metrics_callback(cfg, extractor=None):
             extractor=extractor,
         )
 
+    callback.fid_calibrated = getattr(extractor, "calibrated", True)
     return callback

@@ -24,6 +24,14 @@ def resolve_base_dim(cfg) -> int:
     return ops.num_filters_2d(1, cfg.num_phases, size=size)
 
 
+def spectral_iters(cfg) -> int:
+    """Power-iteration count for the discriminator scope; 0 disables
+    (reference get_weight's use_spectral_norm, ops.py:111-127)."""
+    if getattr(cfg, "use_spectral_norm", False):
+        return max(1, int(getattr(cfg, "spectral_iterations", 3)))
+    return 0
+
+
 def phase_filters(cfg, i: int) -> int:
     size = cfg.network_size or "m"
     if cfg.ndim == 3:

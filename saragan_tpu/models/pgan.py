@@ -35,6 +35,7 @@ import numpy as np
 
 from saragan_tpu import ops
 from saragan_tpu.core import Params, Scope
+from saragan_tpu.models.common import spectral_iters
 from saragan_tpu.models.registry import Architecture, register
 
 
@@ -254,7 +255,7 @@ def discriminator(
         raise NotImplementedError(
             "pgan does not support conditioning (reference discriminator.py:73-74)"
         )
-    scope = Scope(params)
+    scope = Scope(params, spectral=spectral_iters(cfg))
     return _discriminator(scope, x, alpha, phase, cfg, cfg.leakiness)
 
 
@@ -277,7 +278,7 @@ def init(rng: jax.Array, *, phase: int, cfg) -> Params:
     scope = Scope(params, init=True, rng=g_rng)
     z = jnp.zeros((1, cfg.latent_dim), jnp.float32)
     _generator(scope, z, 1.0, phase, cfg, cfg.leakiness)
-    scope = Scope(params, init=True, rng=d_rng)
+    scope = Scope(params, init=True, rng=d_rng, spectral=spectral_iters(cfg))
     img_shape = cfg.current_shape(phase, 1)
     x = jnp.zeros(img_shape, jnp.float32)
     _discriminator(scope, x, 1.0, phase, cfg, cfg.leakiness)

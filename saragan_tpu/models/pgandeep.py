@@ -26,6 +26,7 @@ import numpy as np
 from saragan_tpu import ops
 from saragan_tpu.core import Params, Scope
 from saragan_tpu.models.pgan import get_filters, get_kernels
+from saragan_tpu.models.common import spectral_iters
 from saragan_tpu.models.registry import Architecture, register
 
 
@@ -153,14 +154,14 @@ def _discriminator(scope, x, alpha, phase, cfg, param):
 def discriminator(params: Params, x, alpha, *, phase, cfg, conditioning=None):
     if conditioning is not None:
         raise NotImplementedError()
-    return _discriminator(Scope(params), x, alpha, phase, cfg, cfg.leakiness)
+    return _discriminator(Scope(params, spectral=spectral_iters(cfg)), x, alpha, phase, cfg, cfg.leakiness)
 
 
 def init(rng: jax.Array, *, phase: int, cfg) -> Params:
     params: Params = {}
     g_rng, d_rng = jax.random.split(rng)
     _generator(Scope(params, init=True, rng=g_rng), jnp.zeros((1, cfg.latent_dim)), 1.0, phase, cfg, cfg.leakiness)
-    _discriminator(Scope(params, init=True, rng=d_rng), jnp.zeros(cfg.current_shape(phase, 1)), 1.0, phase, cfg, cfg.leakiness)
+    _discriminator(Scope(params, init=True, rng=d_rng, spectral=spectral_iters(cfg)), jnp.zeros(cfg.current_shape(phase, 1)), 1.0, phase, cfg, cfg.leakiness)
     return params
 
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from saragan_tpu import ops
 from saragan_tpu.core import Params, Scope, ones_initializer, zeros_initializer
-from saragan_tpu.models.common import adaptive_kernel, phase_filters, resolve_base_dim
+from saragan_tpu.models.common import adaptive_kernel, phase_filters, resolve_base_dim, spectral_iters
 from saragan_tpu.models.registry import Architecture, register
 from saragan_tpu.models import style_ops
 
@@ -181,7 +181,7 @@ def _discriminator(scope, x, alpha, phase, cfg, param):
 
 
 def discriminator(params: Params, x, alpha, *, phase, cfg, conditioning=None):
-    return _discriminator(Scope(params), x, alpha, phase, cfg, cfg.leakiness)
+    return _discriminator(Scope(params, spectral=spectral_iters(cfg)), x, alpha, phase, cfg, cfg.leakiness)
 
 
 def init(rng: jax.Array, *, phase: int, cfg) -> Params:
@@ -191,7 +191,7 @@ def init(rng: jax.Array, *, phase: int, cfg) -> Params:
         Scope(params, init=True, rng=g_rng), jnp.zeros((1, cfg.latent_dim)), 1.0, phase, cfg,
         cfg.leakiness, n_rng, True,
     )
-    _discriminator(Scope(params, init=True, rng=d_rng), jnp.zeros(cfg.current_shape(phase, 1)), 1.0, phase, cfg, cfg.leakiness)
+    _discriminator(Scope(params, init=True, rng=d_rng, spectral=spectral_iters(cfg)), jnp.zeros(cfg.current_shape(phase, 1)), 1.0, phase, cfg, cfg.leakiness)
     return params
 
 

@@ -95,6 +95,16 @@ def get_weight(
     w = scope.get(name, shape, normal_initializer(init_std))
     if use_eq_lr:
         w = w * runtime_coef
+    if getattr(scope, "spectral", 0):
+        # Spectral normalization (reference ops.py:124-125 inside get_weight,
+        # surfgan/ops.py:26-27).  The reference amortizes one power iteration
+        # per step through an assigned non-trainable `u`; functionally we run
+        # `scope.spectral` iterations per call from a persisted start vector
+        # (same fixed point, no mutable state).  Gradients do not flow
+        # through u/v (stop_gradient), so `u` receives exactly-zero grads and
+        # never moves under the optimizer.
+        u = scope.get(f"{name}_u", (1, shape[-1]), normal_initializer(1.0))
+        w, _ = spectral_normalize(w, u, iterations=int(scope.spectral))
     return w
 
 

@@ -109,6 +109,7 @@ def make_optimizers_from_config(cfg) -> tuple:
         beta2=cfg.adam_beta2,
         rho=cfg.rho,
         momentum=cfg.momentum,
+        weight_decay=getattr(cfg, "weight_decay", 0.01),
     )
     d = make_optimizer(
         cfg.d_optimizer,
@@ -117,5 +118,6 @@ def make_optimizers_from_config(cfg) -> tuple:
         beta2=cfg.d_adam_beta2,
         rho=cfg.d_rho,
         momentum=cfg.d_momentum,
+        weight_decay=getattr(cfg, "d_weight_decay", 0.01),
     )
     return g, d

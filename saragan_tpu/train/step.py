@@ -38,6 +38,7 @@ import optax
 
 from saragan_tpu import losses
 from saragan_tpu.core import Params, filter_params
+from saragan_tpu.optim.accumulate import grad_accumulate
 from saragan_tpu.optim.ema import ema_init, ema_update
 from saragan_tpu.optim.factory import Optimizer, make_optimizers_from_config
 from saragan_tpu.optim.freeze import freeze_select
@@ -61,6 +62,17 @@ class StepMetrics(NamedTuple):
     # reference's per-var gradient histograms, summary.py / SURVEY C20)
     g_norms: Any = None
     d_norms: Any = None
+    # per-variable 64-bin gradient histograms, reduced ON DEVICE so only
+    # ~129 floats per variable cross the host boundary (reference
+    # summary.py:83-87 ships full grad tensors to the summary writer)
+    g_hists: Any = None
+    d_hists: Any = None
+    # Image_properties scalars (reference summary.py:46-52).  Under
+    # gradient accumulation these are micro-batch averages.
+    fake_min: Any = None
+    fake_max: Any = None
+    real_min: Any = None
+    real_max: Any = None
 
 
 def split_params(params: Params) -> Tuple[Params, Params]:
@@ -81,15 +93,20 @@ def init_train_state(arch, rng: jax.Array, *, phase: int, cfg) -> Tuple[TrainSta
     return state, (g_optimizer, d_optimizer)
 
 
-def _clip_and_norms(grads: Params, clipping: bool):
+def _clip_and_norms(grads: Params, clipping: bool, hist_bins: int = 0):
     """Optional global-norm clip + per-variable norms (reference
-    optimization.py:64-71: norms are computed on the possibly-clipped grads)."""
+    optimization.py:64-71: norms are computed on the possibly-clipped grads).
+    With hist_bins > 0 also returns per-variable (counts, edges) gradient
+    histograms (reference summary.py:83-87)."""
     if clipping:
         gnorm = optax.global_norm(grads)
         scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-16))
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
     norms = {k: jnp.linalg.norm(g.reshape(-1)) for k, g in grads.items()}
-    return grads, jnp.max(jnp.stack(list(norms.values()))), norms
+    hists = None
+    if hist_bins:
+        hists = {k: jnp.histogram(g.reshape(-1), bins=hist_bins) for k, g in grads.items()}
+    return grads, jnp.max(jnp.stack(list(norms.values()))), norms, hists
 
 
 def make_train_step(
@@ -114,12 +131,14 @@ def make_train_step(
     lazy_k = max(1, int(getattr(cfg, "lazy_gp", 1)))
     gp_weight_eff = cfg.gp_weight * lazy_k if apply_gp else 0.0
 
+    hist_bins = 64 if getattr(cfg, "grad_histograms", True) else 0
+
     def apply_updates(optimizer, params, opt_state, grads, lr, clipping):
-        grads, max_norm, norms = _clip_and_norms(grads, clipping)
+        grads, max_norm, norms, hists = _clip_and_norms(grads, clipping, hist_bins)
         new_params, new_opt = optimizer.update(grads, opt_state, params, lr)
         new_params = freeze_select(params, new_params, frozen)
         new_opt = freeze_select(opt_state, new_opt, frozen)
-        return new_params, new_opt, max_norm, norms
+        return new_params, new_opt, max_norm, norms, hists
 
     def train_step(state: TrainState, real: jax.Array, rng: jax.Array, alpha, g_lr, d_lr):
         real = real.astype(compute_dtype)
@@ -138,16 +157,20 @@ def make_train_step(
             gen_a = jax.checkpoint(gen_a, static_argnums=())
             disc_a = jax.checkpoint(disc_a)
 
+        # micro-batch gradient accumulation (cfg.gradient_accumulation > 1,
+        # the reference 2D path's accumulate-then-apply, optim.py:95-160)
+        accum = max(1, int(getattr(cfg, "gradient_accumulation", 1)))
+
         if cfg.optim_strategy == "simultaneous":
 
-            def total_loss(g_params, d_params):
+            def total_loss(g_params, d_params, real_mb, rng_mb):
                 out = losses.forward_simultaneous(
                     gen_a,
                     disc_a,
                     g_params,
                     d_params,
-                    real,
-                    rng,
+                    real_mb,
+                    rng_mb,
                     latent_dim=cfg.latent_dim,
                     loss_fn=cfg.loss_fn,
                     gp_weight=gp_weight_eff,
@@ -157,58 +180,79 @@ def make_train_step(
                 return out.gen_loss + out.disc_loss, out
 
             grad_fn = jax.grad(total_loss, argnums=(0, 1), has_aux=True)
-            (g_grads, d_grads), out = grad_fn(state.g_params, state.d_params)
 
-            g_params, g_opt, max_g_norm, g_norms = apply_updates(
+            def micro_grads(mb, k):
+                (gg, dg), out = grad_fn(state.g_params, state.d_params, mb, k)
+                return (gg, dg), (
+                    out.gen_loss, out.disc_loss, out.gp_loss,
+                    jnp.min(out.gen_sample), jnp.max(out.gen_sample),
+                )
+
+            ((g_grads, d_grads), (gen_loss, disc_loss, gp_loss, fake_min, fake_max)) = (
+                grad_accumulate(micro_grads, real, rng, accum)
+            )
+
+            g_params, g_opt, max_g_norm, g_norms, g_hists = apply_updates(
                 g_optimizer, state.g_params, state.g_opt, g_grads, g_lr, cfg.g_clipping
             )
-            d_params, d_opt, max_d_norm, d_norms = apply_updates(
+            d_params, d_opt, max_d_norm, d_norms, d_hists = apply_updates(
                 d_optimizer, state.d_params, state.d_opt, d_grads, d_lr, cfg.d_clipping
             )
-            gen_loss, disc_loss, gp_loss = out.gen_loss, out.disc_loss, out.gp_loss
 
         elif cfg.optim_strategy == "alternate":
             rng_d, rng_g = jax.random.split(rng)
 
-            def d_loss_fn(d_params):
+            def d_loss_fn(d_params, real_mb, rng_mb):
                 return losses.forward_discriminator(
                     gen_a,
                     disc_a,
                     state.g_params,
                     d_params,
-                    real,
-                    rng_d,
+                    real_mb,
+                    rng_mb,
                     latent_dim=cfg.latent_dim,
                     loss_fn=cfg.loss_fn,
                     gp_weight=cfg.gp_weight,
                     noise_stddev=cfg.noise_stddev,
                 )
 
-            (disc_loss, gp_loss), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                state.d_params
-            )
-            d_params, d_opt, max_d_norm, d_norms = apply_updates(
+            d_vg = jax.value_and_grad(d_loss_fn, has_aux=True)
+
+            def d_micro(mb, k):
+                (disc_loss, gp_loss), dg = d_vg(state.d_params, mb, k)
+                return dg, (disc_loss, gp_loss)
+
+            d_grads, (disc_loss, gp_loss) = grad_accumulate(d_micro, real, rng_d, accum)
+            d_params, d_opt, max_d_norm, d_norms, d_hists = apply_updates(
                 d_optimizer, state.d_params, state.d_opt, d_grads, d_lr, cfg.d_clipping
             )
 
             # G trains against the *updated* discriminator (reference
             # optimization.py:193 control_dependencies).
-            def g_loss_fn(g_params):
-                _, gen_loss = losses.forward_generator(
+            def g_loss_fn(g_params, real_mb, rng_mb):
+                sample, gen_loss = losses.forward_generator(
                     gen_a,
                     disc_a,
                     g_params,
                     d_params,
-                    real,
-                    rng_g,
+                    real_mb,
+                    rng_mb,
                     latent_dim=cfg.latent_dim,
                     loss_fn=cfg.loss_fn,
                     noise_stddev=cfg.noise_stddev,
                 )
-                return gen_loss
+                return gen_loss, (jnp.min(sample), jnp.max(sample))
 
-            gen_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
-            g_params, g_opt, max_g_norm, g_norms = apply_updates(
+            g_vg = jax.value_and_grad(g_loss_fn, has_aux=True)
+
+            def g_micro(mb, k):
+                (gen_loss, fminmax), gg = g_vg(state.g_params, mb, k)
+                return gg, (gen_loss, fminmax)
+
+            g_grads, (gen_loss, (fake_min, fake_max)) = grad_accumulate(
+                g_micro, real, rng_g, accum
+            )
+            g_params, g_opt, max_g_norm, g_norms, g_hists = apply_updates(
                 g_optimizer, state.g_params, state.g_opt, g_grads, g_lr, cfg.g_clipping
             )
         else:
@@ -224,6 +268,12 @@ def make_train_step(
             max_d_norm=max_d_norm,
             g_norms=g_norms,
             d_norms=d_norms,
+            g_hists=g_hists,
+            d_hists=d_hists,
+            fake_min=fake_min,
+            fake_max=fake_max,
+            real_min=jnp.min(real),
+            real_max=jnp.max(real),
         )
         return new_state, metrics
 

@@ -55,6 +55,35 @@ class SummaryWriter:
                 img = np.transpose(img, (2, 0, 1))
             self._tb.add_image(tag, img.astype(np.float32), step)
 
+    def histogram_raw(self, tag: str, counts: np.ndarray, edges: np.ndarray, step: int):
+        """Histogram from precomputed on-device bins (the per-variable grad
+        histograms of reference summary.py:83-87; bins are reduced inside the
+        jitted step so only ~65 floats per variable cross the host boundary)."""
+        counts = np.asarray(counts, np.float64)
+        edges = np.asarray(edges, np.float64)
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps({
+                "tag": tag, "step": int(step), "hist": True,
+                "min": float(edges[0]), "max": float(edges[-1]),
+                "count": float(counts.sum()),
+            }) + "\n")
+        if self._tb is not None:
+            centers = (edges[:-1] + edges[1:]) / 2.0
+            total = float(counts.sum())
+            if total <= 0:
+                return
+            self._tb.add_histogram_raw(
+                tag,
+                min=float(edges[0]),
+                max=float(edges[-1]),
+                num=int(total),
+                sum=float((counts * centers).sum()),
+                sum_squares=float((counts * centers**2).sum()),
+                bucket_limits=edges[1:].tolist(),
+                bucket_counts=counts.tolist(),
+                global_step=step,
+            )
+
     def flush(self):
         if self._tb is not None:
             self._tb.flush()
@@ -69,15 +98,28 @@ class SummaryWriter:
 
 
 def small_summary(d_loss, g_loss, gp_loss, fake, real, suffix: str = "") -> Dict[str, float]:
-    """Reference summary.py small family: losses + image ranges."""
+    """Reference summary.py small family (create_small_summary,
+    summary.py:27-57): losses + the Image_properties min/max scalars,
+    reference tag names."""
     return {
         f"d_loss{suffix}": float(d_loss),
         f"g_loss{suffix}": float(g_loss),
         f"gp_loss{suffix}": float(gp_loss),
-        f"fake_image_min{suffix}": float(np.min(fake)),
-        f"fake_image_max{suffix}": float(np.max(fake)),
-        f"real_image_min{suffix}": float(np.min(real)),
-        f"real_image_max{suffix}": float(np.max(real)),
+        **image_range_summary(fake, real, suffix),
+    }
+
+
+def image_range_summary(fake, real, suffix: str = "") -> Dict[str, float]:
+    """Image_properties family (reference summary.py:46-52): min/max of the
+    generated sample and the real input.  `fake`/`real` may be arrays or
+    precomputed (min, max) scalar pairs."""
+    fmin, fmax = fake if isinstance(fake, tuple) else (np.min(fake), np.max(fake))
+    rmin, rmax = real if isinstance(real, tuple) else (np.min(real), np.max(real))
+    return {
+        f"image_min_fake{suffix}": float(fmin),
+        f"image_max_fake{suffix}": float(fmax),
+        f"image_min_real{suffix}": float(rmin),
+        f"image_max_real{suffix}": float(rmax),
     }
 
 

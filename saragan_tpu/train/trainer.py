@@ -487,7 +487,10 @@ class Trainer:
         fid = (m or {}).get("FID")
         if fid is not None:
             self.last_fid = float(fid)
-        if self.trial is not None and fid is not None:
+        # Never feed uncalibrated (random-feature) FID to the HPO pruner —
+        # callbacks built by make_metrics_callback carry `fid_calibrated`.
+        calibrated = getattr(self.metrics_callback, "fid_calibrated", True)
+        if self.trial is not None and fid is not None and calibrated:
             self.trial.report(fid, global_step)
             if self.trial.should_prune() and in_phase_step > cfg.optuna_warmup_steps:
                 raise TrialPruned()
@@ -505,13 +508,18 @@ class Trainer:
             summ.gradients_summary(float(metrics.max_g_norm), float(metrics.max_d_norm), suffix),
             global_step,
         )
-        # per-variable gradient norms (reference's per-var grad histograms,
-        # summary.py; logged as scalars here)
+        # per-variable gradient norms (scalars) + full histograms binned on
+        # device (reference summary.py:83-87 per-var grad histograms)
         for tree in (metrics.g_norms, metrics.d_norms):
             if tree:
                 w.scalars(
                     {f"grad_norm/{k}{suffix}": float(v) for k, v in tree.items()}, global_step
                 )
+        for tree in (metrics.g_hists, metrics.d_hists):
+            if tree:
+                for k, (counts, edges) in tree.items():
+                    w.histogram_raw(f"grad_{k}{suffix}", np.asarray(counts),
+                                    np.asarray(edges), global_step)
         w.scalars(
             {
                 "d_loss": float(metrics.disc_loss),
@@ -520,6 +528,15 @@ class Trainer:
             },
             global_step,
         )
+        # Image_properties family (reference summary.py:46-52)
+        if metrics.fake_min is not None:
+            w.scalars(
+                summ.image_range_summary(
+                    (float(metrics.fake_min), float(metrics.fake_max)),
+                    (float(metrics.real_min), float(metrics.real_max)),
+                ),
+                global_step,
+            )
         # validation losses on training weights + train losses on EMA weights
         if len(npy_val) > 0:
             val_batch = normalize_numpy(
@@ -535,6 +552,10 @@ class Trainer:
             gl, dl, gpl, fake_ema = eval_losses(g_ema, d_ema, val_batch, k2, alpha)
             w.scalars(
                 {"d_loss_EMA": float(dl), "g_loss_EMA": float(gl), "gp_loss_EMA": float(gpl)},
+                global_step,
+            )
+            w.scalars(
+                summ.image_range_summary(np.asarray(fake_ema, np.float32), val_batch, "_EMA"),
                 global_step,
             )
             if large:

@@ -172,3 +172,93 @@ def test_sha_pruner_runs():
 
     study.optimize(obj, n_trials=16)
     assert any(t.state == "PRUNED" for t in study.trials)
+
+
+# ---------------------------------------------------------------------------
+# sampler validation battery (VERDICT r1 weak #2)
+# ---------------------------------------------------------------------------
+
+
+def test_tpe_multivariate_flag_is_live_and_converges():
+    """multivariate=True must actually change proposals (joint kernel) and
+    still converge on a correlated objective where x ~ y is the good ridge."""
+
+    def obj(t):
+        x = t.suggest_float("x", -2, 2)
+        y = t.suggest_float("y", -2, 2)
+        # narrow correlated valley: minimum along x == y at x = 1
+        return 10.0 * (x - y) ** 2 + (x - 1.0) ** 2
+
+    uni = create_study(sampler=samplers.TPESampler(seed=5, n_startup_trials=10))
+    uni.optimize(obj, n_trials=70)
+    mv = create_study(
+        sampler=samplers.TPESampler(seed=5, n_startup_trials=10, multivariate=True)
+    )
+    mv.optimize(obj, n_trials=70)
+    assert mv.best_trial.value < 0.6  # converges
+    # the two modes must explore differently (flag is not dead)
+    uni_xy = [(t.params["x"], t.params["y"]) for t in uni.trials[10:]]
+    mv_xy = [(t.params["x"], t.params["y"]) for t in mv.trials[10:]]
+    assert uni_xy != mv_xy
+    # joint proposals respect the x~y correlation more than independent ones
+    def mean_ridge_dist(pts):
+        return float(np.mean([abs(x - y) for x, y in pts[-30:]]))
+    assert mean_ridge_dist(mv_xy) <= mean_ridge_dist(uni_xy) + 0.15
+
+
+def test_cma_converges_on_sphere():
+    def obj(t):
+        x = t.suggest_float("x", -4, 4)
+        y = t.suggest_float("y", -4, 4)
+        return (x - 1.5) ** 2 + (y + 0.5) ** 2
+
+    study = create_study(sampler=samplers.CmaEsSampler(seed=2, n_startup_trials=8))
+    study.optimize(obj, n_trials=80)
+    assert study.best_trial.value < 0.3
+    # late proposals concentrate near the optimum (ES actually adapts)
+    late = study.trials[-15:]
+    assert float(np.median([t.value for t in late if t.value is not None])) < 2.0
+
+
+def test_nsgaii_pareto_front_quality():
+    """Two-objective trade-off f1 = x^2, f2 = (x-2)^2: the true Pareto set is
+    x in [0, 2].  NSGA-II must (a) return a front dominated by no trial,
+    (b) concentrate the front inside the true Pareto set, (c) spread it."""
+    study = create_study(
+        sampler=samplers.NSGAIISampler(seed=3, n_startup_trials=10),
+        directions=["minimize", "minimize"],
+    )
+
+    def obj(t):
+        x = t.suggest_float("x", -2, 4)
+        return x**2, (x - 2.0) ** 2
+
+    study.optimize(obj, n_trials=80)
+    front = study.best_trials
+    assert len(front) >= 5
+    xs = sorted(t.params["x"] for t in front)
+    assert all(-0.15 <= x <= 2.15 for x in xs), xs  # inside the Pareto set
+    assert xs[-1] - xs[0] > 0.8  # front is spread, not collapsed
+    # no member of the front is dominated by any completed trial
+    done = [t for t in study.trials if t.values is not None]
+    for f in front:
+        assert not any(
+            all(a <= b for a, b in zip(o.values, f.values))
+            and any(a < b for a, b in zip(o.values, f.values))
+            for o in done
+        )
+
+
+def test_motpe_front_on_tradeoff():
+    study = create_study(
+        sampler=samplers.MOTPESampler(seed=4, n_startup_trials=10),
+        directions=["minimize", "minimize"],
+    )
+
+    def obj(t):
+        x = t.suggest_float("x", -2, 4)
+        return x**2, (x - 2.0) ** 2
+
+    study.optimize(obj, n_trials=60)
+    xs = [t.params["x"] for t in study.best_trials]
+    assert any(-0.3 <= x <= 2.3 for x in xs)

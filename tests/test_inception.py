@@ -155,3 +155,21 @@ def test_preprocess_and_extractor():
     feats = InceptionPool3Features(params).extract(imgs)
     assert feats.shape == (2, 2048)
     assert np.all(np.isfinite(feats))
+
+
+def test_pool3_golden_activations():
+    """Recorded-activation regression (VERDICT r1 item 1c): pins the joint
+    behavior of random_inception_params + preprocess + inception_pool3 so any
+    drift in padding/stride/BN/pool semantics — even drift that torch_pool3
+    above would mirror — fails loudly against constants recorded 2026-08-16."""
+    p = random_inception_params(seed=7)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, size=(2, 64, 64, 3)).astype(np.float32)
+    feats = np.asarray(inception_pool3(p, preprocess(x)))
+    golden_first4 = np.array(
+        [[0.0, 0.11587839, 0.00166885, 0.01463999],
+         [0.0, 0.11579387, 0.00163411, 0.01476035]], np.float32
+    )
+    np.testing.assert_allclose(feats[:, :4], golden_first4, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(feats.mean()), 0.08659150, rtol=1e-3)
+    np.testing.assert_allclose(float(feats.std()), 0.12712295, rtol=1e-3)

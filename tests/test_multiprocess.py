@@ -1,0 +1,90 @@
+"""2-process jax.distributed CPU tests (VERDICT r1 item 3 / weak #4).
+
+Spawns two real processes connected by jax.distributed and checks the
+multi-host code paths end-to-end: broadcast primitives, SynchronizedTrial
+lockstep pruning, batch_sharded exactly-once interleaving, and
+make_array_from_process_local_data batch assembly.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def twoproc_results(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("twoproc"))
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "twoproc_worker.py"),
+             coord, str(pid), outdir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("two-process run timed out (collective deadlock?)")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+    results = []
+    for pid in (0, 1):
+        with open(os.path.join(outdir, f"result_{pid}.json")) as f:
+            results.append(json.load(f))
+    return results
+
+
+def test_broadcast_primitives(twoproc_results):
+    r0, r1 = twoproc_results
+    assert r0["bcast_scalar"] == r1["bcast_scalar"] == 3.25
+    assert r0["bcast_json"] == r1["bcast_json"] == {"lr": 1e-3, "opt": "Adam"}
+
+
+def test_batch_sharded_exactly_once_across_processes(twoproc_results):
+    r0, r1 = twoproc_results
+    # interleaved shards: same deterministic stream, disjoint slices,
+    # union covers every volume exactly once per epoch (reference batch_mpi)
+    all_ids = sorted(r0["sharded_ids"] + r1["sharded_ids"])
+    assert all_ids == list(range(8)), all_ids
+    assert set(r0["sharded_ids"]).isdisjoint(r1["sharded_ids"])
+
+
+def test_process_local_batch_assembly(twoproc_results):
+    r0, r1 = twoproc_results
+    # each process contributed its own shard: sum = 0*32 + 1*32
+    assert r0["global_sum"] == r1["global_sum"] == 32.0
+
+
+def test_synchronized_trial_lockstep_prune(twoproc_results):
+    r0, r1 = twoproc_results
+    # both processes saw the same trial number, params and prune step
+    assert r0["trial_number"] == r1["trial_number"] == 11
+    assert r0["suggested"] == r1["suggested"] == 0.123
+    assert r0["suggested_cat"] == r1["suggested_cat"] == "LAMB"
+    assert r0["pruned_at"] == r1["pruned_at"] == 2
+    assert r0["none_trial"] and r1["none_trial"]

