@@ -28,6 +28,7 @@ Design notes (TPU-first, not a translation):
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Optional, Sequence, Tuple
@@ -160,26 +161,40 @@ def _conv_dimension_numbers(spatial_rank: int) -> lax.ConvDimensionNumbers:
 CONV3D_ALGORITHM = os.environ.get("SARAGAN_CONV3D", "direct")
 
 
+def _kernel_offsets(kd: int, kh: int, kw: int) -> jnp.ndarray:
+    return jnp.array(
+        [(i, j, k) for i in range(kd) for j in range(kh) for k in range(kw)], jnp.int32
+    )
+
+
 def _conv3d_shifted_gemm(x: jax.Array, w: jax.Array) -> jax.Array:
     """SAME NCDHW conv as a sum of kernel-offset channel contractions.
 
     y[n, f, z] = sum_{o in kernel offsets} x_pad[n, :, z + o] @ w[o]
-    Each term is an (N*D*H*W, C) x (C, F) GEMM on the MXU; XLA fuses the
-    shifted reads (pure slices of one padded buffer) into the GEMM loads.
-    Accumulation in float32.
+    Each term is an (N*D*H*W, C) x (C, F) GEMM on the MXU.  The offsets run
+    under lax.scan with ONE carried f32 accumulator — the unrolled form kept
+    every per-offset 256 MB f32 partial live and blew HBM at the 128^2x32
+    batch-8 config (measured: compile-time OOM, 16.4 G > 15.75 G).
     """
     n, c, d, h, w_sp = x.shape
     kd, kh, kw, _, f = w.shape
+    if kd * kh * kw == 1:
+        return jnp.einsum(
+            "ncdhw,cf->nfdhw", x, w[0, 0, 0], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     pd, ph, pw = kd // 2, kh // 2, kw // 2
-    xp = jnp.pad(x, ((0, 0), (0, 0), (pd, pd), (ph, ph), (pw, pw)))
-    acc = jnp.zeros((n, f, d, h, w_sp), jnp.float32)
-    for i in range(kd):
-        for j in range(kh):
-            for k in range(kw):
-                xs = lax.slice(xp, (0, 0, i, j, k), (n, c, i + d, j + h, k + w_sp))
-                acc = acc + jnp.einsum(
-                    "ncdhw,cf->nfdhw", xs, w[i, j, k], preferred_element_type=jnp.float32
-                )
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pd, kd - 1 - pd), (ph, kh - 1 - ph), (pw, kw - 1 - pw)))
+    offsets = _kernel_offsets(kd, kh, kw)
+    w_flat = w.reshape(kd * kh * kw, c, f)
+
+    def body(acc, ow):
+        o, wk = ow
+        xs = lax.dynamic_slice(xp, (0, 0, o[0], o[1], o[2]), (n, c, d, h, w_sp))
+        acc = acc + jnp.einsum("ncdhw,cf->nfdhw", xs, wk, preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((n, f, d, h, w_sp), jnp.float32)
+    acc, _ = lax.scan(body, acc0, (offsets, w_flat))
     return acc.astype(x.dtype)
 
 
@@ -232,11 +247,113 @@ def _conv3d_hybrid_jvp(primals, tangents):
     return y, dy
 
 
+# ---------------------------------------------------------------------------
+# Custom-VJP conv3d: hand-written dgrad/wgrad, differentiable to any order
+# ---------------------------------------------------------------------------
+#
+# The WGAN-GP loss differentiates the discriminator's input-gradient, so the
+# conv must support grad-of-grad.  jax.custom_vjp alone blocks higher-order
+# AD *through the custom function*, but the derivative algebra of
+# correlation closes on itself:
+#
+#   C(x, w)[n,f,s] = sum_o sum_c x[n,c,s+o] * w[o,c,f]      (the conv)
+#   W(x, dy)[o,c,f] = sum_{n,s} x[n,c,s+o] * dy[n,f,s]      (the wgrad)
+#
+#   dC/dx^T u = C(u, fs(w));   dC/dw^T u = W(x, u)
+#   dW/dx^T v = C(dy, fs(v));  dW/ddy^T v = C(x, v)
+#
+# with fs(w)[o,f,c] = w[-o,c,f] (spatial flip + io swap, an involution).
+# Defining BOTH C and W as custom_vjp functions whose backwards call only
+# C, W and fs therefore yields correct derivatives of EVERY order — each
+# differentiation level re-enters the same two fast kernels instead of
+# XLA's autodiff transpose of the forward graph (whose pad-transposes made
+# the round-1 shifted-GEMM backward lose; see CONV3D_ALGORITHM note).
+#
+# SARAGAN_CONV3D=gemm_custom selects this path; SARAGAN_CONV3D_WGRAD picks
+# the wgrad engine: 'xla' (transpose of the native conv, default) or
+# 'einsum' (27 explicit channel-GEMMs).
+
+
+def _flip_swap(w: jax.Array) -> jax.Array:
+    """fs(w): flip all spatial kernel axes, swap the io channel axes."""
+    spatial_axes = tuple(range(w.ndim - 2))
+    return jnp.swapaxes(jnp.flip(w, axis=spatial_axes), -2, -1)
+
+
+def _wgrad_einsum(x: jax.Array, dy: jax.Array, kernel: Tuple[int, ...]) -> jax.Array:
+    """dw[o,c,f] = sum_{n,s} x[n,c,s+o] dy[n,f,s]: one (C,NS)x(NS,F) GEMM
+    per offset, offsets scanned (single live x-slice)."""
+    n, c, d, h, w_sp = x.shape
+    kd, kh, kw = kernel
+    f = dy.shape[1]
+    pd, ph, pw = kd // 2, kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pd, kd - 1 - pd), (ph, kh - 1 - ph), (pw, kw - 1 - pw)))
+    offsets = _kernel_offsets(kd, kh, kw)
+
+    def body(_, o):
+        xs = lax.dynamic_slice(xp, (0, 0, o[0], o[1], o[2]), (n, c, d, h, w_sp))
+        return None, jnp.einsum("ncdhw,nfdhw->cf", xs, dy, preferred_element_type=jnp.float32)
+
+    _, rows = lax.scan(body, None, offsets)
+    return rows.reshape(kd, kh, kw, c, f).astype(x.dtype)
+
+
+def _wgrad_xla(x: jax.Array, dy: jax.Array, kernel: Tuple[int, ...]) -> jax.Array:
+    """Same contraction through XLA's native conv-wgrad tiling: the conv is
+    linear in w, so its vjp at w=0 is exactly W(x, dy)."""
+    kshape = (*kernel, x.shape[1], dy.shape[1])
+    _, vjp = jax.vjp(lambda w: _conv_direct(x, w), jnp.zeros(kshape, x.dtype))
+    (dw,) = vjp(dy)
+    return dw
+
+
+@jax.custom_vjp
+def _conv3d_C(x: jax.Array, w: jax.Array) -> jax.Array:
+    return _conv3d_shifted_gemm(x, w)
+
+
+def _conv3d_C_fwd(x, w):
+    return _conv3d_C(x, w), (x, w)
+
+
+def _conv3d_C_bwd(res, dy):
+    x, w = res
+    dx = _conv3d_C(dy, _flip_swap(w))
+    dw = _conv3d_W(x, dy, w.shape[:3])
+    return dx, dw
+
+
+_conv3d_C.defvjp(_conv3d_C_fwd, _conv3d_C_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv3d_W(x: jax.Array, dy: jax.Array, kernel: Tuple[int, ...]) -> jax.Array:
+    if os.environ.get("SARAGAN_CONV3D_WGRAD", "xla") == "einsum":
+        return _wgrad_einsum(x, dy, kernel)
+    return _wgrad_xla(x, dy, kernel)
+
+
+def _conv3d_W_fwd(x, dy, kernel):
+    return _conv3d_W(x, dy, kernel), (x, dy)
+
+
+def _conv3d_W_bwd(kernel, res, uw):
+    x, dy = res
+    dx = _conv3d_C(dy, _flip_swap(uw))
+    ddy = _conv3d_C(x, uw)
+    return dx, ddy
+
+
+_conv3d_W.defvjp(_conv3d_W_fwd, _conv3d_W_bwd)
+
+
 def conv_apply(x: jax.Array, w: jax.Array) -> jax.Array:
     """SAME stride-1 conv on explicit weights, algorithm-selected."""
     spatial_rank = x.ndim - 2
     if spatial_rank == 3 and CONV3D_ALGORITHM == "gemm":
         return _conv3d_shifted_gemm(x, w)
+    if spatial_rank == 3 and CONV3D_ALGORITHM == "gemm_custom":
+        return _conv3d_C(x, w)
     if spatial_rank == 3 and CONV3D_ALGORITHM == "hybrid" and w.shape[0] * w.shape[1] * w.shape[2] > 1:
         return _conv3d_hybrid(x, w)
     return _conv_direct(x, w)

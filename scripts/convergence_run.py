@@ -1,0 +1,177 @@
+"""Multi-phase convergence-to-quality run (VERDICT r1 item 2).
+
+Trains 3D pgan through phases 1->4 (4^3 -> 32^3) on structured synthetic
+volumes (1-3 gaussian ellipsoid blobs on a smooth background — multi-scale
+structure so SWD is meaningful), with the full reference recipe: WGAN-GP
+simultaneous, EMA, mixing->stabilizing alpha fade, phase chaining via
+name-intersection restore.  Logs SWD + proxy-FID (RandomConvFeatures —
+explicitly uncalibrated, trajectory-comparable within the run) at each
+metric pass and asserts the quality trajectory improves.
+
+Run (real chip): python scripts/convergence_run.py [outdir]
+Writes <outdir>/trajectory.json and prints a summary.
+
+Exercises the one path single-phase tests don't: that the whole stack
+*trains through growth* (reference README.md:33-44 releases exactly such
+checkpoints).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from saragan_tpu.config import Config
+from saragan_tpu.metrics.fid import RandomConvFeatures
+from saragan_tpu.metrics.save_metrics import make_metrics_callback
+from saragan_tpu.train.trainer import Trainer
+
+
+def make_blob_volume(rng: np.random.Generator, size: int = 32) -> np.ndarray:
+    """1-3 gaussian ellipsoids + smooth low-frequency background."""
+    zz, yy, xx = np.meshgrid(*([np.linspace(-1, 1, size)] * 3), indexing="ij")
+    vol = np.zeros((size, size, size), np.float32)
+    for _ in range(rng.integers(1, 4)):
+        c = rng.uniform(-0.5, 0.5, 3)
+        s = rng.uniform(0.12, 0.35, 3)
+        a = rng.uniform(0.8, 1.6)
+        vol += a * np.exp(
+            -(((zz - c[0]) / s[0]) ** 2 + ((yy - c[1]) / s[1]) ** 2 + ((xx - c[2]) / s[2]) ** 2)
+        )
+    # low-frequency background ripple
+    f = rng.uniform(0.5, 1.5, 3)
+    p = rng.uniform(0, 2 * np.pi, 3)
+    vol += 0.2 * np.sin(f[0] * np.pi * zz + p[0]) * np.sin(f[1] * np.pi * yy + p[1]) * np.sin(
+        f[2] * np.pi * xx + p[2]
+    )
+    return vol.astype(np.float32)
+
+
+def downsample(vol: np.ndarray, size: int) -> np.ndarray:
+    factor = vol.shape[0] // size
+    if factor == 1:
+        return vol
+    s = size
+    return vol.reshape(s, factor, s, factor, s, factor).mean(axis=(1, 3, 5))
+
+
+def build_dataset(root: str, n: int = 384, master: int = 32, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    sizes = [4, 8, 16, 32]
+    for s in sizes:
+        os.makedirs(os.path.join(root, f"{s}x{s}"), exist_ok=True)
+    for i in range(n):
+        vol = make_blob_volume(rng, master)
+        for s in sizes:
+            np.save(os.path.join(root, f"{s}x{s}", f"v{i:04d}.npy"), downsample(vol, s))
+    # dataset statistics for normalization
+    sample = np.stack([make_blob_volume(np.random.default_rng(10_000 + i)) for i in range(64)])
+    return float(sample.mean()), float(sample.std())
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/convergence_run"
+    dataroot = os.path.join(outdir, "data")
+    os.makedirs(outdir, exist_ok=True)
+    print("Building synthetic blob pyramid ...", flush=True)
+    mean, std = build_dataset(dataroot)
+    print(f"data mean {mean:.4f} std {std:.4f}", flush=True)
+
+    cfg = Config(
+        architecture="pgan",
+        dataset_path=dataroot,
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 32, 32, 32)",
+        starting_phase=1,
+        ending_phase=4,
+        latent_dim=64,
+        network_size="xs",
+        base_batch_size=32,
+        mixing_nimg=3072,
+        stabilizing_nimg=3072,
+        loss_fn="wgan",
+        gp_weight=10.0,
+        noise_stddev=0.0,
+        adam_beta1=0.0,
+        adam_beta2=0.9,
+        g_lr=1e-3,
+        d_lr=1e-3,
+        ema_beta=0.99,
+        data_mean=mean,
+        data_stddev=std,
+        calc_metrics=True,
+        compute_FID=True,
+        compute_swds=True,
+        compute_mses=True,
+        num_metric_samples=48,
+        metrics_batch_size=16,
+        metrics_every_nsteps=768,
+        summary_small_every_nsteps=256,
+        summary_large_every_nsteps=10**9,
+        checkpoint_every_nsteps=10**9,
+        compute_dtype="bfloat16",
+        fused_transitions=True,
+        logdir=os.path.join(outdir, "logs"),
+    ).finalize()
+
+    trajectory = []
+    extractor = RandomConvFeatures(seed=7)  # proxy FID: run-internal trajectory only
+    base_cb = make_metrics_callback(cfg, extractor=extractor)
+
+    def recording_cb(trainer, sampler, dataset, step, suffix):
+        m = base_cb(trainer, sampler, dataset, step, suffix)
+        entry = {"phase": trainer.phase, "step": int(step), "suffix": suffix,
+                 "time": time.time()}
+        for k, v in (m or {}).items():
+            entry[k] = np.asarray(v).tolist() if hasattr(v, "tolist") else float(v)
+        trajectory.append(entry)
+        print("METRIC", json.dumps(entry), flush=True)
+        return m
+
+    recording_cb.fid_calibrated = False
+
+    t0 = time.time()
+    trainer = Trainer(cfg, metrics_callback=recording_cb, verbose=True, prefetch=True)
+    trainer.run()
+    wall = time.time() - t0
+
+    with open(os.path.join(outdir, "trajectory.json"), "w") as f:
+        json.dump({"trajectory": trajectory, "wall_s": wall}, f, indent=1)
+
+    # --- quality trajectory assertions -------------------------------
+    # proxy-FID on the validation stream within each phase must improve
+    # from the phase's first measurement to its EMA end-of-phase value,
+    # and the final phase-4 EMA FID must be well below its first reading.
+    per_phase_first = {}
+    per_phase_last_ema = {}
+    for e in trajectory:
+        if "FID" not in e:
+            continue
+        ph = e["phase"]
+        if e["suffix"] == "" and ph not in per_phase_first:
+            per_phase_first[ph] = e["FID"]
+        if e["suffix"] in ("_EMA", "_validation"):
+            per_phase_last_ema[ph] = e["FID"]
+    print("first FID per phase:", per_phase_first)
+    print("last EMA/val FID per phase:", per_phase_last_ema)
+    final_phase = max(per_phase_last_ema)
+    assert per_phase_last_ema[final_phase] < per_phase_first[final_phase], (
+        "final phase did not improve over its first measurement"
+    )
+    improved = sum(
+        1 for ph in per_phase_first
+        if ph in per_phase_last_ema and per_phase_last_ema[ph] < per_phase_first[ph]
+    )
+    print(f"phases improved: {improved}/{len(per_phase_first)}; wall {wall:.0f}s")
+    assert improved >= max(1, len(per_phase_first) - 1), "training is not converging"
+    print("CONVERGENCE OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -304,3 +304,98 @@ def test_param_count():
     ops.dense(s.sub("discriminator/b"), jnp.zeros((1, 4)), 8, "linear")
     assert param_count(s.params) == 64
     assert param_count(s.params, "generator") == 32
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP conv3d (gemm_custom): hand-written dgrad/wgrad, any-order AD
+# (VERDICT r1 item 4 groundwork; algebra in ops/core.py _conv3d_C/_conv3d_W)
+# ---------------------------------------------------------------------------
+
+
+class TestConvCustomVjp:
+    def _xw(self, kernel=(3, 3, 3), c=3, f=5, seed=0):
+        import numpy as _np
+
+        rng = _np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(2, c, 4, 6, 6)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(*kernel, c, f)) * 0.3, jnp.float32)
+        return x, w
+
+    @pytest.mark.parametrize("kernel", [(3, 3, 3), (1, 3, 3), (1, 1, 1)])
+    def test_forward_matches_direct(self, kernel):
+        from saragan_tpu.ops.core import _conv3d_C, _conv_direct
+
+        x, w = self._xw(kernel)
+        np.testing.assert_allclose(
+            np.asarray(_conv3d_C(x, w)), np.asarray(_conv_direct(x, w)), rtol=2e-5, atol=2e-5
+        )
+
+    @pytest.mark.parametrize("wgrad", ["xla", "einsum"])
+    def test_first_order_grads_match_direct(self, wgrad, monkeypatch):
+        from saragan_tpu.ops.core import _conv3d_C, _conv_direct
+
+        monkeypatch.setenv("SARAGAN_CONV3D_WGRAD", wgrad)
+        x, w = self._xw()
+
+        def loss(conv):
+            return lambda x, w: jnp.sum(jnp.tanh(conv(x, w)))
+
+        gx1, gw1 = jax.grad(loss(_conv3d_C), argnums=(0, 1))(x, w)
+        gx2, gw2 = jax.grad(loss(_conv_direct), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=2e-4, atol=2e-5)
+
+    def test_second_order_gp_style_matches_direct(self):
+        """The WGAN-GP pattern: grad wrt params of ||grad wrt input||^2."""
+        from saragan_tpu.ops.core import _conv3d_C, _conv_direct
+
+        x, w = self._xw(c=2, f=3, seed=1)
+
+        def gp(conv):
+            def disc(xx, ww):
+                y = conv(xx, ww)
+                return jnp.sum(jnp.tanh(y))
+
+            def inner(ww):
+                g = jax.grad(disc, argnums=0)(x, ww)
+                return jnp.sum(jnp.square(g))
+
+            return jax.grad(inner)(w)
+
+        np.testing.assert_allclose(
+            np.asarray(gp(_conv3d_C)), np.asarray(gp(_conv_direct)), rtol=5e-4, atol=5e-5
+        )
+
+    def test_third_order_closes(self):
+        """The algebra closes on itself: differentiate once more than the GP."""
+        from saragan_tpu.ops.core import _conv3d_C, _conv_direct
+
+        x, w = self._xw(c=2, f=2, seed=2)
+        v = jnp.ones_like(w)
+
+        def f3(conv):
+            def disc(xx, ww):
+                return jnp.sum(jnp.tanh(conv(xx, ww)))
+
+            def gp_loss(ww):
+                g = jax.grad(disc, argnums=0)(x, ww)
+                return jnp.sum(jnp.square(g))
+
+            def gp_grad_norm(ww):
+                return jnp.sum(jax.grad(gp_loss)(ww) * v)
+
+            return jax.grad(gp_grad_norm)(w)
+
+        np.testing.assert_allclose(
+            np.asarray(f3(_conv3d_C)), np.asarray(f3(_conv_direct)), rtol=1e-3, atol=1e-4
+        )
+
+    def test_conv_apply_dispatch(self, monkeypatch):
+        import saragan_tpu.ops.core as core
+
+        x, w = self._xw()
+        monkeypatch.setattr(core, "CONV3D_ALGORITHM", "gemm_custom")
+        y = core.conv_apply(x, w)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(core._conv_direct(x, w)), rtol=2e-5, atol=2e-5
+        )
