@@ -307,9 +307,19 @@ def _wgrad_xla(x: jax.Array, dy: jax.Array, kernel: Tuple[int, ...]) -> jax.Arra
     return dw
 
 
+def _conv3d_engine(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Engine behind the custom-VJP algebra: 'pallas' = implicit-GEMM kernel
+    with in-VMEM offset reuse (ops/pallas_conv.py), else the scan GEMM."""
+    if CONV3D_ALGORITHM == "pallas" and w.shape[0] * w.shape[1] * w.shape[2] > 1:
+        from saragan_tpu.ops.pallas_conv import conv3d_flat
+
+        return conv3d_flat(x, w)
+    return _conv3d_shifted_gemm(x, w)
+
+
 @jax.custom_vjp
 def _conv3d_C(x: jax.Array, w: jax.Array) -> jax.Array:
-    return _conv3d_shifted_gemm(x, w)
+    return _conv3d_engine(x, w)
 
 
 def _conv3d_C_fwd(x, w):
@@ -328,6 +338,10 @@ _conv3d_C.defvjp(_conv3d_C_fwd, _conv3d_C_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _conv3d_W(x: jax.Array, dy: jax.Array, kernel: Tuple[int, ...]) -> jax.Array:
+    if CONV3D_ALGORITHM == "pallas" and int(np.prod(kernel)) > 1:
+        from saragan_tpu.ops.pallas_conv import conv3d_flat_wgrad
+
+        return conv3d_flat_wgrad(x, dy, tuple(kernel))
     if os.environ.get("SARAGAN_CONV3D_WGRAD", "xla") == "einsum":
         return _wgrad_einsum(x, dy, kernel)
     return _wgrad_xla(x, dy, kernel)
@@ -352,7 +366,7 @@ def conv_apply(x: jax.Array, w: jax.Array) -> jax.Array:
     spatial_rank = x.ndim - 2
     if spatial_rank == 3 and CONV3D_ALGORITHM == "gemm":
         return _conv3d_shifted_gemm(x, w)
-    if spatial_rank == 3 and CONV3D_ALGORITHM == "gemm_custom":
+    if spatial_rank == 3 and CONV3D_ALGORITHM in ("gemm_custom", "pallas"):
         return _conv3d_C(x, w)
     if spatial_rank == 3 and CONV3D_ALGORITHM == "hybrid" and w.shape[0] * w.shape[1] * w.shape[2] > 1:
         return _conv3d_hybrid(x, w)

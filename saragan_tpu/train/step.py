@@ -118,6 +118,7 @@ def make_train_step(
     frozen_names: FrozenSet[str] = frozenset(),
     freeze: bool = False,
     apply_gp: bool = True,
+    grad_histograms: bool = False,
 ):
     """Build the (un-jitted) train step for one phase.
 
@@ -131,7 +132,12 @@ def make_train_step(
     lazy_k = max(1, int(getattr(cfg, "lazy_gp", 1)))
     gp_weight_eff = cfg.gp_weight * lazy_k if apply_gp else 0.0
 
-    hist_bins = 64 if getattr(cfg, "grad_histograms", True) else 0
+    # Per-variable histograms are ~100 extra unfused reduction kernels and
+    # MORE THAN DOUBLED the measured hot step (887 vs 408 ms at the bench
+    # config) — so they live in a dedicated step VARIANT the trainer invokes
+    # only on summary steps, matching the reference where summary ops only
+    # run when fetched (summary.py + optuna_objective.py sess.run lists).
+    hist_bins = 64 if grad_histograms else 0
 
     def apply_updates(optimizer, params, opt_state, grads, lr, clipping):
         grads, max_norm, norms, hists = _clip_and_norms(grads, clipping, hist_bins)
