@@ -396,25 +396,70 @@ class TPESampler:
 
 
 class CmaEsSampler:
-    """Diagonal (mu, lambda)-ES over the unit cube: mean/sigma updated from
-    the top-mu completed trials; `restart_strategy='ipop'` doubles the
-    effective population (via a wider sigma reset) when progress stalls."""
+    """(mu, lambda)-ES over the unit cube with FULL elite covariance.
+
+    The joint vector over all parameters seen in history is sampled from
+    N(weighted-elite-mean, Cov_elite + shrinkage*I) once per trial and
+    cached (log-linear recombination weights, the CMA-ES rank-mu flavor),
+    so correlated parameters move together — per-dimension marginals alone
+    cannot follow a rotated valley.  Parameters absent from history fall
+    back to a per-dimension gaussian.  `restart_strategy='ipop'` widens the
+    sampling covariance by `inc_popsize` when the elite set has collapsed
+    (sigma below threshold), restoring exploration."""
 
     def __init__(self, seed: Optional[int] = None, n_startup_trials: int = 8,
                  consider_pruned_trials: bool = False, restart_strategy: Optional[str] = None,
                  inc_popsize: int = 2):
         self._rng = random.Random(seed)
+        self._np_rng = np.random.default_rng(seed)
         self.n_startup_trials = n_startup_trials
         self.consider_pruned = consider_pruned_trials
         self.restart_strategy = restart_strategy
         self.inc_popsize = inc_popsize
 
-    def sample(self, study, name, dist, trial=None):
+    def _done(self, study, name=None):
         states = (COMPLETE, PRUNED) if self.consider_pruned else (COMPLETE,)
-        done = [t for t in study.get_trials() if t.state in states and name in t.params
-                and t.value is not None]
+        return [t for t in study.get_trials() if t.state in states and t.value is not None
+                and (name is None or name in t.params)]
+
+    def _sample_joint(self, study, done) -> Dict[str, float]:
+        sign = 1.0 if study.direction == "minimize" else -1.0
+        ranked = sorted(done, key=lambda t: sign * t.value)
+        mu = max(2, len(ranked) // 4)
+        dists: Dict[str, tuple] = {}
+        for t in ranked:
+            dists.update(t.dists)
+        names = sorted(dists)
+        elite = np.array([
+            [_to_unit(t.params.get(n, 0.5), dists[n]) if n in t.params else 0.5
+             for n in names]
+            for t in ranked[:mu]
+        ])
+        # log-linear recombination weights (CMA-ES standard)
+        wts = np.log(mu + 0.5) - np.log(np.arange(1, mu + 1))
+        wts = wts / wts.sum()
+        mean = wts @ elite
+        centered = elite - mean
+        cov = (centered * wts[:, None]).T @ centered
+        sigma2 = float(np.trace(cov)) / max(len(names), 1)
+        if self.restart_strategy == "ipop" and sigma2 < 0.03**2:
+            cov = cov * self.inc_popsize**2  # ipop-style exploration restart
+        cov = cov + np.eye(len(names)) * max(sigma2 * 0.1, 4e-4)  # shrinkage
+        draw = self._np_rng.multivariate_normal(mean, cov, method="eigh")
+        return {n: float(min(max(v, 0.0), 1.0)) for n, v in zip(names, draw)}
+
+    def sample(self, study, name, dist, trial=None):
+        done = self._done(study, name)
         if len(done) < self.n_startup_trials:
             return _dist_sample_random(self._rng, dist)
+        if trial is not None:
+            cache = getattr(trial, "_cma_joint", None)
+            if cache is None:
+                cache = self._sample_joint(study, self._done(study))
+                trial._cma_joint = cache
+            if name in cache:
+                return _from_unit(cache[name], dist)
+        # fallback: per-dimension gaussian around the elite mean
         sign = 1.0 if study.direction == "minimize" else -1.0
         ranked = sorted(done, key=lambda t: sign * t.value)
         mu = max(2, len(ranked) // 4)
@@ -422,8 +467,6 @@ class CmaEsSampler:
         mean = sum(elite) / len(elite)
         var = sum((e - mean) ** 2 for e in elite) / len(elite)
         sigma = max(math.sqrt(var), 0.02)
-        if self.restart_strategy == "ipop" and sigma < 0.03:
-            sigma *= self.inc_popsize  # widen the search again
         return _from_unit(self._rng.gauss(mean, sigma), dist)
 
 

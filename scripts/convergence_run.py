@@ -109,10 +109,11 @@ def main():
         compute_FID=True,
         compute_swds=True,
         compute_mses=True,
-        num_metric_samples=48,
-        metrics_batch_size=16,
-        metrics_every_nsteps=768,
-        summary_small_every_nsteps=256,
+        num_metric_samples=32,
+        metrics_batch_size=32,
+        metrics_every_nsteps=3072,
+        summary_small_every_nsteps=2048,
+        grad_histograms=False,
         summary_large_every_nsteps=10**9,
         checkpoint_every_nsteps=10**9,
         compute_dtype="bfloat16",

@@ -150,7 +150,7 @@ def probe_chip():
                 )
                 vol = phase_shape(cfg, phase)
                 real = jax.device_put(
-                    np.random.default_rng(0).normal(size=(batch, *vol)).astype(np.float32)
+                    np.random.default_rng(0).normal(size=(batch, 1, *vol)).astype(np.float32)
                 )
                 import time as _t
 
@@ -216,7 +216,7 @@ def virtual_mesh():
         jit_step = jit_train_step(step, mesh, 5, donate=True, space_axis=2)
         vol = phase_shape(cfg, phase)
         global_batch = batch_per * data
-        real = np.random.default_rng(0).normal(size=(global_batch, *vol)).astype(np.float32)
+        real = np.random.default_rng(0).normal(size=(global_batch, 1, *vol)).astype(np.float32)
         batch = shard_global_batch(mesh, real, space_axis=2)
         import time as _t
 

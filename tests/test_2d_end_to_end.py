@@ -59,3 +59,43 @@ def test_2d_pgan_two_phase_run(imagenet_dir, tmp_path):
 
     params, _, _ = ckpt.load_params(os.path.join(cfg.logdir, "model_2.npz"))
     assert params["generator/generator_block_2/conv_1/weight"].shape == (3, 3, 8, 8)
+
+
+def test_2d_g_adam_d_lamb_with_accumulation(imagenet_dir, tmp_path):
+    """The reference 2D path's hardwired configuration: G on Adam, D on LAMB
+    with decoupled weight decay, plus micro-batch gradient accumulation
+    (SURFGAN_2D/main.py:206-212, optim.py:95-160) — end-to-end through the
+    phase driver (VERDICT r1 item 5)."""
+    cfg = Config(
+        architecture="pgan",
+        dataset_path=imagenet_dir,
+        start_shape="(3, 4, 4)",
+        final_shape="(3, 8, 8)",
+        starting_phase=1,
+        ending_phase=1,
+        latent_dim=16,
+        base_batch_size=4,
+        mixing_nimg=8,
+        stabilizing_nimg=8,
+        checkpoint_every_nsteps=10_000,
+        kernel_spec=[[[], [3, 3]], [[3, 3], [3, 3]]],
+        filter_spec=[[8, 8], [8, 8]],
+        conv_kernel_size=(3, 3),
+        loss_fn="wgan",
+        noise_stddev=0.0,
+        g_lr=1e-3,
+        d_lr=2.5e-3,
+        optimizer="Adam",
+        d_use_different_optimizer=True,
+        d_optimizer="LAMB",
+        weight_decay=0.004,
+        gradient_accumulation=2,
+        logdir=str(tmp_path / "logs2d_lamb"),
+        validation_fraction=0.2,
+        test_fraction=0.2,
+    ).finalize()
+    assert cfg.d_optimizer == "LAMB" and cfg.optimizer == "Adam"
+
+    tr = Trainer(cfg, dataset_factory=imagenet_dataset_factory(cfg, imagenet_dir), verbose=False)
+    tr.run()
+    assert os.path.isfile(os.path.join(cfg.logdir, "model_1.npz"))

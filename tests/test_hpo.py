@@ -262,3 +262,19 @@ def test_motpe_front_on_tradeoff():
     study.optimize(obj, n_trials=60)
     xs = [t.params["x"] for t in study.best_trials]
     assert any(-0.3 <= x <= 2.3 for x in xs)
+
+
+def test_cma_full_covariance_follows_rotated_valley():
+    """Full-covariance CMA must converge in a correlated (rotated) valley
+    where per-dimension marginals alone stall."""
+
+    def obj(t):
+        x = t.suggest_float("x", -3, 3)
+        y = t.suggest_float("y", -3, 3)
+        return 20.0 * (x - y) ** 2 + (x + y - 2.0) ** 2
+
+    study = create_study(sampler=samplers.CmaEsSampler(seed=11, n_startup_trials=10))
+    study.optimize(obj, n_trials=120)
+    assert study.best_trial.value < 0.25, study.best_trial.value
+    bx, by = study.best_trial.params["x"], study.best_trial.params["y"]
+    assert abs(bx - by) < 0.2 and abs(bx + by - 2.0) < 0.5
