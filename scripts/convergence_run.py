@@ -87,21 +87,22 @@ def main():
         architecture="pgan",
         dataset_path=dataroot,
         start_shape="(1, 4, 4, 4)",
-        final_shape="(1, 32, 32, 32)",
+        final_shape="(1, 64, 64, 64)",  # phases 1-4 -> 4,8,16,32 (num_phases = log2(final/start), reference utils.py:211-217)
         starting_phase=1,
         ending_phase=4,
         latent_dim=64,
         network_size="xs",
-        base_batch_size=32,
-        mixing_nimg=3072,
-        stabilizing_nimg=3072,
+        base_batch_size=64,
+        max_global_batch_size=64,
+        mixing_nimg=4096,
+        stabilizing_nimg=8192,
         loss_fn="wgan",
         gp_weight=10.0,
         noise_stddev=0.0,
         adam_beta1=0.0,
         adam_beta2=0.9,
-        g_lr=1e-3,
-        d_lr=1e-3,
+        g_lr=7.5e-4,
+        d_lr=7.5e-4,
         ema_beta=0.99,
         data_mean=mean,
         data_stddev=std,
@@ -111,7 +112,7 @@ def main():
         compute_mses=True,
         num_metric_samples=32,
         metrics_batch_size=32,
-        metrics_every_nsteps=3072,
+        metrics_every_nsteps=6144,
         summary_small_every_nsteps=2048,
         grad_histograms=False,
         summary_large_every_nsteps=10**9,
