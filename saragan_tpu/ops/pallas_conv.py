@@ -215,3 +215,113 @@ def conv3d_flat_wgrad(x: jax.Array, dy: jax.Array, kernel: Tuple[int, int, int],
     )(xf, dyf, mask)
     kd, kh, kw = kernel
     return out.reshape(kd, kh, kw, c, f).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# v2: manual double-buffered HBM->VMEM DMA + im2col contraction
+# ---------------------------------------------------------------------------
+#
+# v1 (Element-indexed windows) measured 12.6 ms/conv vs XLA direct 7.6 ms at
+# the C=F=16 128^2x32 layer: per-offset (C,F) GEMMs leave the MXU at C/128
+# utilization, and whole-operand VMEM placement broke inside the full step.
+# v2 fixes both: x stays in HBM (memory_space=ANY) with an explicitly
+# double-buffered window DMA per grid step, and for small C the 27 shifted
+# slices are stacked into one (K*C, t_tile) im2col matrix so the MXU
+# contracts over K*C (432 for C=16) instead of C.
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def _fwd_v2_kernel(x_hbm, w_ref, m_ref, o_ref, xbuf, xcol, sem, *,
+                   deltas, halo_pad, t_tile, f, c, im2col):
+    n_i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    b = t_tile + 2 * halo_pad
+
+    def window_dma(slot, nn, jj):
+        return pltpu.make_async_copy(
+            x_hbm.at[nn, :, pl.dslice(jj * t_tile, b)],
+            xbuf.at[slot],
+            sem.at[slot],
+        )
+
+    step = n_i * n_tiles + j
+
+    @pl.when(step == 0)
+    def _warmup():
+        window_dma(0, n_i, j).start()
+
+    # prefetch the next window while computing this one
+    nxt_n = jnp.where(j + 1 < n_tiles, n_i, n_i + 1)
+    nxt_j = jnp.where(j + 1 < n_tiles, j + 1, 0)
+
+    @pl.when(step + 1 < pl.num_programs(0) * n_tiles)
+    def _prefetch():
+        window_dma((step + 1) % 2, nxt_n, nxt_j).start()
+
+    window_dma(step % 2, n_i, j).wait()
+    x = xbuf[step % 2]  # (C, B)
+
+    if im2col:
+        for idx, d in enumerate(deltas):
+            xcol[idx * c:(idx + 1) * c, :] = x[:, halo_pad + d: halo_pad + d + t_tile]
+        acc = jax.lax.dot_general(
+            w_ref[:], xcol[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (KC,F) x (KC,t) -> (F,t)
+    else:
+        acc = jnp.zeros((f, t_tile), jnp.float32)
+        for idx, d in enumerate(deltas):
+            xs = x[:, halo_pad + d: halo_pad + d + t_tile]
+            acc = acc + jax.lax.dot_general(
+                w_ref[idx * c:(idx + 1) * c], xs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[0] = (acc * m_ref[:]).astype(o_ref.dtype)
+
+
+def conv3d_flat_v2(x: jax.Array, w: jax.Array, interpret=None) -> jax.Array:
+    n, c = x.shape[:2]
+    spatial = x.shape[2:]
+    kernel = w.shape[:3]
+    f = w.shape[-1]
+    g = _geometry(spatial, kernel)
+    k = len(g["deltas"])
+    im2col = c <= 32
+    xf = _to_flat(x, g)
+    wf = w.reshape(k * c, f).astype(x.dtype)
+    mask = _interior_mask(g, spatial)
+    b = g["t_tile"] + 2 * g["halo_pad"]
+    grid = (n, g["t_rounded"] // g["t_tile"])
+    interp = (not _on_tpu()) if interpret is None else interpret
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    if interp or pltpu is None or c % sublane != 0:
+        # CPU tests, and channel counts the DMA engine can't window
+        # ("slice along dim 1 must be aligned to tiling")
+        return conv3d_flat(x, w, interpret=interpret)
+    scratch = [
+        pltpu.VMEM((2, c, b), x.dtype),
+        pltpu.VMEM((k * c, g["t_tile"]) if im2col else (1, 128), x.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_v2_kernel, deltas=g["deltas"], halo_pad=g["halo_pad"],
+            t_tile=g["t_tile"], f=f, c=c, im2col=im2col,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, f, g["t_rounded"]), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((k * c, f), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, g["t_tile"]), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, f, g["t_tile"]), lambda i, j: (i, 0, j)),
+        scratch_shapes=scratch,
+        interpret=False,
+    )(xf, wf, mask)
+    return _from_flat(out, g, spatial)

@@ -204,7 +204,10 @@ def virtual_mesh():
     # phase-7/8 geometry at reduced channel width so 8 virtual CPU devices
     # finish in minutes: the SHARDING (dp x sp halo conv) is what's under
     # test, and it is width-independent.
-    for phase, space, batch_per in [(7, 2, 1), (7, 4, 1), (8, 4, 1)]:
+    # phase-6 geometry: the largest the virtual CPU mesh executes without
+    # hitting XLA:CPU thunk-executor crashes at phase-7/8 element counts
+    # (real phase-7/8 evidence comes from --probe-chip on hardware)
+    for phase, space, batch_per in [(6, 2, 1), (6, 4, 1), (7, 2, 1)]:
         data = 8 // space
         cfg = lidc_cfg(phase, batch_per * data, space=space)
         cfg.filter_spec = [[4, 4]] * cfg.num_phases  # thin net, same geometry
