@@ -88,3 +88,14 @@ def test_synchronized_trial_lockstep_prune(twoproc_results):
     assert r0["suggested_cat"] == r1["suggested_cat"] == "LAMB"
     assert r0["pruned_at"] == r1["pruned_at"] == 2
     assert r0["none_trial"] and r1["none_trial"]
+
+
+def test_intra_trial_harness_lockstep(twoproc_results):
+    """harness.run intra-trial branch under 2 processes: identical broadcast
+    params on every objective call, equal trial counts, and only process 0
+    bound to the shared SQLite storage (reference main.py:183-205 gating)."""
+    r0, r1 = twoproc_results
+    h0, h1 = r0["harness"], r1["harness"]
+    assert h0["lrs"] == h1["lrs"], (h0["lrs"], h1["lrs"])
+    assert h0["n_trials"] == h1["n_trials"] == 4
+    assert h0["storage_is_shared"] and not h1["storage_is_shared"]

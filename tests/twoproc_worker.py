@@ -129,9 +129,47 @@ def main():
     # a no-trial run resolves to None on every process
     results["none_trial"] = synchronized_trial(None) is None
 
+    # --- intra-trial HPO harness end-to-end ----------------------------
+    results["harness"] = harness_e2e(outdir, pid)
+
     with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
         json.dump(results, f)
     print(f"proc {pid} OK")
+
+
+def harness_e2e(outdir, pid):
+    """End-to-end intra-trial HPO across 2 processes: process 0 drives the
+    shared-storage study, process 1 runs a local throwaway study; every
+    objective call must see identical broadcast params and identical trial
+    count (harness.run coordinator gating + synchronized_trial)."""
+    import numpy as np
+
+    from saragan_tpu.config import Config
+    from saragan_tpu.hpo import harness
+
+    calls = []
+
+    def stub_objective(trial, cfg):
+        from saragan_tpu.parallel.multihost import synchronized_trial
+
+        trial = synchronized_trial(trial)
+        lr = trial.suggest_float("generator_LR", 1e-4, 1e-1)
+        calls.append(lr)
+        return float((np.log10(lr) + 2.5) ** 2)
+
+    cfg = Config(
+        optuna_ntrials=4,
+        optuna_storage=f"sqlite:///{outdir}/study.db",
+        optuna_study_name="twoproc",
+        optuna_sampler="TPE",
+        noise_stddev=0.0,
+    )
+    study = harness.run(cfg, objective=stub_objective)
+    return {
+        "lrs": calls,
+        "n_trials": len(study.trials),
+        "storage_is_shared": study._storage.path is not None,
+    }
 
 
 if __name__ == "__main__":
