@@ -152,6 +152,9 @@ def build_parser() -> argparse.ArgumentParser:
     # HPO
     p.add_argument("--optuna_distributed", default=False, action="store_true")
     p.add_argument("--optuna_ntrials", default=None, type=none_or_int)
+    p.add_argument("--optuna_walltime", default=None, type=none_or_float,
+                   help="With --optuna_ntrials None, keep starting trials until this "
+                        "many seconds have elapsed (reference main.py:199-205 walltime loop)")
     p.add_argument("--optuna_use_best_trial", default=False, action="store_true")
     p.add_argument("--optuna_storage", default=None, type=str)
     p.add_argument("--optuna_study_name", default=None, type=str)

@@ -166,6 +166,9 @@ class Config:
     # --- HPO (reference main.py:343-354) ---
     optuna_distributed: bool = False
     optuna_ntrials: Optional[int] = None
+    # ntrials=None runs trials until walltime (reference main.py:199-205 reads
+    # the remaining SLURM budget; here it's an explicit bound in seconds)
+    optuna_walltime: Optional[float] = None
     optuna_use_best_trial: bool = False
     optuna_storage: Optional[str] = None
     optuna_study_name: Optional[str] = None

@@ -218,10 +218,12 @@ def run(cfg: Config, objective: Callable = default_objective):
             nworkers = int(os.environ.get("SARAGAN_NUM_WORKERS", "1"))
             n_trials = -(-cfg.optuna_ntrials // max(nworkers, 1))
         study.optimize(lambda t: objective(t, cfg), n_trials=n_trials,
+                       timeout=cfg.optuna_walltime,
                        catch=_catchable(), gc_after_trial=True)
         return study
 
-    if cfg.optuna_ntrials is not None or cfg.optuna_storage is not None:
+    if (cfg.optuna_ntrials is not None or cfg.optuna_storage is not None
+            or cfg.optuna_walltime is not None):
         # intra-trial HPO: DP inside each trial, process 0 drives the study.
         # Under jax.process_count() > 1 the other processes run the SAME
         # number of trials against a local throwaway study — every suggested
@@ -246,6 +248,7 @@ def run(cfg: Config, objective: Callable = default_objective):
             **kwargs,
         )
         study.optimize(lambda t: objective(t, cfg), n_trials=cfg.optuna_ntrials,
+                       timeout=cfg.optuna_walltime,
                        catch=_catchable(), gc_after_trial=True)
         return study
 

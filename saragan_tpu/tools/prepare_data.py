@@ -285,3 +285,250 @@ def pack_npy_to_hdf5(npy_dir: str, h5_path: str, dataset_name: str = "volumes"):
         for i, p in enumerate(files):
             ds[i] = np.load(p)
     return h5_path
+
+
+# ---------------------------------------------------------------------------
+# TFRecord codec — pure Python, no TensorFlow dependency.
+#
+# The reference stores LIDC volumes as TFRecords of tf.train.Example with a
+# single packed-float 'image' feature and converts them to .npy / .pt
+# (data_scripts/convert_to_numpy.py:8-35, convert_to_torch.py).  The wire
+# format is small enough to implement directly: each record is
+#   uint64le length | uint32le masked_crc32c(length) |
+#   data             | uint32le masked_crc32c(data)
+# and the Example payload is three nested length-delimited protobuf fields
+# (Example.features -> Features.feature[map] -> Feature.float_list).
+# ---------------------------------------------------------------------------
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), table-driven."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        poly = 0x82F63B78
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    tab = _CRC32C_TABLE
+    for b in data:
+        crc = tab[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited protobuf field."""
+    return _varint(field << 3 | 2) + _varint(len(payload)) + payload
+
+
+def encode_float_example(values: np.ndarray, key: str = "image") -> bytes:
+    """tf.train.Example with one packed-float feature (the reference's
+    TFRecord schema, convert_to_numpy.py:9-11)."""
+    float_list = _ld(1, np.asarray(values, "<f4").tobytes())
+    feature = _ld(2, float_list)  # Feature.float_list
+    entry = _ld(1, key.encode()) + _ld(2, feature)  # map<string, Feature>
+    features = _ld(1, entry)  # Features.feature
+    return _ld(1, features)  # Example.features
+
+
+def decode_float_example(data: bytes, key: str = "image") -> np.ndarray:
+    """Parse the float_list of `key` out of a serialized Example."""
+
+    def fields(buf):
+        pos = 0
+        while pos < len(buf):
+            tag, pos = _read_varint(buf, pos)
+            field, wire = tag >> 3, tag & 7
+            if wire == 2:
+                ln, pos = _read_varint(buf, pos)
+                yield field, buf[pos : pos + ln], None
+                pos += ln
+            elif wire == 0:
+                val, pos = _read_varint(buf, pos)
+                yield field, None, val
+            elif wire == 5:
+                yield field, buf[pos : pos + 4], None
+                pos += 4
+            else:
+                raise NotImplementedError(f"wire type {wire}")
+
+    for f1, features, _ in fields(data):
+        if f1 != 1:
+            continue
+        for f2, entry, _ in fields(features):
+            if f2 != 1:
+                continue
+            name, feature = None, None
+            for f3, payload, _ in fields(entry):
+                if f3 == 1:
+                    name = payload.decode()
+                elif f3 == 2:
+                    feature = payload
+            if name != key or feature is None:
+                continue
+            for f4, payload, _ in fields(feature):
+                if f4 == 2:  # float_list
+                    floats = bytearray()
+                    for f5, packed, _ in fields(payload):
+                        if f5 == 1:
+                            floats += packed
+                    return np.frombuffer(bytes(floats), "<f4")
+    raise KeyError(f"feature {key!r} not found in Example")
+
+
+def write_tfrecords(arrays: Iterable[np.ndarray], path: str, key: str = "image") -> int:
+    """Volumes -> one .tfrecord file (masked-CRC framing, TF-compatible)."""
+    import struct
+
+    n = 0
+    with open(path, "wb") as f:
+        for arr in arrays:
+            data = encode_float_example(np.asarray(arr).ravel(), key)
+            length = struct.pack("<Q", len(data))
+            f.write(length)
+            f.write(struct.pack("<I", _masked_crc(length)))
+            f.write(data)
+            f.write(struct.pack("<I", _masked_crc(data)))
+            n += 1
+    return n
+
+
+def read_tfrecords(path: str, shape=None, key: str = "image",
+                   verify_crc: bool = False) -> List[np.ndarray]:
+    """One .tfrecord file -> list of float32 arrays (reshaped if given)."""
+    import struct
+
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                break
+            (length,) = struct.unpack("<Q", head)
+            (lcrc,) = struct.unpack("<I", f.read(4))
+            data = f.read(length)
+            (dcrc,) = struct.unpack("<I", f.read(4))
+            if verify_crc:
+                assert _masked_crc(head) == lcrc, "length CRC mismatch"
+                assert _masked_crc(data) == dcrc, "data CRC mismatch"
+            arr = decode_float_example(data, key)
+            out.append(arr.reshape(shape) if shape is not None else arr)
+    return out
+
+
+def convert_tfrecords_to_npy(tfrecord_dir: str, out_dir: str, shape) -> int:
+    """Reference data_scripts/convert_to_numpy.py:37-62 — every .tfrecord in
+    `tfrecord_dir` unpacked to sequentially numbered NNNN.npy files."""
+    files = sorted(glob.glob(os.path.join(tfrecord_dir, "*.tfrecord")))
+    assert files, tfrecord_dir
+    os.makedirs(out_dir, exist_ok=True)
+    i = 0
+    for path in files:
+        for arr in read_tfrecords(path, shape):
+            np.save(os.path.join(out_dir, f"{i:04d}.npy"), arr.astype(np.float32))
+            i += 1
+    return i
+
+
+def convert_npy_to_pt(npy_root: str, out_root: str,
+                      sizes=(4, 8, 16, 32, 64, 128, 256, 512)) -> int:
+    """npy pyramid -> torch .pt pyramid (reference data_scripts/convert_npy_pt.py:
+    int16 cast, per-size `{S}x{S}` folders, sequential NNNN.pt names)."""
+    import torch
+
+    n = 0
+    for size in sizes:
+        folder = os.path.join(npy_root, f"{size}x{size}")
+        if not os.path.isdir(folder):
+            continue
+        out_folder = os.path.join(out_root, f"{size}x{size}")
+        os.makedirs(out_folder, exist_ok=True)
+        for i, path in enumerate(sorted(glob.glob(os.path.join(folder, "*.npy")))):
+            tensor = torch.from_numpy(np.load(path).astype(np.int16))
+            torch.save(tensor, os.path.join(out_folder, f"{i:04d}.pt"))
+            n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Metadata extraction (reference data_scripts/extract_metadata.py)
+# ---------------------------------------------------------------------------
+
+
+def volume_metadata(array: np.ndarray, path: str = "", spacing=None,
+                    origin=None, direction=None) -> dict:
+    """Stats row for one volume — same columns as the reference's map_fn
+    (extract_metadata.py:43-66)."""
+    return {
+        "path": path,
+        "orig_depth": int(array.shape[0]),
+        "orig_spacing": tuple(spacing) if spacing is not None else None,
+        "orig_origin": tuple(origin) if origin is not None else None,
+        "orig_direction": tuple(direction) if direction is not None else None,
+        "orig_size": tuple(int(s) for s in array.shape[::-1]),
+        "orig_min": float(array.min()),
+        "orig_max": float(array.max()),
+        "orig_mean": float(array.mean()),
+        "orig_std": float(array.std()),
+        "orig_median": float(np.median(array)),
+    }
+
+
+def get_dcm_paths(root: str) -> Iterable[str]:
+    """Directories under `root` containing .dcm files
+    (reference extract_metadata.py:13-17)."""
+    for directory, _, files in os.walk(root):
+        if any(f.endswith(".dcm") for f in files):
+            yield directory
+
+
+def extract_metadata(root: str, csv_path: str, num_workers: int = 1) -> int:
+    """Walk `root` for DICOM series (or loose .npy volumes), extract per-volume
+    stats, write a metadata CSV (reference extract_metadata.py; DICOM ingestion
+    gated on SimpleITK/pydicom like the rest of this module)."""
+    import csv
+
+    rows = []
+    for d in get_dcm_paths(root):
+        array, spacing = read_dicom_series(d)
+        rows.append(volume_metadata(array, d, spacing))
+    for p in sorted(glob.glob(os.path.join(root, "**", "*.npy"), recursive=True)):
+        rows.append(volume_metadata(np.load(p), p))
+    assert rows, f"no DICOM series or .npy volumes under {root}"
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+    return len(rows)

@@ -101,3 +101,36 @@ def test_multi_objective_run(tmp_path):
     study = run(cfg, objective)
     assert len(study.best_trials) >= 1
     assert all(t.values is not None and len(t.values) == 2 for t in study.best_trials)
+
+
+def test_walltime_bounded_trial_loop(tmp_path):
+    """ntrials=None + --optuna_walltime keeps starting trials until the budget
+    elapses (reference main.py:199-205 runs until SLURM walltime)."""
+    import time
+
+    calls = []
+
+    def slow_objective(trial, cfg):
+        time.sleep(0.05)
+        return trial.suggest_float("x", 0, 10) if trial is not None else 100.0
+
+    def counting(trial, cfg):
+        calls.append(trial)
+        return slow_objective(trial, cfg)
+
+    cfg = Config(
+        optuna_ntrials=None,
+        optuna_walltime=0.5,
+        optuna_storage=f"sqlite:///{tmp_path}/wt.db",
+        optuna_study_name="wt",
+        optuna_sampler="random",
+        optuna_pruner="nopruner",
+    )
+    t0 = time.time()
+    study = run(cfg, counting)
+    elapsed = time.time() - t0
+    # ran more than one trial, stopped soon after the budget, all were real trials
+    assert len(calls) >= 2
+    assert elapsed < 5.0
+    assert all(t is not None for t in calls)
+    assert len(study.trials) == len(calls)

@@ -155,3 +155,61 @@ def test_modulated_conv_demodulation():
     assert y.shape == (2, 8, 8, 8, 8)
     std = float(jnp.std(y))
     assert 0.5 < std < 2.0
+
+
+# ---------------------------------------------------------------------------
+# 2D variants (reference SURFGAN_2D mirrors the families in 2D NCHW; our ops
+# and models are rank-generic, so every family must also build and train at a
+# 2D base shape — SURVEY C4 + the 2D signature rows of §2)
+# ---------------------------------------------------------------------------
+
+
+def cfg_for_2d(arch, phase=2, **kw):
+    defaults = dict(
+        architecture=arch,
+        start_shape="(1, 4, 4)",
+        final_shape="(1, 32, 32)",
+        starting_phase=phase,
+        ending_phase=phase,
+        latent_dim=16,
+        base_batch_size=4,
+        network_size="xxs",
+        kernel_spec=[[[], [3, 3]], [[3, 3], [3, 3]], [[3, 3], [3, 3]]],
+        filter_spec=[[8, 8], [8, 8], [4, 4]],
+        loss_fn="wgan",
+        noise_stddev=0.0,
+        g_lr=1e-3,
+        d_lr=1e-3,
+    )
+    defaults.update(kw)
+    return Config(**defaults).finalize()
+
+
+@pytest.mark.parametrize("arch_name", ARCHS)
+def test_forward_shapes_2d(arch_name, rng):
+    phase = 1 if arch_name == "stylegan2" else 2
+    cfg = cfg_for_2d(arch_name, phase=phase)
+    arch = get_architecture(arch_name)
+    params = arch.init(rng, phase=phase, cfg=cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, cfg.latent_dim))
+    img = arch.generator(params, z, 0.5, phase=phase, cfg=cfg, rng=jax.random.PRNGKey(2))
+    size = 4 * 2 ** (phase - 1)
+    assert img.shape == (4, 1, size, size), arch_name
+    score = arch.discriminator(params, img, 0.5, phase=phase, cfg=cfg)
+    assert score.shape == (4, 1), arch_name
+    assert np.all(np.isfinite(np.asarray(img)))
+    assert np.all(np.isfinite(np.asarray(score)))
+
+
+@pytest.mark.parametrize("arch_name", ARCHS)
+def test_one_train_step_2d(arch_name):
+    phase = 1 if arch_name == "stylegan2" else 2
+    cfg = cfg_for_2d(arch_name, phase=phase)
+    arch = get_architecture(arch_name)
+    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
+    step = jax.jit(make_train_step(arch, cfg, phase, g_opt, d_opt))
+    size = 4 * 2 ** (phase - 1)
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, size, size))
+    new_state, metrics = step(state, real, jax.random.PRNGKey(5), 0.5, 1e-3, 1e-3)
+    assert np.isfinite(float(metrics.gen_loss)), arch_name
+    assert np.isfinite(float(metrics.disc_loss)), arch_name

@@ -120,3 +120,114 @@ def test_dicom_gated():
 
     with pytest.raises(ImportError, match="SimpleITK or pydicom"):
         read_dicom_series("/nonexistent")
+
+
+# ---------------------------------------------------------------------------
+# TFRecord codec + converters + metadata (round 2; reference
+# data_scripts/{convert_to_numpy,convert_npy_pt,extract_metadata}.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    from saragan_tpu.tools.prepare_data import read_tfrecords, write_tfrecords
+
+    vols = [np.random.default_rng(i).normal(size=(2, 4, 4)).astype(np.float32)
+            for i in range(3)]
+    path = tmp_path / "a.tfrecord"
+    assert write_tfrecords(vols, str(path)) == 3
+    back = read_tfrecords(str(path), shape=(2, 4, 4), verify_crc=True)
+    assert len(back) == 3
+    for a, b in zip(vols, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_tfrecord_tensorflow_cross_parity(tmp_path):
+    """Our pure-Python codec must interoperate bit-for-bit with TensorFlow's
+    (the format the reference actually wrote, convert_to_numpy.py:8-35)."""
+    tf = pytest.importorskip("tensorflow")
+
+    vol = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+
+    # ours -> tf
+    from saragan_tpu.tools.prepare_data import (
+        decode_float_example,
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    ours = tmp_path / "ours.tfrecord"
+    write_tfrecords([vol], str(ours))
+    ds = tf.data.TFRecordDataset(str(ours))
+    feats = {"image": tf.io.FixedLenFeature((24,), tf.float32)}
+    parsed = [tf.io.parse_single_example(r, feats)["image"].numpy() for r in ds]
+    np.testing.assert_array_equal(parsed[0].reshape(2, 3, 4), vol)
+
+    # tf -> ours
+    theirs = tmp_path / "tf.tfrecord"
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "image": tf.train.Feature(float_list=tf.train.FloatList(value=vol.ravel()))
+    }))
+    with tf.io.TFRecordWriter(str(theirs)) as w:
+        w.write(ex.SerializeToString())
+    back = read_tfrecords(str(theirs), shape=(2, 3, 4), verify_crc=True)
+    np.testing.assert_array_equal(back[0], vol)
+    # and the raw proto parses too
+    np.testing.assert_array_equal(
+        decode_float_example(ex.SerializeToString()), vol.ravel())
+
+
+def test_convert_tfrecords_to_npy(tmp_path):
+    from saragan_tpu.tools.prepare_data import (
+        convert_tfrecords_to_npy,
+        write_tfrecords,
+    )
+
+    rec_dir = tmp_path / "recs"
+    rec_dir.mkdir()
+    vols = [np.full((2, 2, 2), i, np.float32) for i in range(4)]
+    write_tfrecords(vols[:2], str(rec_dir / "a.tfrecord"))
+    write_tfrecords(vols[2:], str(rec_dir / "b.tfrecord"))
+    out = tmp_path / "npys"
+    n = convert_tfrecords_to_npy(str(rec_dir), str(out), shape=(2, 2, 2))
+    assert n == 4
+    for i in range(4):
+        np.testing.assert_array_equal(np.load(out / f"{i:04d}.npy"), vols[i])
+
+
+def test_convert_npy_to_pt(tmp_path):
+    import torch
+
+    from saragan_tpu.tools.prepare_data import convert_npy_to_pt
+
+    src = tmp_path / "npy" / "4x4"
+    src.mkdir(parents=True)
+    for i in range(2):
+        np.save(src / f"{i:04d}.npy", np.full((4, 4, 4), i + 0.7, np.float32))
+    n = convert_npy_to_pt(str(tmp_path / "npy"), str(tmp_path / "pt"), sizes=(4,))
+    assert n == 2
+    t = torch.load(tmp_path / "pt" / "4x4" / "0001.pt")
+    assert t.dtype == torch.int16  # reference casts int16 (convert_npy_pt.py:28)
+    assert int(t[0, 0, 0]) == 1
+
+
+def test_extract_metadata_csv(tmp_path):
+    import csv
+
+    from saragan_tpu.tools.prepare_data import extract_metadata, volume_metadata
+
+    for i in range(3):
+        np.save(tmp_path / f"v{i}.npy", np.random.default_rng(i).normal(
+            loc=i, size=(3, 4, 4)).astype(np.float32))
+    out = tmp_path / "metadata.csv"
+    n = extract_metadata(str(tmp_path), str(out))
+    assert n == 3
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    # reference column set (extract_metadata.py:43-66)
+    for col in ("path", "orig_depth", "orig_size", "orig_min", "orig_max",
+                "orig_mean", "orig_std", "orig_median"):
+        assert col in rows[0]
+    assert int(rows[0]["orig_depth"]) == 3
+    m = volume_metadata(np.zeros((2, 8, 8)), "x")
+    assert m["orig_size"] == (8, 8, 2)  # sitk GetSize() is (x, y, z)
