@@ -127,6 +127,30 @@ def training_props_summary(alpha, g_lr, d_lr) -> Dict[str, float]:
     return {"alpha": float(alpha), "g_lr": float(g_lr), "d_lr": float(d_lr)}
 
 
+def memory_summary() -> Dict[str, float]:
+    """Memory telemetry (reference logs psutil RSS%% to TB,
+    SURFGAN_2D/main.py:423-425; device HBM stats are the TPU-native upgrade
+    SURVEY §5.1 calls for).  Empty dict when a backend exposes no stats."""
+    out: Dict[str, float] = {}
+    try:
+        import psutil
+
+        out["memory/host_rss_percent"] = float(psutil.Process().memory_percent())
+    except ImportError:
+        pass
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "bytes_in_use" in stats:
+            out["memory/device_bytes_in_use"] = float(stats["bytes_in_use"])
+        if "peak_bytes_in_use" in stats:
+            out["memory/device_peak_bytes_in_use"] = float(stats["peak_bytes_in_use"])
+    except Exception:
+        pass
+    return out
+
+
 def gradients_summary(max_g_norm, max_d_norm, suffix: str = "") -> Dict[str, float]:
     return {
         f"max_g_grad_norm{suffix}": float(max_g_norm),

@@ -530,6 +530,9 @@ class Trainer:
             return
         w = self.writer
         w.scalars(summ.training_props_summary(alpha, g_lr_val, d_lr_val), global_step)
+        mem = summ.memory_summary()
+        if mem:
+            w.scalars(mem, global_step)
         suffix = "_freeze" if mixing and phase > cfg.starting_phase else ""
         w.scalars(
             summ.gradients_summary(float(metrics.max_g_norm), float(metrics.max_d_norm), suffix),

@@ -79,3 +79,15 @@ def test_utils_helpers(capsys, np_rng):
     arr = np_rng.normal(size=(10, 10))
     slices, box = uniform_box_sampler(arr, 2, 4, rng=np.random.default_rng(0))
     assert box.ndim == 2 and len(slices) == 2
+
+
+def test_memory_summary_scalars():
+    """Memory telemetry family (reference SURFGAN_2D/main.py:423-425 RSS%;
+    device HBM stats are the TPU-native upgrade of SURVEY §5.1)."""
+    from saragan_tpu.train import summaries as summ
+
+    out = summ.memory_summary()
+    assert "memory/host_rss_percent" in out
+    assert 0.0 < out["memory/host_rss_percent"] < 100.0
+    for v in out.values():
+        assert np.isfinite(v)
