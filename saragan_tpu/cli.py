@@ -113,6 +113,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Micro-batches averaged per optimizer step (SURFGAN_2D/optim.py:95-160)")
     p.add_argument("--use_spectral_norm", default=False, action="store_true",
                    help="Spectral-normalize discriminator weights (networks/ops.py:111-127)")
+    p.add_argument("--fused_transitions", dest="fused_transitions", default=True,
+                   action="store_true",
+                   help="Exact upscale+conv transition fusion (default on; +5.6%% train, "
+                        "+25%% inference measured on v5e)")
+    p.add_argument("--no_fused_transitions", dest="fused_transitions", action="store_false")
+    p.add_argument("--use_pallas_fusion", default=False, action="store_true",
+                   help="Pallas fused bias+lrelu+pixelnorm kernels (inference-only win; "
+                        "see BASELINE.md)")
     p.add_argument("--spectral_iterations", type=int, default=3)
     p.add_argument("--adam_beta1", type=none_or_float, default=0)
     p.add_argument("--d_use_different_beta1", default=False, action="store_true")

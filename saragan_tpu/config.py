@@ -192,7 +192,10 @@ class Config:
     remat: bool = False  # jax.checkpoint G/D forwards: recompute activations in backward (HBM for FLOPs)
     lazy_gp: int = 1  # apply the gradient penalty every k-th step with k-scaled weight (StyleGAN2 lazy regularization; 1 = reference-exact)
     full_state_checkpoints: bool = False  # periodic checkpoints also save the full TrainState (optimizer slots) for exact mid-phase resume
-    fused_transitions: bool = False  # compute conv-after-upscale as one transposed conv (exact, ~3.4x fewer madds for those layers)
+    # compute conv-after-upscale as one transposed conv — exact (oracle +
+    # gradient tested), +5.6% train / +25% inference measured on v5e; default
+    # on, opt out with --no_fused_transitions
+    fused_transitions: bool = True
 
     # ------------------------------------------------------------------
     # Derived properties

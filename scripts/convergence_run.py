@@ -63,7 +63,7 @@ def downsample(vol: np.ndarray, size: int) -> np.ndarray:
 
 def build_dataset(root: str, n: int = 384, master: int = 32, seed: int = 0):
     rng = np.random.default_rng(seed)
-    sizes = [4, 8, 16, 32]
+    sizes = [4 * 2**i for i in range(int(np.log2(master // 4)) + 1)]
     for s in sizes:
         os.makedirs(os.path.join(root, f"{s}x{s}"), exist_ok=True)
     for i in range(n):
@@ -71,25 +71,30 @@ def build_dataset(root: str, n: int = 384, master: int = 32, seed: int = 0):
         for s in sizes:
             np.save(os.path.join(root, f"{s}x{s}", f"v{i:04d}.npy"), downsample(vol, s))
     # dataset statistics for normalization
-    sample = np.stack([make_blob_volume(np.random.default_rng(10_000 + i)) for i in range(64)])
+    sample = np.stack([make_blob_volume(np.random.default_rng(10_000 + i), master)
+                       for i in range(64)])
     return float(sample.mean()), float(sample.std())
 
 
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/convergence_run"
+    ending_phase = int(sys.argv[2]) if len(sys.argv) > 2 else 4  # 4 -> 32³, 5 -> 64³
+    master = 4 * 2 ** (ending_phase - 1)
     dataroot = os.path.join(outdir, "data")
     os.makedirs(outdir, exist_ok=True)
-    print("Building synthetic blob pyramid ...", flush=True)
-    mean, std = build_dataset(dataroot)
+    print(f"Building synthetic blob pyramid (master {master}³) ...", flush=True)
+    mean, std = build_dataset(dataroot, master=master)
     print(f"data mean {mean:.4f} std {std:.4f}", flush=True)
 
     cfg = Config(
         architecture="pgan",
         dataset_path=dataroot,
         start_shape="(1, 4, 4, 4)",
-        final_shape="(1, 64, 64, 64)",  # phases 1-4 -> 4,8,16,32 (num_phases = log2(final/start), reference utils.py:211-217)
+        # phases 1..ending_phase -> 4..master (num_phases = log2(final/start),
+        # reference utils.py:211-217; final-shape convention is one above master)
+        final_shape=f"(1, {2 * master}, {2 * master}, {2 * master})",
         starting_phase=1,
-        ending_phase=4,
+        ending_phase=ending_phase,
         latent_dim=64,
         network_size="xs",
         base_batch_size=64,

@@ -53,7 +53,7 @@ def test_pgan_fused_transitions_parity(rng):
         g_lr=1e-3,
         d_lr=1e-3,
     )
-    cfg = Config(**base).finalize()
+    cfg = Config(**base, fused_transitions=False).finalize()
     cfg_f = Config(**base, fused_transitions=True).finalize()
     arch = get_architecture("pgan")
     params = arch.init(rng, phase=2, cfg=cfg)
@@ -76,7 +76,7 @@ def test_pgan2_fused_transitions_parity(rng):
         g_lr=1e-3,
         d_lr=1e-3,
     )
-    cfg = Config(**cfg_base).finalize()
+    cfg = Config(**cfg_base, fused_transitions=False).finalize()
     cfg_f = Config(**cfg_base, fused_transitions=True).finalize()
     arch = get_architecture("pgan2")
     params = arch.init(rng, phase=2, cfg=cfg)
@@ -99,7 +99,7 @@ def test_stylegan_fused_transitions_parity(rng):
         g_lr=1e-3,
         d_lr=1e-3,
     )
-    cfg = Config(**cfg_base).finalize()
+    cfg = Config(**cfg_base, fused_transitions=False).finalize()
     cfg_f = Config(**cfg_base, fused_transitions=True).finalize()
     arch = get_architecture("stylegan")
     params = arch.init(rng, phase=2, cfg=cfg)
@@ -127,7 +127,7 @@ def test_stylegan2_fused_transitions_parity(rng):
         g_lr=1e-3,
         d_lr=1e-3,
     )
-    cfg = Config(**cfg_base).finalize()
+    cfg = Config(**cfg_base, fused_transitions=False).finalize()
     cfg_f = Config(**cfg_base, fused_transitions=True).finalize()
     arch = get_architecture("stylegan2")
     params = arch.init(rng, phase=2, cfg=cfg)
@@ -152,7 +152,7 @@ def test_surfgan_fused_transitions_parity(rng):
         g_lr=1e-3,
         d_lr=1e-3,
     )
-    cfg = Config(**cfg_base).finalize()
+    cfg = Config(**cfg_base, fused_transitions=False).finalize()
     cfg_f = Config(**cfg_base, fused_transitions=True).finalize()
     arch = get_architecture("surfgan")
     params = arch.init(rng, phase=2, cfg=cfg)
