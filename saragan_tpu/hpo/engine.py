@@ -370,7 +370,13 @@ class TPESampler:
         if self.multivariate and trial is not None:
             cache = getattr(trial, "_tpe_joint", None)
             if cache is None:
-                cache = self._sample_joint(study, complete)
+                # Joint model over ALL completed trials — `complete` above is
+                # filtered by the first-queried name, which would silently
+                # drop trials missing that one param from the joint density
+                # of every other param (conditional / extended spaces).
+                all_complete = [t for t in study.get_trials()
+                                if t.state == COMPLETE and t.value is not None]
+                cache = self._sample_joint(study, all_complete)
                 trial._tpe_joint = cache
             if name in cache:
                 return _from_unit(cache[name], dist)
@@ -452,22 +458,17 @@ class CmaEsSampler:
         done = self._done(study, name)
         if len(done) < self.n_startup_trials:
             return _dist_sample_random(self._rng, dist)
-        if trial is not None:
-            cache = getattr(trial, "_cma_joint", None)
-            if cache is None:
-                cache = self._sample_joint(study, self._done(study))
+        # One joint draw per trial (cached on the trial); direct sample()
+        # calls without a trial get an uncached joint draw — a single code
+        # path so ipop widening applies everywhere.
+        cache = getattr(trial, "_cma_joint", None) if trial is not None else None
+        if cache is None:
+            cache = self._sample_joint(study, self._done(study))
+            if trial is not None:
                 trial._cma_joint = cache
-            if name in cache:
-                return _from_unit(cache[name], dist)
-        # fallback: per-dimension gaussian around the elite mean
-        sign = 1.0 if study.direction == "minimize" else -1.0
-        ranked = sorted(done, key=lambda t: sign * t.value)
-        mu = max(2, len(ranked) // 4)
-        elite = [_to_unit(t.params[name], dist) for t in ranked[:mu]]
-        mean = sum(elite) / len(elite)
-        var = sum((e - mean) ** 2 for e in elite) / len(elite)
-        sigma = max(math.sqrt(var), 0.02)
-        return _from_unit(self._rng.gauss(mean, sigma), dist)
+        if name in cache:
+            return _from_unit(cache[name], dist)
+        return _dist_sample_random(self._rng, dist)  # name absent from history
 
 
 def _dominates(a: Sequence[float], b: Sequence[float], directions: Sequence[str]) -> bool:

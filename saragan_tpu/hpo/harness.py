@@ -247,6 +247,29 @@ def run(cfg: Config, objective: Callable = default_objective):
             load_if_exists=True,
             **kwargs,
         )
+        if _nproc() > 1:
+            # Lockstep trial loop: whether another trial starts is decided by
+            # process 0 and broadcast — per-process wall clocks (or ntrials
+            # bookkeeping) must never diverge, or the survivors hang in the
+            # next collective (reference main.py:183-205 has rank 0 drive the
+            # workers for exactly this reason).
+            from saragan_tpu.parallel.multihost import broadcast_scalar
+
+            start = time.time()
+            i = 0
+            while True:
+                cont = False
+                if coordinator:
+                    cont = (cfg.optuna_ntrials is None or i < cfg.optuna_ntrials) and (
+                        cfg.optuna_walltime is None
+                        or time.time() - start < cfg.optuna_walltime
+                    )
+                if not bool(broadcast_scalar(float(cont))):
+                    break
+                study.optimize(lambda t: objective(t, cfg), n_trials=1,
+                               catch=_catchable(), gc_after_trial=True)
+                i += 1
+            return study
         study.optimize(lambda t: objective(t, cfg), n_trials=cfg.optuna_ntrials,
                        timeout=cfg.optuna_walltime,
                        catch=_catchable(), gc_after_trial=True)

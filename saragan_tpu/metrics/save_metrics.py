@@ -53,6 +53,8 @@ def save_metrics(
     extractor=None,
     rng: Optional[jax.Array] = None,
     fid_mode: str = "pooled",
+    allow_uncalibrated_fid: bool = False,
+    inception_weights: Optional[str] = None,
 ) -> Dict[str, float]:
     """sample_fn(rng_key, n) -> (n, C, ...) generated batch (host numpy).
 
@@ -82,9 +84,14 @@ def save_metrics(
     metrics: Dict[str, float] = {}
 
     if compute_metrics.get("compute_FID") and extractor is None:
+        # Prefer resolving once via make_metrics_callback; this direct-call
+        # fallback honors the same opt-in flags so a cfg with
+        # allow_uncalibrated_fid=True behaves identically here.
         from saragan_tpu.metrics.fid import default_extractor
 
-        extractor = default_extractor()
+        extractor = default_extractor(
+            allow_uncalibrated=allow_uncalibrated_fid, npz_path=inception_weights
+        )
 
     # counter advances by the number of DISTINCT samples actually consumed —
     # under the single-controller runtime every batch is globally visible, so

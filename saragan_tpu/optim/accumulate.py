@@ -17,24 +17,6 @@ import jax
 import jax.numpy as jnp
 
 
-def accumulate_grads(grad_fn: Callable, params, micro_batches, *args):
-    """Average grad_fn(params, micro_batch, *args) over the leading axis of
-    `micro_batches` with lax.scan (activations for only one micro-batch are
-    live at a time)."""
-
-    def body(carry, mb):
-        grads = grad_fn(params, mb, *args)
-        carry = jax.tree_util.tree_map(lambda c, g: c + g.astype(jnp.float32), carry, grads)
-        return carry, None
-
-    zero = jax.tree_util.tree_map(
-        lambda p: jnp.zeros(p.shape, jnp.float32), params
-    )
-    total, _ = jax.lax.scan(body, zero, micro_batches)
-    k = micro_batches.shape[0]
-    return jax.tree_util.tree_map(lambda g: g / k, total)
-
-
 def grad_accumulate(grad_fn: Callable, batch: jax.Array, rng: jax.Array, num_micro: int):
     """Micro-batch-averaged (grads, aux) for the train step (SURVEY C25).
 

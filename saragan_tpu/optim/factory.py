@@ -65,16 +65,31 @@ def _scale_transform(
         # reference SURFGAN_2D/optim.py:296-426 (BERT-style LAMB w/ trust ratio)
         return optax.chain(
             optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-6),
-            optax.add_decayed_weights(weight_decay),
+            optax.add_decayed_weights(weight_decay, mask=_decay_mask),
             optax.scale_by_trust_ratio(),
         )
     if name == "AdamW":
         # reference SURFGAN_2D/optim.py:191-293 (AdamWeightDecayOptimizer)
         return optax.chain(
             optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-6),
-            optax.add_decayed_weights(weight_decay),
+            optax.add_decayed_weights(weight_decay, mask=_decay_mask),
         )
     raise NotImplementedError(f"optimizer argument {name!r} not recognized or implemented")
+
+
+def _decay_mask(params):
+    """Weight-decay exclusion mask: the reference's LAMB/AdamW exclude biases
+    and norm parameters (SURFGAN_2D/optim.py:281-293,414-426
+    exclude_from_weight_decay=['LayerNorm','layer_norm','bias']).  In the flat
+    name-keyed trees that means `.../bias`, the per-layer `noise_strength`
+    scalars, and the spectral-norm power-iteration vectors `*_u` (which are
+    non-trainable in the reference and must never move, ops/core.py)."""
+
+    def keep(key: str) -> bool:
+        leaf = key.rsplit("/", 1)[-1]
+        return not (leaf == "bias" or leaf == "noise_strength" or leaf.endswith("_u"))
+
+    return {k: keep(k) for k in params}
 
 
 def make_optimizer(

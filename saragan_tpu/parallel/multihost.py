@@ -51,29 +51,26 @@ def broadcast_scalar(value: float) -> float:
     return float(np.frombuffer(out.tobytes(), np.float64)[0])
 
 
-def broadcast_json(obj, max_bytes: int = 65536):
-    """Broadcast a small JSON-serializable object from process 0.
+def broadcast_json(obj, max_bytes: int = None):  # max_bytes kept for API compat, unused
+    """Broadcast a JSON-serializable object from process 0.
 
-    Encoded to UTF-8, zero-padded to `max_bytes` (broadcast_one_to_all needs
-    identical shapes on every process), length carried in the first 8 bytes.
-    """
+    Two-phase: the byte length goes first (so every process allocates the
+    same shape — broadcast_one_to_all requires identical shapes), then the
+    exact-size payload.  No size cap, and a failure raises on every process
+    instead of wedging the others inside the collective."""
     if _nproc() == 1:
         return obj
     import json
 
     from jax.experimental import multihost_utils
 
+    raw = json.dumps(obj).encode("utf-8") if _is_coordinator() else b""
+    n = int(broadcast_scalar(float(len(raw))))
+    buf = np.zeros(n, np.uint8)
     if _is_coordinator():
-        raw = json.dumps(obj).encode("utf-8")
-        assert len(raw) + 8 <= max_bytes, f"object too large to broadcast ({len(raw)}B)"
-        buf = np.zeros(max_bytes, np.uint8)
-        buf[:8] = np.frombuffer(np.int64(len(raw)).tobytes(), np.uint8)
-        buf[8 : 8 + len(raw)] = np.frombuffer(raw, np.uint8)
-    else:
-        buf = np.zeros(max_bytes, np.uint8)
+        buf[:] = np.frombuffer(raw, np.uint8)
     buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
-    n = int(np.frombuffer(buf[:8].tobytes(), np.int64)[0])
-    return json.loads(buf[8 : 8 + n].tobytes().decode("utf-8"))
+    return json.loads(buf.tobytes().decode("utf-8"))
 
 
 class SynchronizedTrial:

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from saragan_tpu.data.imagenet import ImageNetDataset, ImagePipeline
-from saragan_tpu.optim.accumulate import accumulate_grads, split_microbatches
+from saragan_tpu.optim.accumulate import grad_accumulate, split_microbatches
 
 
 @pytest.fixture
@@ -79,5 +79,5 @@ def test_accumulate_grads_matches_full_batch():
 
     grad_fn = jax.grad(loss)
     full = grad_fn(w, x)
-    accum = accumulate_grads(grad_fn, w, split_microbatches(x, 4))
+    accum = grad_accumulate(lambda mb, k: grad_fn(w, mb), x, jax.random.PRNGKey(0), 4)
     np.testing.assert_allclose(np.asarray(accum["w"]), np.asarray(full["w"]), rtol=1e-6)

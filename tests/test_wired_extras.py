@@ -163,3 +163,34 @@ def test_accumulated_step_exactly_averages_micro_steps():
     np.testing.assert_allclose(
         float(mK.gen_loss), (float(ma.gen_loss) + float(mb.gen_loss)) / 2, rtol=1e-4
     )
+
+
+def test_lamb_weight_decay_excludes_bias_and_spectral_u():
+    """LAMB/AdamW decay must not touch biases (reference SURFGAN_2D/
+    optim.py:281-293 exclude_from_weight_decay) nor spectral-norm `u`
+    vectors (non-trainable in the reference)."""
+    cfg = tiny_cfg(use_spectral_norm=True, optimizer="Adam",
+                   d_use_different_optimizer=True, d_optimizer="LAMB",
+                   weight_decay=0.5)  # huge decay so a violation is visible
+    arch = get_architecture("pgan")
+    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=1, cfg=cfg)
+    step = jax.jit(make_train_step(arch, cfg, 1, g_opt, d_opt))
+    real = jax.random.normal(jax.random.PRNGKey(1), (4, 1, 4, 4, 4))
+    u_before = {k: np.asarray(v) for k, v in state.d_params.items() if k.endswith("_u")}
+    assert u_before, "expected spectral-norm u params in D"
+    state2 = state
+    for i in range(3):
+        state2, m = step(state2, real, jax.random.PRNGKey(2 + i), 0.0, 1e-3, 1e-3)
+    assert np.isfinite(float(m.disc_loss))
+    for k, v in u_before.items():
+        np.testing.assert_array_equal(np.asarray(state2.d_params[k]), v)
+
+
+def test_decay_mask_shape():
+    from saragan_tpu.optim.factory import _decay_mask
+
+    params = {"d/conv/weight": 1, "d/conv/bias": 1, "d/conv/weight_u": 1,
+              "g/noise_strength": 1}
+    mask = _decay_mask(params)
+    assert mask == {"d/conv/weight": True, "d/conv/bias": False,
+                    "d/conv/weight_u": False, "g/noise_strength": False}
