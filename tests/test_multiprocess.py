@@ -99,3 +99,9 @@ def test_intra_trial_harness_lockstep(twoproc_results):
     assert h0["lrs"] == h1["lrs"], (h0["lrs"], h1["lrs"])
     assert h0["n_trials"] == h1["n_trials"] == 4
     assert h0["storage_is_shared"] and not h1["storage_is_shared"]
+    # walltime mode: the continue decision is broadcast from process 0, so
+    # both processes ran the SAME number of trials despite divergent
+    # per-trial durations (>=2 proves the loop looped; equality proves
+    # lockstep; clean exit proves no one was left in a collective)
+    assert h0["walltime_ntrials"] == h1["walltime_ntrials"] >= 2, (
+        h0["walltime_ntrials"], h1["walltime_ntrials"])

@@ -165,10 +165,39 @@ def harness_e2e(outdir, pid):
         noise_stddev=0.0,
     )
     study = harness.run(cfg, objective=stub_objective)
+
+    # walltime mode: ntrials=None — whether another trial starts must be a
+    # process-0 decision broadcast to all (divergent local clocks would hang
+    # the survivors in the next collective)
+    import time
+
+    wt_calls = []
+
+    def slow_objective(trial, cfg):
+        from saragan_tpu.parallel.multihost import synchronized_trial
+
+        trial = synchronized_trial(trial)
+        wt_calls.append(trial.suggest_float("generator_LR", 1e-4, 1e-1))
+        # process 1 sleeps longer: local clocks WOULD diverge without the
+        # broadcast-driven continue decision
+        time.sleep(0.2 + 0.3 * pid)
+        return 1.0
+
+    wt_cfg = Config(
+        optuna_ntrials=None,
+        optuna_walltime=1.2,
+        optuna_storage=f"sqlite:///{outdir}/wt.db",
+        optuna_study_name="twoproc_wt",
+        optuna_sampler="random",
+        noise_stddev=0.0,
+    )
+    harness.run(wt_cfg, objective=slow_objective)
+
     return {
         "lrs": calls,
         "n_trials": len(study.trials),
         "storage_is_shared": study._storage.path is not None,
+        "walltime_ntrials": len(wt_calls),
     }
 
 
