@@ -88,3 +88,79 @@ def test_generate_minimal_and_report(tmp_path):
     assert {"psnr", "mse", "nrmse"} <= set(report)
     assert os.path.isfile(tmp_path / "report" / "summary.txt")
     assert os.path.isfile(tmp_path / "report" / "fake_0000.png")
+
+
+# ---------------------------------------------------------------------------
+# StableHLO serving export (tools/export_model.py)
+# ---------------------------------------------------------------------------
+
+
+def test_export_generator_roundtrip(tmp_path):
+    """Export -> serialize -> deserialize -> call must reproduce the live
+    generator exactly, with params baked in (self-contained artifact)."""
+    import jax
+    import numpy as np
+
+    from saragan_tpu.config import Config
+    from saragan_tpu.models import get_architecture
+    from saragan_tpu.tools.export_model import (
+        export_generator,
+        load_exported,
+        save_exported,
+    )
+
+    cfg = Config(
+        architecture="pgan",
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 16, 16, 16)",
+        starting_phase=2,
+        ending_phase=2,
+        latent_dim=8,
+        network_size="xxs",
+    ).finalize()
+    arch = get_architecture("pgan")
+    params = arch.init(jax.random.PRNGKey(0), phase=2, cfg=cfg)
+
+    blob = export_generator(cfg, phase=2, g_params=params, batch_size=2, seed=3)
+    path = save_exported(str(tmp_path / "g.stablehlo"), blob)
+    gen = load_exported(path)
+
+    z = np.random.default_rng(0).normal(size=(2, 8)).astype(np.float32)
+    out = np.asarray(gen(z))
+    assert out.shape == (2, 1, 8, 8, 8)
+
+    # live reference (same fused-transition config as the export path)
+    import dataclasses
+
+    live_cfg = dataclasses.replace(cfg, fused_transitions=True, use_pallas_fusion=False)
+    live = np.asarray(arch.generator(
+        params, z, 0.0, phase=2, cfg=live_cfg, rng=jax.random.PRNGKey(3), train=False))
+    np.testing.assert_allclose(out, live, rtol=1e-5, atol=1e-5)
+
+
+def test_export_generator_unbaked_params(tmp_path):
+    import jax
+    import numpy as np
+
+    from saragan_tpu.config import Config
+    from saragan_tpu.models import get_architecture
+    from saragan_tpu.tools.export_model import export_generator, load_exported, save_exported
+
+    cfg = Config(
+        architecture="pgan",
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 16, 16, 16)",
+        starting_phase=2,
+        ending_phase=2,
+        latent_dim=8,
+        network_size="xxs",
+    ).finalize()
+    arch = get_architecture("pgan")
+    params = arch.init(jax.random.PRNGKey(0), phase=2, cfg=cfg)
+    blob = export_generator(cfg, phase=2, g_params=params, batch_size=2,
+                            bake_params=False)
+    gen = load_exported(save_exported(str(tmp_path / "g2.stablehlo"), blob))
+    z = np.zeros((2, 8), np.float32)
+    out = np.asarray(gen(dict(params), z))
+    assert out.shape == (2, 1, 8, 8, 8)
+    assert np.all(np.isfinite(out))
