@@ -55,17 +55,39 @@ def sliced_wasserstein(a, b, dir_repeats, dirs_per_repeat, rng):
         dirs = rng.standard_normal((a.shape[1], dirs_per_repeat))
         dirs /= np.sqrt(np.sum(np.square(dirs), axis=0, keepdims=True))
         dirs = dirs.astype(np.float32)
-        projA = np.sort(np.matmul(a, dirs), axis=0)
-        projB = np.sort(np.matmul(b, dirs), axis=0)
-        results.append(np.mean(np.abs(projA - projB)))
+        # sort each projection contiguously: (desc, dirs).T -> row-wise sort
+        # (same sorted pairs as the reference's axis=0 column sort of the
+        # untransposed array; ~4x faster for strided (8192, 512) layouts).
+        # The mean accumulates in f64 so the value is layout-independent —
+        # the reference's all-f32 mean carries ~1e-3 summation-order noise.
+        projA = np.sort(np.ascontiguousarray(np.matmul(a, dirs).T), axis=1)
+        projB = np.sort(np.ascontiguousarray(np.matmul(b, dirs).T), axis=1)
+        results.append(np.mean(np.abs(projA - projB), dtype=np.float64))
     return np.mean(results)
+
+
+def _binomial_blur(x, gain=1.0):
+    """Separable [1,4,6,4,1]^3 blur — numerically the dense 5x5x5 convolution
+    the reference applies (the filter is an outer product, and 'mirror'
+    boundary handling factorizes per axis), at 15 taps instead of 125."""
+    f = _f / _f.sum()
+    out = x
+    for axis in (2, 3, 4):
+        out = scipy.ndimage.convolve1d(out, f, axis=axis, mode="mirror")
+    return out * gain if gain != 1.0 else out
+
+
+def _pyr_down_dense(minibatch):
+    """Reference-literal dense-kernel form (swd.py:62-66) — oracle for the
+    separable fast path."""
+    return scipy.ndimage.convolve(
+        minibatch, _GAUSSIAN_FILTER[np.newaxis, np.newaxis, ...], mode="mirror"
+    )[:, :, ::2, ::2, ::2]
 
 
 def pyr_down(minibatch):
     assert minibatch.ndim == 5
-    return scipy.ndimage.convolve(
-        minibatch, _GAUSSIAN_FILTER[np.newaxis, np.newaxis, ...], mode="mirror"
-    )[:, :, ::2, ::2, ::2]
+    return _binomial_blur(minibatch)[:, :, ::2, ::2, ::2]
 
 
 def pyr_up(minibatch):
@@ -73,13 +95,17 @@ def pyr_up(minibatch):
     S = minibatch.shape
     res = np.zeros((S[0], S[1], S[2] * 2, S[3] * 2, S[4] * 2), minibatch.dtype)
     res[:, :, ::2, ::2, ::2] = minibatch
-    return scipy.ndimage.convolve(
-        res, _GAUSSIAN_FILTER[np.newaxis, np.newaxis, ...] * 8.0, mode="mirror"
-    )
+    return _binomial_blur(res, gain=8.0)
 
 
 def generate_laplacian_pyramid(minibatch, num_levels):
-    pyramid = [np.float32(minibatch)]
+    # Deliberate divergence from reference swd.py:78: `np.float32(minibatch)`
+    # ALIASES an already-f32 input, so the in-place `pyramid[-2] -=` below
+    # mutated the caller's batch — in the reference, every metric computed
+    # after SWD on the same arrays (PSNR/SSIM/MSE/NRMSE,
+    # save_metrics.py:159-196) silently ran on Laplacian residuals.  The
+    # copy makes this function pure.
+    pyramid = [np.array(minibatch, np.float32, copy=True)]
     for _ in range(1, num_levels):
         pyramid.append(pyr_down(pyramid[-1]))
         pyramid[-2] -= pyr_up(pyramid[-1])

@@ -275,3 +275,50 @@ def test_save_metrics_pooled_vs_per_batch(np_rng):
     )
     oracle = calculate_fid_given_batch_volumes(data, fakes, ex, verbose=False)
     np.testing.assert_allclose(m["FID"], oracle, rtol=1e-5)
+
+
+def test_swd_does_not_mutate_inputs():
+    """Reference bug fixed here: swd.py:78's np.float32() aliased f32 inputs
+    and the pyramid subtraction corrupted them — poisoning every metric the
+    reference computed after SWD on the same batch (save_metrics.py:159-196)."""
+    from saragan_tpu.metrics.swd import get_swd_for_volumes
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(4, 1, 32, 32, 32)).astype(np.float32)
+    b = rng.normal(size=(4, 1, 32, 32, 32)).astype(np.float32)
+    a0, b0 = a.copy(), b.copy()
+    get_swd_for_volumes(a, b)
+    np.testing.assert_array_equal(a, a0)
+    np.testing.assert_array_equal(b, b0)
+
+
+def test_pyr_down_separable_matches_dense_oracle():
+    """The separable [1,4,6,4,1]-per-axis fast path must equal the
+    reference's dense 5x5x5 convolution (outer-product filter, mirror
+    boundary factorizes per axis)."""
+    from saragan_tpu.metrics.swd import _pyr_down_dense, pyr_down
+
+    x = np.random.default_rng(3).normal(size=(2, 1, 16, 16, 16)).astype(np.float32)
+    np.testing.assert_allclose(pyr_down(x), _pyr_down_dense(x), atol=2e-6)
+
+
+def test_sliced_wasserstein_transposed_sort_is_exact():
+    """Row-sorting the transposed projections is value-identical to the
+    reference's axis=0 column sort (swd.py:45-59)."""
+    from saragan_tpu.metrics.swd import sliced_wasserstein
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(512, 64)).astype(np.float32)
+    b = rng.normal(size=(512, 64)).astype(np.float32)
+    ours = sliced_wasserstein(a, b, 3, 32, np.random.default_rng(9))
+
+    rng2 = np.random.default_rng(9)
+    res = []
+    for _ in range(3):
+        dirs = rng2.standard_normal((a.shape[1], 32))
+        dirs /= np.sqrt(np.sum(np.square(dirs), axis=0, keepdims=True))
+        dirs = dirs.astype(np.float32)
+        pa = np.sort(np.matmul(a, dirs), axis=0)
+        pb = np.sort(np.matmul(b, dirs), axis=0)
+        res.append(np.mean(np.abs(pa - pb), dtype=np.float64))
+    assert abs(ours - np.mean(res)) < 1e-12
