@@ -7,9 +7,14 @@ the optimizer then differentiates the loss w.r.t. the discriminator's
 function containing jax.grad).  On TPU the double-backward of the conv stack
 is just more MXU work in the same XLA program; nothing special is needed.
 
-Per-sample GP gradients are obtained as ``jax.grad(sum(D(x)))`` — valid
-because D is batchwise-independent (pgan's minibatch-stddev head is disabled,
-reference discriminator.py:50).
+Per-sample GP gradients are obtained as ``jax.grad(sum(D(x)))``.  For
+batchwise-independent discriminators (pgan's minibatch-stddev head is
+disabled, reference discriminator.py:50) this IS the per-sample gradient;
+for architectures that do use minibatch_stddev (surfgan), the slopes pick up
+cross-sample terms through the group-stddev channel — exactly as the
+reference's ``tf.gradients(D(interp), interp)`` does (loss.py:136-140), so
+numerics agree; it is just not a strictly per-sample Lipschitz penalty
+there.
 
 Reference quirk preserved: `forward_simultaneous` reduces the GP norm over
 axes (1, 2, 3) (reference loss.py:140 — for 3D volumes this *drops the last
@@ -117,6 +122,12 @@ def forward_simultaneous(
         if compute_gp:
             gradient_penalty = (slopes - 1.0) ** 2
             gp_loss = gp_weight * gradient_penalty
+            if gp_loss.ndim == 1:
+                # full reduction leaves per-sample (N,) slopes; pair them with
+                # the (N, 1) scores instead of broadcasting to (N, N) (the
+                # mean would coincidentally agree, but N^2 terms materialize
+                # and any non-mean reduction would be wrong)
+                gp_loss = gp_loss[:, None]
         else:
             gp_loss = jnp.zeros((), jnp.float32)
         drift_loss = 1e-3 * disc_real**2
@@ -178,10 +189,12 @@ def forward_discriminator(
     loss_fn: str = "wgan",
     gp_weight: float = 1.0,
     noise_stddev: float = 0.0,
+    compute_gp: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Discriminator-only forward (reference loss.py:42-98).
 
     GP norm reduces over ALL non-batch axes here (reference loss.py:79).
+    `compute_gp=False` skips the grad-of-grad entirely (lazy-GP off-steps).
     Returns (disc_loss, gp_loss).
     """
     k_z, k_g, k_nr, k_nf, k_gamma = jax.random.split(rng, 5)
@@ -196,22 +209,28 @@ def forward_discriminator(
     disc_fake_d = disc_fn(d_params, fake).astype(jnp.float32)
     disc_real = disc_fn(d_params, real).astype(jnp.float32)
 
-    gamma = jax.random.uniform(k_gamma, (n,) + (1,) * (real.ndim - 1), dtype)
-    interpolates = gamma * real + (1 - gamma) * fake
-    axes = tuple(range(1, real.ndim))
-    slopes = _gp_slopes(disc_fn, d_params, interpolates, axes)
+    if compute_gp:
+        gamma = jax.random.uniform(k_gamma, (n,) + (1,) * (real.ndim - 1), dtype)
+        interpolates = gamma * real + (1 - gamma) * fake
+        axes = tuple(range(1, real.ndim))
+        slopes = _gp_slopes(disc_fn, d_params, interpolates, axes)
 
     if loss_fn == "wgan":
-        gradient_penalty = (slopes - 1.0) ** 2
-        gp_loss = gp_weight * gradient_penalty
+        if compute_gp:
+            gp_loss = gp_weight * (slopes - 1.0) ** 2
+            gp_term = gp_loss[:, None]
+            gp_out = jnp.mean(gp_loss)
+        else:
+            gp_term = jnp.zeros((), jnp.float32)
+            gp_out = jnp.zeros((), jnp.float32)
         drift_loss = 1e-3 * disc_real**2
-        disc_loss = jnp.mean(disc_fake_d - disc_real + gp_loss[:, None] + drift_loss)
-        gp_out = jnp.mean(gp_loss)
+        disc_loss = jnp.mean(disc_fake_d - disc_real + gp_term + drift_loss)
     elif loss_fn == "logistic":
-        gradient_penalty = jnp.mean(slopes**2)
-        gp_loss = gp_weight * gradient_penalty
-        disc_loss = jnp.mean(_softplus(disc_fake_d)) + jnp.mean(_softplus(-disc_real)) + gp_loss
-        gp_out = gp_loss
+        if compute_gp:
+            gp_out = gp_weight * jnp.mean(slopes**2)
+        else:
+            gp_out = jnp.zeros((), jnp.float32)
+        disc_loss = jnp.mean(_softplus(disc_fake_d)) + jnp.mean(_softplus(-disc_real)) + gp_out
     else:
         raise ValueError(f"Unknown loss function: {loss_fn}")
     return disc_loss, gp_out

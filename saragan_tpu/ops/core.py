@@ -424,6 +424,35 @@ def spectral_normalize(w: jax.Array, u: jax.Array, iterations: int = 1, eps: flo
     return (w_mat / sigma).reshape(w.shape), u_hat
 
 
+def refresh_spectral_u(params: dict, iterations: int = 1, eps: float = 1e-12) -> dict:
+    """Power-iterate every persisted `*_u` vector against its current weight.
+
+    The functional analog of the reference's per-step assignment to the
+    non-trainable `u` variable (ops.py:96-104): called once per train step
+    (after the weight update), so `u` converges to the dominant singular
+    vector over training instead of restarting from its initialization each
+    forward.  Scaling w by the equalized-LR runtime coefficient does not
+    change singular vectors, so iterating on the raw stored variable is
+    exact."""
+    out = dict(params)
+    for k, u in params.items():
+        if not k.endswith("_u"):
+            continue
+        wk = k[:-2]
+        if wk not in params:
+            continue
+        w_mat = params[wk].reshape(-1, params[wk].shape[-1])
+
+        def l2n(v):
+            return v / (jnp.linalg.norm(v) + eps)
+
+        for _ in range(iterations):
+            v = l2n(u @ w_mat.T)
+            u = l2n(v @ w_mat)
+        out[k] = lax.stop_gradient(u)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Activations
 # ---------------------------------------------------------------------------
@@ -641,10 +670,15 @@ def alpha_update(
     batch_size: int,
     global_size: int,
 ) -> jax.Array:
-    """One mixing-phase alpha step: linear decay 1 -> 0 (reference ops.py:4-23)."""
+    """One mixing-phase alpha step: linear decay 1 -> 0 (reference ops.py:4-23).
+
+    num_steps floors at 1 so a mixing budget smaller than one global batch
+    (possible under HPO-sampled batch sizes) fades in a single step instead
+    of dividing by zero; the trainer's schedule (trainer.py) uses the same
+    guard."""
     if mixing_nimg == 0:
         return jnp.zeros_like(alpha)
-    num_steps = mixing_nimg // (batch_size * global_size)
+    num_steps = max(1, mixing_nimg // (batch_size * global_size))
     step = starting_alpha / num_steps
     return jnp.maximum(alpha - step, 0.0)
 

@@ -116,10 +116,15 @@ def make_optimizer(
 
 
 def make_optimizers_from_config(cfg) -> tuple:
-    """(G, D) optimizers from a Config (reference optimization.py:6-45)."""
+    """(G, D) optimizers from a Config (reference optimization.py:6-45).
+
+    clipping=False here: the train step clips via _clip_and_norms (which also
+    records the norm telemetry) BEFORE optimizer.update — prepending optax's
+    clip as well would recompute the global norm and rescale the whole tree a
+    second time per step for no numerical effect."""
     g = make_optimizer(
         cfg.optimizer,
-        clipping=cfg.g_clipping,
+        clipping=False,
         beta1=cfg.adam_beta1,
         beta2=cfg.adam_beta2,
         rho=cfg.rho,
@@ -128,7 +133,7 @@ def make_optimizers_from_config(cfg) -> tuple:
     )
     d = make_optimizer(
         cfg.d_optimizer,
-        clipping=cfg.d_clipping,
+        clipping=False,
         beta1=cfg.d_adam_beta1,
         beta2=cfg.d_adam_beta2,
         rho=cfg.d_rho,

@@ -97,7 +97,11 @@ def halo_conv3d(
             x_ext, w_full, (1, 1, 1), pads, dimension_numbers=dn
         )
 
-    spec_x = P(None, None, depth_axis_name, None, None)
+    # batch stays sharded over 'data' (when the mesh has that axis) — leaving
+    # it unsharded would all-gather the batch and convolve redundantly on
+    # every data shard
+    batch_axis = "data" if "data" in mesh.axis_names else None
+    spec_x = P(batch_axis, None, depth_axis_name, None, None)
     return shard_map(
         local_conv,
         mesh=mesh,

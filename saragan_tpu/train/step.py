@@ -218,8 +218,9 @@ def make_train_step(
                     rng_mb,
                     latent_dim=cfg.latent_dim,
                     loss_fn=cfg.loss_fn,
-                    gp_weight=cfg.gp_weight,
+                    gp_weight=gp_weight_eff,
                     noise_stddev=cfg.noise_stddev,
+                    compute_gp=apply_gp,
                 )
 
             d_vg = jax.value_and_grad(d_loss_fn, has_aux=True)
@@ -264,6 +265,14 @@ def make_train_step(
         else:
             raise ValueError(f"Unknown optim strategy {cfg.optim_strategy}")
 
+        if getattr(cfg, "use_spectral_norm", False):
+            # per-step power-iteration refresh of the persisted u vectors —
+            # the reference's non-trainable u assignment (ops.py:96-104)
+            from saragan_tpu.ops.core import refresh_spectral_u
+
+            d_params = refresh_spectral_u(
+                d_params, iterations=int(getattr(cfg, "spectral_iterations", 1))
+            )
         ema = ema_update(state.ema, {**g_params, **d_params}, cfg.ema_beta)
         new_state = TrainState(g_params, d_params, g_opt, d_opt, ema)
         metrics = StepMetrics(

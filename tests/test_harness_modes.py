@@ -111,7 +111,7 @@ def test_walltime_bounded_trial_loop(tmp_path):
     calls = []
 
     def slow_objective(trial, cfg):
-        time.sleep(0.05)
+        time.sleep(0.02)
         return trial.suggest_float("x", 0, 10) if trial is not None else 100.0
 
     def counting(trial, cfg):
@@ -120,7 +120,9 @@ def test_walltime_bounded_trial_loop(tmp_path):
 
     cfg = Config(
         optuna_ntrials=None,
-        optuna_walltime=0.5,
+        # generous budget: under a loaded machine per-trial storage overhead
+        # can reach hundreds of ms, and the assertion needs >= 2 trials
+        optuna_walltime=3.0,
         optuna_storage=f"sqlite:///{tmp_path}/wt.db",
         optuna_study_name="wt",
         optuna_sampler="random",
@@ -131,6 +133,6 @@ def test_walltime_bounded_trial_loop(tmp_path):
     elapsed = time.time() - t0
     # ran more than one trial, stopped soon after the budget, all were real trials
     assert len(calls) >= 2
-    assert elapsed < 5.0
+    assert elapsed < 30.0
     assert all(t is not None for t in calls)
     assert len(study.trials) == len(calls)

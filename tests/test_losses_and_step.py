@@ -223,3 +223,41 @@ def test_clipping_bounds_norms():
     # post-clip per-var max norm can't exceed the global clip threshold 1.0
     assert float(metrics.max_g_norm) <= 1.0 + 1e-5
     assert float(metrics.max_d_norm) <= 1.0 + 1e-5
+
+
+def test_alternate_strategy_respects_lazy_gp():
+    """make_train_step(apply_gp=False) must skip the GP grad-of-grad in
+    ALTERNATE mode too (it silently ran at full weight before): gp_loss is
+    exactly 0 on off-steps, and the lazy weight scales gp on on-steps."""
+    import jax
+
+    from saragan_tpu.config import Config
+    from saragan_tpu.models import get_architecture
+    from saragan_tpu.train import init_train_state, make_train_step
+
+    cfg = Config(
+        architecture="pgan",
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 8, 8, 8)",
+        starting_phase=1,
+        ending_phase=1,
+        latent_dim=8,
+        network_size="xxs",
+        base_batch_size=4,
+        loss_fn="wgan",
+        gp_weight=10.0,
+        noise_stddev=0.0,
+        optim_strategy="alternate",
+        lazy_gp=4,
+    ).finalize()
+    arch = get_architecture("pgan")
+    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=1, cfg=cfg)
+    real = jax.random.normal(jax.random.PRNGKey(1), (4, 1, 4, 4, 4))
+
+    step_off = jax.jit(make_train_step(arch, cfg, 1, g_opt, d_opt, apply_gp=False))
+    _, m_off = step_off(state, real, jax.random.PRNGKey(2), 0.0, 1e-3, 1e-3)
+    assert float(m_off.gp_loss) == 0.0
+
+    step_on = jax.jit(make_train_step(arch, cfg, 1, g_opt, d_opt, apply_gp=True))
+    _, m_on = step_on(state, real, jax.random.PRNGKey(2), 0.0, 1e-3, 1e-3)
+    assert float(m_on.gp_loss) > 0.0
