@@ -135,6 +135,19 @@ class NumpyPathDataset:
     # splits (order-preserving; reference dataset.py:217-252)
     # ------------------------------------------------------------------
 
+    def clone(self, seed_offset: int = 0) -> "NumpyPathDataset":
+        """Independent view over the same files (own sample buffer/epoch
+        state) — callers that need a second draw stream (e.g. validation
+        summaries when the dataset is too small to split) must not share one
+        buffer with a background prefetch thread."""
+        out = NumpyPathDataset(
+            "", _files=self.scratch_files, seed=self._seed + seed_offset
+        )
+        for attr in ("shape", "dtype"):
+            if hasattr(self, attr):
+                setattr(out, attr, getattr(self, attr))
+        return out
+
     def split_by_fraction(self, fraction: float) -> Tuple["NumpyPathDataset", "NumpyPathDataset"]:
         nsamples_1 = int(np.round(fraction * len(self.scratch_files)) + 1e-5)
         assert nsamples_1 > 0 and len(self.scratch_files) > 0

@@ -178,17 +178,33 @@ class ImageDatasetAdapter:
         self._pipe: Optional[ImagePipeline] = None
         self.shape = (1, 3, size, size)
 
-    def _pipeline(self, batch_size: int) -> ImagePipeline:
-        if self._pipe is None or self._pipe.batch_size != batch_size:
+    def _pipeline(self, batch_size: int, num_shards: int = 1,
+                  shard_index: int = 0) -> ImagePipeline:
+        if (self._pipe is None or self._pipe.batch_size != batch_size
+                or self._pipe.num_shards != num_shards
+                or self._pipe.shard_index != shard_index):
             if self._pipe is not None:
                 self._pipe.close()
             self._pipe = ImagePipeline(self.files, self.labels, self.size, batch_size,
+                                       num_shards=num_shards, shard_index=shard_index,
                                        seed=self.seed)
         return self._pipe
 
     def batch(self, batch_size: int, auto_repeat: bool = True, verbose: bool = False):
         imgs, _ = self._pipeline(batch_size).next_batch()
         return imgs
+
+    def batch_sharded(self, local_batch: int, num_shards: int, shard_index: int):
+        """Per-process shard of the deterministic shared stream — the 2D
+        counterpart of NumpyPathDataset.batch_sharded (reference shards its
+        tf.data pipeline by hvd.rank, SURFGAN_2D/main.py:66-103), required by
+        the trainer's multi-process path (trainer.py make_batch)."""
+        imgs, _ = self._pipeline(local_batch, num_shards, shard_index).next_batch()
+        return imgs
+
+    def clone(self, seed_offset: int = 0):
+        return ImageDatasetAdapter(self.files, self.labels, self.size,
+                                   self.seed + seed_offset)
 
     def split_by_fraction(self, fraction: float):
         n1 = int(np.round(fraction * len(self.files)) + 1e-5)

@@ -170,7 +170,11 @@ def preprocess(images_0_255: jax.Array) -> jax.Array:
     preprocessing: /255, bilinear resize, x*2-1)."""
     x = images_0_255.astype(jnp.float32) / 255.0
     n = x.shape[0]
-    x = jax.image.resize(x, (n, 299, 299, 3), method="bilinear")
+    # antialias OFF: pytorch-fid uses F.interpolate(mode='bilinear',
+    # align_corners=False) which does not antialias — with the default
+    # antialias=True, downscales (slices > 299 px) would diverge from the
+    # published FID preprocessing
+    x = jax.image.resize(x, (n, 299, 299, 3), method="bilinear", antialias=False)
     x = x * 2.0 - 1.0
     return x.transpose(0, 3, 1, 2)
 
@@ -307,7 +311,9 @@ class InceptionPool3Features:
     [0, 255] (what fid.get_activations_from_volume feeds)."""
 
     def __init__(self, params: Params):
-        self.params = params
+        # one-time transfer: ~95 MB of weights would otherwise ride
+        # host->device on every extract() call
+        self.params = jax.device_put(params)
         self._fn = jax.jit(lambda p, x: inception_pool3(p, preprocess(x)))
 
     def extract(self, images: np.ndarray) -> np.ndarray:

@@ -18,7 +18,7 @@ def resolve_base_dim(cfg) -> int:
     num_filters in its __main__ harnesses)."""
     if cfg.first_conv_nfilters:
         return int(cfg.first_conv_nfilters)
-    size = cfg.network_size or "m"
+    size = cfg.network_size or "xs"  # one None-fallback repo-wide (config.py resolved_filter_spec)
     if cfg.ndim == 3:
         return ops.num_filters(1, cfg.num_phases, cfg.base_shape, size=size)
     return ops.num_filters_2d(1, cfg.num_phases, size=size)
@@ -33,7 +33,7 @@ def spectral_iters(cfg) -> int:
 
 
 def phase_filters(cfg, i: int) -> int:
-    size = cfg.network_size or "m"
+    size = cfg.network_size or "xs"  # one None-fallback repo-wide (config.py resolved_filter_spec)
     if cfg.ndim == 3:
         return ops.num_filters(i, cfg.num_phases, cfg.base_shape, size=size)
     return ops.num_filters_2d(i, cfg.num_phases, size=size)

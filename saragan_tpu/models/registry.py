@@ -7,7 +7,9 @@ registry; every architecture exposes one calling convention (SURVEY.md §2
 notes the reference left the non-pgan models on an older signature — the
 rebuild unifies them):
 
-    init(rng, *, phase, cfg)                 -> (g_params, d_params)
+    init(rng, *, phase, cfg)                 -> flat Params dict (G+D; split
+                                                by scope prefix via
+                                                core.split_params)
     generator(params, z, alpha, *, phase, cfg, rng=None)   -> images
     discriminator(params, x, alpha, *, phase, cfg)         -> (N, 1) scores
 
@@ -26,6 +28,12 @@ class Architecture(NamedTuple):
     init: Callable
     generator: Callable
     discriminator: Callable
+    # Optional per-train-step non-gradient state refresh:
+    # refresh_state(g_params, rng, *, phase, cfg) -> g_params.  Style
+    # architectures use it to track the w-average (`d_z_avg`) the way the
+    # reference's in-graph tf.assign did (stylegan/generator.py:29-37);
+    # None for architectures without such state.
+    refresh_state: Callable = None
 
 
 _REGISTRY: Dict[str, Architecture] = {}

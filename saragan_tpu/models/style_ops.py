@@ -147,15 +147,23 @@ def style_mixing(
     phase: int,
     num_styles: int,
     style_mixing_prob: float,
+    no_mix_cutoff: int = None,
 ):
     """Replace styles past a random cutoff with a second mapping pass
-    (reference stylegan/generator.py:37-48)."""
+    (reference stylegan/generator.py:37-48).
+
+    `no_mix_cutoff` is the cutoff on non-mixing steps: stylegan-v1 uses
+    `phase` there (generator.py:47 — styles >= phase always come from the
+    second pass), while stylegan2/surfgan use all `num_styles`
+    (stylegan2/generator.py:49).  Defaults to num_styles."""
+    if no_mix_cutoff is None:
+        no_mix_cutoff = num_styles
     k1, k2 = jax.random.split(rng)
     use_mix = jax.random.uniform(k1, ()) < style_mixing_prob
     cutoff = jnp.where(
         use_mix,
         jax.random.randint(k2, (), 1, max(phase, 2)),
-        jnp.asarray(num_styles, jnp.int32),
+        jnp.asarray(no_mix_cutoff, jnp.int32),
     )
     layer_idx = jnp.arange(num_styles)[None, :, None]
     return jnp.where(layer_idx < cutoff, d_z, d_z_reg)
@@ -163,7 +171,11 @@ def style_mixing(
 
 def apply_truncation(d_z: jax.Array, d_z_avg: jax.Array, num_styles: int,
                      truncation_psi: float, truncation_layers: int):
-    """Truncation trick (reference stylegan/generator.py:51-56)."""
+    """Truncation trick (reference stylegan/generator.py:51-56).  d_z_avg is
+    non-trainable in the reference; the stop_gradient keeps the optimizer
+    from training it through this blend (it is updated only by the
+    refresh_state w-average tracking)."""
+    d_z_avg = jax.lax.stop_gradient(d_z_avg)
     layer_idx = jnp.arange(num_styles)[None, :, None]
     coefs = jnp.where(layer_idx < truncation_layers, truncation_psi, 1.0).astype(d_z.dtype)
     return coefs * d_z + (1 - coefs) * d_z_avg.astype(d_z.dtype)

@@ -12,9 +12,11 @@ Discriminator = plain PGGAN-style blocks with num_filters sizing
 
 Functional deviations (documented): the w-average (`generator/d_z_avg`) is
 not updated inside the forward pass (the reference mutates it via control
-deps, generator.py:29-37); use `style_ops.update_dlatent_avg` from the
-training loop.  Per-layer noise draws from the step RNG key; when no key is
-passed the noise is omitted (eval determinism).
+deps, generator.py:29-37); instead the registered `refresh_state` hook runs
+once per train step (train/step.py) — same beta-0.995 tracking, applied
+after the optimizer update, and `apply_truncation` stop-gradients the avg so
+it is never gradient-trained.  Per-layer noise draws from the step RNG key;
+when no key is passed the noise is omitted (eval determinism).
 """
 
 from __future__ import annotations
@@ -118,7 +120,10 @@ def _generator(scope, z, alpha, phase, cfg, param, rng, train):
         k_mix, k_z, rng = jax.random.split(rng, 3)
         z_reg = jax.random.normal(k_z, z.shape, z.dtype)
         d_z_reg = style_ops.g_mapping(g, z_reg, num_styles, act_param=param, activation=cfg.activation)
-        d_z = style_ops.style_mixing(k_mix, d_z, d_z_reg, phase, num_styles, STYLE_MIXING_PROB)
+        # v1 no-mix cutoff is `phase` (reference generator.py:47): styles
+        # >= phase come from the second pass even without mixing
+        d_z = style_ops.style_mixing(k_mix, d_z, d_z_reg, phase, num_styles,
+                                     STYLE_MIXING_PROB, no_mix_cutoff=phase)
 
     # reference stylegan applies truncation unconditionally (generator.py:51)
     d_z = style_ops.apply_truncation(d_z, d_z_avg, num_styles, TRUNCATION_PSI, TRUNCATION_LAYERS)
@@ -195,4 +200,16 @@ def init(rng: jax.Array, *, phase: int, cfg) -> Params:
     return params
 
 
-register(Architecture("stylegan", init, generator, discriminator))
+def refresh_state(g_params: Params, rng, *, phase, cfg):
+    """Per-step w-average tracking (reference generator.py:29-37 updates the
+    non-trainable d_z_avg with beta=0.995 inside the training forward)."""
+    g = Scope(g_params).sub("generator")
+    num_styles = phase * 2
+    z = jax.random.normal(rng, (64, cfg.latent_dim))
+    d_z = style_ops.g_mapping(g, z, num_styles, act_param=cfg.leakiness,
+                              activation=cfg.activation)
+    return style_ops.update_dlatent_avg(g_params, "generator", d_z[:, 0])
+
+
+register(Architecture("stylegan", init, generator, discriminator,
+                      refresh_state=refresh_state))

@@ -179,4 +179,17 @@ def init(rng: jax.Array, *, phase: int, cfg) -> Params:
     return params
 
 
-register(Architecture("stylegan2", init, generator, discriminator))
+def refresh_state(g_params: Params, rng, *, phase, cfg):
+    """Per-step w-average tracking (reference stylegan2/generator.py:29-37)."""
+    g = Scope(g_params).sub("generator")
+    num_styles = _num_styles(phase)
+    z = jax.random.normal(rng, (64, cfg.latent_dim))
+    d_z = style_ops.g_mapping(
+        g, z, num_styles, activation=cfg.activation, act_param=cfg.leakiness,
+        mapping_fmaps=512, last_layer_latent=True, bias_lrmul=0.01,
+    )
+    return style_ops.update_dlatent_avg(g_params, "generator", d_z[:, 0])
+
+
+register(Architecture("stylegan2", init, generator, discriminator,
+                      refresh_state=refresh_state))

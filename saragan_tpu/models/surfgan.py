@@ -315,4 +315,15 @@ def init(rng: jax.Array, *, phase: int, cfg) -> Params:
     return params
 
 
-register(Architecture("surfgan", init, generator, discriminator))
+def refresh_state(g_params: Params, rng, *, phase, cfg):
+    """Per-step w-average tracking (reference surfgan/generator.py:28-37;
+    unconditional draw — the avg tracks the marginal w distribution)."""
+    g = Scope(g_params).sub("generator")
+    num_styles = _num_styles(phase)
+    z = jax.random.normal(rng, (64, cfg.latent_dim))
+    d_z = _g_mapping(g, z, num_styles, cfg.activation, cfg.leakiness, None)
+    return style_ops.update_dlatent_avg(g_params, "generator", d_z[:, 0])
+
+
+register(Architecture("surfgan", init, generator, discriminator,
+                      refresh_state=refresh_state))

@@ -265,6 +265,12 @@ def make_train_step(
         else:
             raise ValueError(f"Unknown optim strategy {cfg.optim_strategy}")
 
+        if getattr(arch, "refresh_state", None) is not None:
+            # non-gradient state tracking (style-family w-average; the
+            # reference's in-graph tf.assign, stylegan/generator.py:29-37)
+            g_params = arch.refresh_state(
+                g_params, jax.random.fold_in(rng, 7), phase=phase, cfg=cfg
+            )
         if getattr(cfg, "use_spectral_norm", False):
             # per-step power-iteration refresh of the persisted u vectors —
             # the reference's non-trainable u assignment (ops.py:96-104)

@@ -110,6 +110,10 @@ class Trainer:
             self.cfg.dataset_path,
             self.cfg.scratch_path,
             verbose=self.verbose,
+            # process 0 performs the scratch copy, the rest busy-wait on it
+            # (reference dataset.py:164-188 local_rank-0 copy)
+            copy_files=(self.cfg.scratch_path is not None
+                        and jax.process_index() == 0),
             seed=self.cfg.seed,
         )
 
@@ -223,7 +227,12 @@ class Trainer:
                 cfg.validation_fraction / (cfg.validation_fraction + cfg.test_fraction)
             )
         else:
-            npy_train = npy_val = npy_test = npy_data
+            # unsplit: give val/test their own draw state — sharing one
+            # sample buffer with the train stream would race the prefetch
+            # thread and desynchronize batch_sharded's shuffle stream
+            npy_train = npy_data
+            npy_val = npy_data.clone(seed_offset=1)
+            npy_test = npy_data.clone(seed_offset=2)
         self._log(
             f"Split dataset of {len(npy_data)} samples: train {len(npy_train)}, "
             f"validation {len(npy_val)}, test {len(npy_test)}"
@@ -343,10 +352,16 @@ class Trainer:
         profile_steps = (5, 10) if cfg.profile_dir else None
         step_idx = 0
 
+        # Windowed throughput: through the axon relay only VALUE FETCHES
+        # block (CLAUDE.md hardware rules) — per-step block_until_ready
+        # returns early and would time dispatch, not execution.  The window
+        # closes at each summary step's float() fetch and excludes
+        # summary/metric host time from the next window.
+        window_t0 = time.time()
+        window_imgs = 0
+
         try:
             while True:
-                start = time.time()
-
                 d_lr_val = lr_schedule(in_phase_step, steps_per_phase, d_lr_max,
                                        cfg.d_lr_increase, cfg.d_lr_decrease,
                                        cfg.d_lr_rise_niter, cfg.d_lr_decay_niter)
@@ -400,11 +415,18 @@ class Trainer:
                     jax.profiler.stop_trace()
                 step_idx += 1
 
+                window_imgs += global_batch
                 if small_summary_bool or large_summary_bool:
-                    # block for accurate values only on summary steps
+                    # value fetches — the only true device sync through the
+                    # relay; this closes the throughput window
                     d_loss = float(metrics.disc_loss)
                     g_loss = float(metrics.gen_loss)
                     gp_loss = float(metrics.gp_loss)
+                    now = time.time()
+                    if now > window_t0:
+                        img_s = window_imgs / (now - window_t0)
+                        local_img_s = img_s / global_size
+                        self.last_img_s = img_s
                     self._write_summaries(
                         phase, state, metrics, npy_val, batch_size, global_step, alpha,
                         g_lr_val, d_lr_val, eval_losses, sample_fn, step_rng,
@@ -417,18 +439,19 @@ class Trainer:
                 local_step += batch_size
                 in_phase_step += global_batch
 
-                jax.block_until_ready(metrics.gen_loss)
-                end = time.time()
-                local_img_s = batch_size / (end - start)
-                img_s = global_size * local_img_s
-                self.last_img_s = img_s
-
                 if mixing_bool:
                     alpha = max(alpha - alpha_delta, 0.0)
 
                 if metrics_summary_bool and cfg.calc_metrics and self.metrics_callback is not None:
                     self._run_metrics(phase, state, npy_val, sample_fn, global_step,
                                       in_phase_step, alpha)
+
+                if small_summary_bool or large_summary_bool or metrics_summary_bool:
+                    # summary/metric host time stays out of the next window
+                    # (the reference offsets its speed measurement for the
+                    # same reason, optuna_objective.py:439-440)
+                    window_t0 = time.time()
+                    window_imgs = 0
 
                 if verbose and (small_summary_bool or large_summary_bool):
                     self.writer.scalar("img_s", img_s, global_step)

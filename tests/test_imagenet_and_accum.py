@@ -81,3 +81,24 @@ def test_accumulate_grads_matches_full_batch():
     full = grad_fn(w, x)
     accum = grad_accumulate(lambda mb, k: grad_fn(w, mb), x, jax.random.PRNGKey(0), 4)
     np.testing.assert_allclose(np.asarray(accum["w"]), np.asarray(full["w"]), rtol=1e-6)
+
+
+def test_image_adapter_batch_sharded_exactly_once(imagenet_dir):
+    """2D counterpart of batch_sharded: 2 shards of the same deterministic
+    stream cover each epoch's files exactly once (reference shards its
+    tf.data pipeline by hvd.rank, SURFGAN_2D/main.py:66-103)."""
+    from saragan_tpu.data.imagenet import ImageNetDataset, ImageDatasetAdapter
+
+    ds = ImageNetDataset(imagenet_dir, is_correct_phase=True, num_classes=1)
+    files, labels = ds.files_and_labels()
+    n = len(files)
+    a = ImageDatasetAdapter(files, labels, 8, seed=3)
+    b = ImageDatasetAdapter(files, labels, 8, seed=3)
+    per = n // 2
+    batch_a = a.batch_sharded(per, 2, 0)
+    batch_b = b.batch_sharded(per, 2, 1)
+    assert batch_a.shape[0] == per and batch_b.shape[0] == per
+    # distinct shards: the two halves must not overlap (compare by content)
+    fa = {batch_a[i].tobytes() for i in range(per)}
+    fb = {batch_b[i].tobytes() for i in range(per)}
+    assert not (fa & fb)

@@ -213,3 +213,34 @@ def test_one_train_step_2d(arch_name):
     new_state, metrics = step(state, real, jax.random.PRNGKey(5), 0.5, 1e-3, 1e-3)
     assert np.isfinite(float(metrics.gen_loss)), arch_name
     assert np.isfinite(float(metrics.disc_loss)), arch_name
+
+
+def test_stylegan_dlatent_avg_tracks_w_mean():
+    """d_z_avg must move toward the mapping's w mean each train step via the
+    refresh_state hook (reference stylegan/generator.py:29-37 tf.assign) and
+    must NOT be gradient-trained (stop_gradient in apply_truncation)."""
+    cfg = cfg_for("stylegan", phase=2)
+    arch = get_architecture("stylegan")
+    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+    assert arch.refresh_state is not None
+    step = jax.jit(make_train_step(arch, cfg, 2, g_opt, d_opt))
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 8, 8, 8))
+    avg0 = np.asarray(state.g_params["generator/d_z_avg"])
+    np.testing.assert_array_equal(avg0, 0.0)
+    state2, _ = step(state, real, jax.random.PRNGKey(5), 0.5, 1e-3, 1e-3)
+    avg1 = np.asarray(state2.g_params["generator/d_z_avg"])
+    assert not np.allclose(avg1, 0.0), "d_z_avg was not updated by refresh_state"
+    # beta-0.995 EMA from zeros: first update = 0.005 * batch_mean(w) — small
+    assert np.abs(avg1).max() < 0.1
+    # and several steps keep it finite and slowly moving
+    state3, _ = step(state2, real, jax.random.PRNGKey(6), 0.5, 1e-3, 1e-3)
+    avg2 = np.asarray(state3.g_params["generator/d_z_avg"])
+    assert np.all(np.isfinite(avg2))
+    assert not np.array_equal(avg1, avg2)
+
+
+@pytest.mark.parametrize("arch_name", ["stylegan2", "surfgan"])
+def test_style_family_refresh_state_registered(arch_name):
+    arch = get_architecture(arch_name)
+    assert arch.refresh_state is not None
+    assert get_architecture("pgan").refresh_state is None
