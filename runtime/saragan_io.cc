@@ -123,6 +123,8 @@ bool parse_npy_header(const uint8_t* buf, size_t len, NpyInfo* info) {
     char* end = nullptr;
     long long v = strtoll(s, &end, 10);
     if (end == s) break;
+    if (v < 0) return false;  // corrupt header: negative dim would wrap
+                              // data_bytes and crash np.empty in the binding
     if (info->ndim >= 8) return false;
     info->shape[info->ndim++] = v;
     total *= v;

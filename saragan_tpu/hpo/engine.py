@@ -68,6 +68,29 @@ class _Storage:
                     "id INTEGER PRIMARY KEY AUTOINCREMENT, study TEXT, state TEXT,"
                     "params TEXT, dists TEXT, value TEXT, intermediate TEXT, ts REAL)"
                 )
+                c.execute(
+                    "CREATE TABLE IF NOT EXISTS studies ("
+                    "study TEXT PRIMARY KEY, directions TEXT)"
+                )
+
+    def set_directions(self, directions):
+        if self.path is None:
+            self._directions = list(directions)
+            return
+        with self._conn() as c:
+            c.execute(
+                "INSERT OR REPLACE INTO studies (study, directions) VALUES (?, ?)",
+                (self.study_name, json.dumps(list(directions))),
+            )
+
+    def get_directions(self):
+        if self.path is None:
+            return getattr(self, "_directions", None)
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT directions FROM studies WHERE study = ?", (self.study_name,)
+            ).fetchone()
+        return json.loads(row[0]) if row else None
 
     def _conn(self):
         conn = sqlite3.connect(self.path, timeout=60)
@@ -185,7 +208,10 @@ class Trial:
 
     def suggest_float(self, name, low, high, *, log=False, step=None):
         if step is not None:
-            n = int(round((high - low) / step))
+            # floor, not round: low + n*step must stay <= high (Optuna clamps
+            # the grid the same way) — round() could overshoot, e.g.
+            # (0, 1, step=0.35) -> n=3 -> 1.05 > high
+            n = int((high - low) / step + 1e-9)
             return self._suggest(name, ("discrete_float", low, step, n))
         return self._suggest(name, ("float_log" if log else "float", low, high))
 
@@ -196,6 +222,8 @@ class Trial:
         return self.suggest_float(name, low, high, log=True)
 
     def suggest_int(self, name, low, high, step=1, *, log=False):
+        if log:
+            return int(self._suggest(name, ("int_log", low, high, step)))
         return int(self._suggest(name, ("int", low, high, step)))
 
     def suggest_categorical(self, name, choices):
@@ -237,6 +265,10 @@ def _dist_sample_random(rng: random.Random, dist: tuple):
         _, low, high, step = dist
         n = (high - low) // step
         return low + step * rng.randint(0, n)
+    if kind == "int_log":
+        _, low, high, step = dist
+        v = math.exp(rng.uniform(math.log(low), math.log(high)))
+        return min(low + step * int(round((v - low) / step)), high)
     if kind == "categorical":
         return rng.choice(list(dist[1]))
     raise ValueError(dist)
@@ -250,6 +282,9 @@ def _to_unit(value, dist):
     if kind == "float_log":
         lo, hi = math.log(dist[1]), math.log(dist[2])
         return (math.log(value) - lo) / (hi - lo + 1e-12)
+    if kind == "int_log":
+        lo, hi = math.log(dist[1]), math.log(dist[2])
+        return (math.log(max(value, dist[1])) - lo) / (hi - lo + 1e-12)
     if kind in ("int", "discrete_float"):
         if kind == "int":
             _, low, high, step = dist
@@ -273,6 +308,10 @@ def _from_unit(u, dist):
         _, low, high, step = dist
         n = (high - low) // step
         return low + step * int(round(u * n))
+    if kind == "int_log":
+        _, low, high, step = dist
+        v = math.exp(math.log(low) + u * (math.log(high) - math.log(low)))
+        return min(low + step * int(round((v - low) / step)), high)
     if kind == "discrete_float":
         _, low, step, n = dist
         return low + step * int(round(u * n))
@@ -569,7 +608,10 @@ class MedianPruner:
             return False
         peers = []
         for t in others:
-            at_step = [v for s, v in t.intermediate_values.items() if s <= step]
+            # value at the LARGEST step <= step — dict insertion order is not
+            # step order if reports ever arrive out of order (resume,
+            # multiple callbacks); SHA below sorts for the same reason
+            at_step = [v for s, v in sorted(t.intermediate_values.items()) if s <= step]
             if at_step:
                 peers.append(at_step[-1])
         if not peers:
@@ -685,9 +727,7 @@ class Study:
         return Trial(self, number)
 
     def tell(self, trial: Trial, state: str, value=None):
-        if value is not None and not isinstance(value, (list, tuple)):
-            value = value
-        elif isinstance(value, tuple):
+        if isinstance(value, tuple):
             value = list(value)
         self._storage.update_trial(trial.number, state=state, value=value)
 
@@ -714,6 +754,11 @@ class Study:
             except catch as e:
                 print(f"Trial {trial.number} failed with {type(e).__name__}: {e}")
                 self.tell(trial, FAIL)
+            except BaseException:
+                # uncaught: mark FAIL (Optuna does) before propagating so the
+                # shared storage never carries a ghost RUNNING row
+                self.tell(trial, FAIL)
+                raise
             if gc_after_trial:
                 gc.collect()
             i += 1
@@ -730,10 +775,17 @@ def create_study(
 ) -> Study:
     if directions is None:
         directions = [direction or "minimize"]
-    return Study(study_name, storage, sampler, pruner, directions)
+    study = Study(study_name, storage, sampler, pruner, directions)
+    study._storage.set_directions(directions)
+    return study
 
 
 def load_study(study_name: str, storage: str, sampler=None, pruner=None) -> Study:
-    # directions aren't persisted separately; single-objective minimize is the
-    # reference's load path (main.py:156-157 passes sampler/pruner again)
-    return Study(study_name, storage, sampler, pruner, ["minimize"])
+    """Attach to an existing study; directions come from the studies table so
+    multi-objective workers see BOTH objectives (a hardcoded ['minimize']
+    here would zip-truncate Pareto dominance to objective 0 on workers >=1)."""
+    study = Study(study_name, storage, sampler, pruner, ["minimize"])
+    persisted = study._storage.get_directions()
+    if persisted:
+        study.directions = list(persisted)
+    return study

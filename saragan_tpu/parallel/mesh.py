@@ -33,8 +33,16 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
         num_data = len(devices) // num_space
+    if num_data < 1:
+        raise ValueError(
+            f"num_space={num_space} exceeds the {len(devices)} available "
+            f"devices (would give a 0-wide data axis)"
+        )
     used = num_data * num_space
     assert used <= len(devices), (num_data, num_space, len(devices))
+    if used < len(devices):
+        print(f"make_mesh: using {used} of {len(devices)} devices "
+              f"({num_data} data x {num_space} space)")
     arr = np.array(devices[:used]).reshape(num_data, num_space)
     return Mesh(arr, ("data", "space"))
 

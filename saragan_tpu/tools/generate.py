@@ -34,23 +34,36 @@ def _load_generator_params(model_path: str, use_ema: bool = True):
     return filter_params(src, "generator"), meta
 
 
-def sample_volumes(cfg: Config, phase: int, g_params, num_samples: int, seed: int = 0,
-                   batch_size: int = 4, alpha: float = 0.0,
-                   fast_inference: bool = True) -> np.ndarray:
-    """Generate volumes. `fast_inference` enables the exact fused
-    transition + Pallas elementwise kernels (measured +29% sampling
-    throughput on v5e; bit-identical up to f32 rounding order)."""
+def make_volume_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: float = 0.0,
+                        fast_inference: bool = True):
+    """ONE jitted sampler `gen(g_params, key) -> (batch_size, C, ...)`.
+
+    Build it once per (cfg, phase, batch) and reuse across batches — a fresh
+    jax.jit closure per call would re-trace and re-compile the generator
+    every time (minutes per compile on the relayed chip)."""
     if fast_inference:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fused_transitions=True, use_pallas_fusion=True)
     arch = get_architecture(cfg.architecture)
-    
+
     @jax.jit
     def gen(params, rng):
         k_z, k_g = jax.random.split(rng)
         z = jax.random.normal(k_z, (batch_size, cfg.latent_dim))
         return arch.generator(params, z, alpha, phase=phase, cfg=cfg, rng=k_g, train=False)
+
+    return gen
+
+
+def sample_volumes(cfg: Config, phase: int, g_params, num_samples: int, seed: int = 0,
+                   batch_size: int = 4, alpha: float = 0.0,
+                   fast_inference: bool = True, _sampler=None) -> np.ndarray:
+    """Generate volumes. `fast_inference` enables the exact fused
+    transition + Pallas elementwise kernels (measured +29% sampling
+    throughput on v5e; bit-identical up to f32 rounding order)."""
+    gen = _sampler if _sampler is not None else make_volume_sampler(
+        cfg, phase, batch_size, alpha, fast_inference)
 
     out = []
     rng = jax.random.PRNGKey(seed)
@@ -124,8 +137,11 @@ def generate(
     g_params, _ = _load_generator_params(model_path, use_ema)
     os.makedirs(output_dir, exist_ok=True)
 
-    size = cfg.start_shape_t[-1] * 2 ** (phase - 1)
-    real_ds = NumpyPathDataset(os.path.join(dataset_path, f"{size}x{size}/"), seed=seed)
+    from saragan_tpu.data.dataset import get_numpy_dataset
+
+    # canonical resolution-dir inference (dataset.py get_numpy_dataset)
+    real_ds = get_numpy_dataset(phase, cfg.starting_phase, cfg.start_shape,
+                                dataset_path, None, seed=seed)
 
     compute_metrics = compute_metrics or dict(
         compute_FID=cfg.compute_FID, compute_swds=cfg.compute_swds,
@@ -134,12 +150,14 @@ def generate(
     )
 
     sums: Dict[str, list] = {k: [] for k in ("fid", "swd", "psnr", "ssim", "mse", "nrmse")}
+    sampler = make_volume_sampler(cfg, phase, batch_size)  # compiled once
     done = 0
     batch_i = 0
     while done < num_samples:
         n = min(batch_size, num_samples - done)
         real = normalize_numpy(real_ds.batch(n), cfg.data_mean, cfg.data_stddev).astype(np.float32)
-        fake = sample_volumes(cfg, phase, g_params, n, seed + batch_i, batch_size=n)
+        fake = sample_volumes(cfg, phase, g_params, n, seed + batch_i,
+                              batch_size=batch_size, _sampler=sampler)
 
         # PNG mosaics + npy dumps (generate.py:137-175)
         _save_png(os.path.join(output_dir, f"real_{batch_i:04d}.png"), image_grid(real))

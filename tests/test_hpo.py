@@ -278,3 +278,58 @@ def test_cma_full_covariance_follows_rotated_valley():
     assert study.best_trial.value < 0.25, study.best_trial.value
     bx, by = study.best_trial.params["x"], study.best_trial.params["y"]
     assert abs(bx - by) < 0.2 and abs(bx + by - 2.0) < 0.5
+
+
+def test_suggest_float_step_never_exceeds_high():
+    study = create_study(sampler=samplers.RandomSampler(seed=0))
+
+    def obj(trial):
+        v = trial.suggest_float("p", 0.0, 1.0, step=0.35)
+        assert 0.0 <= v <= 1.0 + 1e-12, v
+        return v
+
+    study.optimize(obj, n_trials=40)
+
+
+def test_suggest_int_log_is_log_distributed():
+    study = create_study(sampler=samplers.RandomSampler(seed=0))
+    vals = []
+
+    def obj(trial):
+        v = trial.suggest_int("units", 1, 1024, log=True)
+        assert 1 <= v <= 1024
+        vals.append(v)
+        return 0.0
+
+    study.optimize(obj, n_trials=300)
+    # log-uniform: ~half the draws fall below sqrt(1*1024)=32; linear-uniform
+    # would put ~97% above 32
+    below = sum(1 for v in vals if v <= 32)
+    assert below > 100, below
+
+
+def test_load_study_preserves_directions(tmp_path):
+    from saragan_tpu.hpo.engine import create_study as eng_create, load_study as eng_load
+
+    storage = f"sqlite:///{tmp_path}/mo.db"
+    s = eng_create(study_name="mo", storage=storage,
+                   directions=["minimize", "minimize"])
+    assert s.directions == ["minimize", "minimize"]
+    s2 = eng_load("mo", storage)
+    assert s2.directions == ["minimize", "minimize"]
+
+
+def test_uncaught_exception_marks_trial_failed(tmp_path):
+    from saragan_tpu.hpo.engine import create_study as eng_create
+
+    storage = f"sqlite:///{tmp_path}/fail.db"
+    study = eng_create(study_name="f", storage=storage)
+
+    def obj(trial):
+        trial.suggest_float("x", 0, 1)
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError):
+        study.optimize(obj, n_trials=1)
+    states = [t.state for t in study.get_trials()]
+    assert states == ["FAIL"], states

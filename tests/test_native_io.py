@@ -68,3 +68,27 @@ def test_dataset_uses_native(tmp_path):
     ds = NumpyPathDataset(str(d))
     b = ds.batch(2)
     assert b.dtype == np.float32 and b.shape == (2, 1, 4, 4, 4)
+
+
+def test_negative_shape_header_rejected(tmp_path):
+    """Corrupt npy header with a negative dim must fail the native probe
+    (fallback to numpy's own error), not wrap data_bytes."""
+    from saragan_tpu.data import native
+
+    import ctypes
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    p = tmp_path / "bad.npy"
+    magic = b"\x93NUMPY\x01\x00"
+    header = b"{'descr': '<f4', 'fortran_order': False, 'shape': (-1, 4), }"
+    pad = 64 - (len(magic) + 2 + len(header) + 1) % 64
+    header = header + b" " * pad + b"\n"
+    p.write_bytes(magic + len(header).to_bytes(2, "little") + header + b"\x00" * 64)
+    lib = native._load()
+    shape = (ctypes.c_int64 * 8)()
+    ndim = ctypes.c_int()
+    dtype_code = ctypes.c_int()
+    rc = lib.saragan_npy_probe(str(p).encode(), shape, ctypes.byref(ndim),
+                               ctypes.byref(dtype_code))
+    assert rc != 0  # native parser refuses; load_npy falls back to np.load
