@@ -38,17 +38,6 @@ def num_phases_from_shapes(start_shape, final_shape) -> int:
     return int(math.log2(final[-1] / start[-1]))
 
 
-def default_kernel_spec(num_phases: int, ndim: int = 3, kernel: int = 3) -> list:
-    """Spec equivalent to the legacy --conv_kernel_size path: kernel_spec[p] =
-    [k, k] per phase; phase 0 layer 0 is the dense layer (empty kernel),
-    matching the shipped SURFGAN_3D/kernel_spec.json layout."""
-    k = [kernel] * ndim
-    spec = [[[], list(k)]]
-    for _ in range(1, num_phases):
-        spec.append([list(k), list(k)])
-    return spec
-
-
 def default_filter_spec(num_phases: int, base_shape, size: str = "xs", ndim: int = 3) -> list:
     """Filter spec derived from the legacy num_filters tables
     (reference networks/ops.py:201-236 / SURFGAN_2D ops.py:139-158)."""
@@ -259,18 +248,15 @@ class Config:
         return default_filter_spec(self.num_phases, self.base_shape, size=size, ndim=self.ndim)
 
     def batch_size_for_phase(self, phase: int, global_size: int = 1) -> int:
-        """Per-worker batch size: halves per phase, capped globally
-        (reference optuna_objective.py:127-136)."""
+        """Per-worker batch size: halves per phase; the global cap is
+        CONSTANT across phases (reference optuna_objective.py:127-136 caps
+        the local batch at max_global_batch_size / global_size in every
+        phase — it does not shrink the cap as the phase grows)."""
         assert self.base_batch_size is not None
         batch_size = max(1, self.base_batch_size // (2 ** (phase - 1)))
         if self.max_global_batch_size is not None:
-            cap = self.max_global_batch_size // (2 ** (phase - 1))
-            cap = max(1, cap)
-            while batch_size * global_size > max(cap, global_size):
-                if batch_size == 1:
-                    break
-                batch_size //= 2
-            assert batch_size * global_size <= max(self.max_global_batch_size, global_size)
+            max_local = max(1, self.max_global_batch_size // global_size)
+            batch_size = min(batch_size, max_local)
         return batch_size
 
     def finalize(self) -> "Config":

@@ -135,13 +135,11 @@ def get_ssim(real, fake, data_range=3):
     real = np.transpose(np.asarray(real), [0, 2, 3, 4, 1])
     fake = np.transpose(np.asarray(fake), [0, 2, 3, 4, 1])
     if real.shape[0] == 1:
+        # reference quirk (skim_metrics.py:23-26): a singleton batch is
+        # stripped and the zip below then iterates the DEPTH axis — D
+        # per-slice 2D SSIMs, not one 3D SSIM
         real = real[0, ...]
         fake = fake[0, ...]
-        return [
-            structural_similarity(
-                real, fake, data_range=data_range, multichannel=True, gaussian_weights=True
-            )
-        ]
     return [
         structural_similarity(
             im1, im2, data_range=data_range, multichannel=True, gaussian_weights=True

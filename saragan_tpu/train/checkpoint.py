@@ -61,15 +61,15 @@ def save_params(
 def load_params(path: str) -> Tuple[Params, Optional[Params], Dict[str, float]]:
     if not path.endswith(".npz"):
         path = path + ".npz"
-    data = np.load(path)
     params, ema, meta = {}, {}, {}
-    for k in data.files:
-        if k.startswith("params/"):
-            params[k[len("params/") :]] = data[k]
-        elif k.startswith("ema/"):
-            ema[k[len("ema/") :]] = data[k]
-        elif k.startswith("meta/"):
-            meta[k[len("meta/") :]] = float(data[k])
+    with np.load(path) as data:
+        for k in data.files:
+            if k.startswith("params/"):
+                params[k[len("params/") :]] = data[k]
+            elif k.startswith("ema/"):
+                ema[k[len("ema/") :]] = data[k]
+            elif k.startswith("meta/"):
+                meta[k[len("meta/") :]] = float(data[k])
     return params, (ema or None), meta
 
 

@@ -293,8 +293,10 @@ def make_train_step(
             d_hists=d_hists,
             fake_min=fake_min,
             fake_max=fake_max,
-            real_min=jnp.min(real),
-            real_max=jnp.max(real),
+            # reference Image_properties uses only the FIRST real sample
+            # (summary.py:51-52 real_image_input[0]); fake uses the batch
+            real_min=jnp.min(real[0]),
+            real_max=jnp.max(real[0]),
         )
         return new_state, metrics
 

@@ -62,10 +62,13 @@ class SummaryWriter:
         counts = np.asarray(counts, np.float64)
         edges = np.asarray(edges, np.float64)
         if self._jsonl is not None:
+            # full distribution, not just min/max/count — the JSONL doubles
+            # as the machine-readable log even without torch's TB writer
             self._jsonl.write(json.dumps({
                 "tag": tag, "step": int(step), "hist": True,
                 "min": float(edges[0]), "max": float(edges[-1]),
                 "count": float(counts.sum()),
+                "counts": counts.tolist(), "edges": edges.tolist(),
             }) + "\n")
         if self._tb is not None:
             centers = (edges[:-1] + edges[1:]) / 2.0
@@ -99,32 +102,38 @@ class SummaryWriter:
 
 def small_summary(d_loss, g_loss, gp_loss, fake, real, suffix: str = "") -> Dict[str, float]:
     """Reference summary.py small family (create_small_summary,
-    summary.py:27-57): losses + the Image_properties min/max scalars,
-    reference tag names."""
+    summary.py:27-57): 'Loss/' scoped losses (gp tag is 'gp', not gp_loss) +
+    the Image_properties min/max scalars, reference tag names."""
     return {
-        f"d_loss{suffix}": float(d_loss),
-        f"g_loss{suffix}": float(g_loss),
-        f"gp_loss{suffix}": float(gp_loss),
+        f"Loss/d_loss{suffix}": float(d_loss),
+        f"Loss/g_loss{suffix}": float(g_loss),
+        f"Loss/gp{suffix}": float(gp_loss),
         **image_range_summary(fake, real, suffix),
     }
 
 
 def image_range_summary(fake, real, suffix: str = "") -> Dict[str, float]:
     """Image_properties family (reference summary.py:46-52): min/max of the
-    generated sample and the real input.  `fake`/`real` may be arrays or
+    generated sample (whole batch) and of the FIRST real sample
+    (real_image_input[0], summary.py:51-52).  `fake`/`real` may be arrays or
     precomputed (min, max) scalar pairs."""
     fmin, fmax = fake if isinstance(fake, tuple) else (np.min(fake), np.max(fake))
-    rmin, rmax = real if isinstance(real, tuple) else (np.min(real), np.max(real))
+    rmin, rmax = real if isinstance(real, tuple) else (np.min(real[0]), np.max(real[0]))
     return {
-        f"image_min_fake{suffix}": float(fmin),
-        f"image_max_fake{suffix}": float(fmax),
-        f"image_min_real{suffix}": float(rmin),
-        f"image_max_real{suffix}": float(rmax),
+        f"Image_properties/image_min_fake{suffix}": float(fmin),
+        f"Image_properties/image_max_fake{suffix}": float(fmax),
+        f"Image_properties/image_min_real{suffix}": float(rmin),
+        f"Image_properties/image_max_real{suffix}": float(rmax),
     }
 
 
 def training_props_summary(alpha, g_lr, d_lr) -> Dict[str, float]:
-    return {"alpha": float(alpha), "g_lr": float(g_lr), "d_lr": float(d_lr)}
+    """Training_properties scope (reference summary.py:7-21)."""
+    return {
+        "Training_properties/alpha": float(alpha),
+        "Training_properties/g_lr": float(g_lr),
+        "Training_properties/d_lr": float(d_lr),
+    }
 
 
 def memory_summary() -> Dict[str, float]:
@@ -152,9 +161,11 @@ def memory_summary() -> Dict[str, float]:
 
 
 def gradients_summary(max_g_norm, max_d_norm, suffix: str = "") -> Dict[str, float]:
+    """Gradient norms live under the 'Loss/' scope in the reference
+    (summary.py:79-87)."""
     return {
-        f"max_g_grad_norm{suffix}": float(max_g_norm),
-        f"max_d_grad_norm{suffix}": float(max_d_norm),
+        f"Loss/max_g_grad_norm{suffix}": float(max_g_norm),
+        f"Loss/max_d_grad_norm{suffix}": float(max_d_norm),
     }
 
 
@@ -170,6 +181,8 @@ def image_grid(batch: np.ndarray, grid_cols: int = 4, pad_value: float = 0.0) ->
     else:
         raise ValueError(batch.shape)
     n, h, w = imgs.shape
+    if n == 0:
+        raise ValueError("image_grid: empty batch (no samples to tile)")
     cols = min(grid_cols, n)
     rows = (n + cols - 1) // cols
     grid = np.full((rows * h, cols * w), pad_value, imgs.dtype)

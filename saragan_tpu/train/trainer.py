@@ -571,23 +571,26 @@ class Trainer:
         for tree in (metrics.g_hists, metrics.d_hists):
             if tree:
                 for k, (counts, edges) in tree.items():
-                    w.histogram_raw(f"grad_{k}{suffix}", np.asarray(counts),
+                    # reference scope: Loss/grad_{var} (summary.py:81-84)
+                    w.histogram_raw(f"Loss/grad_{k}{suffix}", np.asarray(counts),
                                     np.asarray(edges), global_step)
-        w.scalars(
-            {
-                "d_loss": float(metrics.disc_loss),
-                "g_loss": float(metrics.gen_loss),
-                "gp_loss": float(metrics.gp_loss),
-            },
-            global_step,
-        )
-        # Image_properties family (reference summary.py:46-52)
+        # small family: Loss/* + Image_properties/* (reference summary.py:27-57)
         if metrics.fake_min is not None:
             w.scalars(
-                summ.image_range_summary(
+                summ.small_summary(
+                    metrics.disc_loss, metrics.gen_loss, metrics.gp_loss,
                     (float(metrics.fake_min), float(metrics.fake_max)),
                     (float(metrics.real_min), float(metrics.real_max)),
                 ),
+                global_step,
+            )
+        else:
+            w.scalars(
+                {
+                    "Loss/d_loss": float(metrics.disc_loss),
+                    "Loss/g_loss": float(metrics.gen_loss),
+                    "Loss/gp": float(metrics.gp_loss),
+                },
                 global_step,
             )
         # validation losses on training weights + train losses on EMA weights
@@ -598,20 +601,19 @@ class Trainer:
             k1, k2 = jax.random.split(rng)
             gl, dl, gpl, _ = eval_losses(state.g_params, state.d_params, val_batch, k1, alpha)
             w.scalars(
-                {"d_loss_val": float(dl), "g_loss_val": float(gl), "gp_loss_val": float(gpl)},
+                {"Loss/d_loss_val": float(dl), "Loss/g_loss_val": float(gl),
+                 "Loss/gp_val": float(gpl)},
                 global_step,
             )
             g_ema, d_ema = split_params(state.ema)
             gl, dl, gpl, fake_ema = eval_losses(g_ema, d_ema, val_batch, k2, alpha)
             w.scalars(
-                {"d_loss_EMA": float(dl), "g_loss_EMA": float(gl), "gp_loss_EMA": float(gpl)},
-                global_step,
-            )
-            w.scalars(
-                summ.image_range_summary(np.asarray(fake_ema, np.float32), val_batch, "_EMA"),
+                summ.small_summary(dl, gl, gpl, np.asarray(fake_ema, np.float32),
+                                   val_batch, "_EMA"),
                 global_step,
             )
             if large:
+                # reference large-summary tags (summary.py:137-138)
                 fake = np.asarray(fake_ema, np.float32)
-                w.image("fake_images_EMA", summ.image_grid(fake), global_step)
-                w.image("real_images", summ.image_grid(val_batch), global_step)
+                w.image("summaries/fake_image_EMA", summ.image_grid(fake), global_step)
+                w.image("summaries/real_image", summ.image_grid(val_batch), global_step)

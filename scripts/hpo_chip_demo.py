@@ -1,0 +1,99 @@
+"""On-hardware HPO sweep demo: the full Optuna-compatible harness driving
+real training trials on the chip (SURVEY C22/C23; reference run mode
+`example_hyperparam_opt_*.jb`).
+
+8 TPE trials of 3D pgan, phases 1->3 (4³->16³) on structured blob volumes;
+the trial samples both learning rates (left None) and optimizes the
+run-internal proxy-FID (RandomConvFeatures — uncalibrated values never reach
+external reports; within one study they are comparable).  Prints the
+best/median/worst trial values and asserts the sampler's best beats the
+median (TPE concentrated mass on good lrs).
+
+Run (real chip): python scripts/hpo_chip_demo.py [outdir] [ntrials]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from convergence_run import build_dataset  # noqa: E402  (same synthetic pyramid)
+
+from saragan_tpu.config import Config  # noqa: E402
+from saragan_tpu.hpo import harness  # noqa: E402
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hpo_chip_demo"
+    ntrials = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    dataroot = os.path.join(outdir, "data")
+    os.makedirs(outdir, exist_ok=True)
+    print("Building synthetic blob pyramid (16^3 master) ...", flush=True)
+    mean, std = build_dataset(dataroot, n=256, master=16)
+
+    cfg = Config(
+        architecture="pgan",
+        dataset_path=dataroot,
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 32, 32, 32)",  # phases 1-3 -> 4,8,16
+        starting_phase=1,
+        ending_phase=3,
+        latent_dim=64,
+        network_size="xs",
+        base_batch_size=64,
+        max_global_batch_size=64,
+        mixing_nimg=2048,
+        stabilizing_nimg=4096,
+        loss_fn="wgan",
+        gp_weight=10.0,
+        noise_stddev=0.0,
+        adam_beta1=0.0,
+        adam_beta2=0.9,
+        g_lr=None,  # sampled by the trial (None-means-searchable)
+        d_lr=None,
+        ema_beta=0.99,
+        data_mean=mean,
+        data_stddev=std,
+        calc_metrics=True,
+        compute_FID=True,
+        allow_uncalibrated_fid=True,  # run-internal objective only
+        num_metric_samples=32,
+        metrics_batch_size=32,
+        metrics_every_nsteps=10**9,  # only end-of-phase metrics
+        summary_small_every_nsteps=4096,
+        grad_histograms=False,
+        summary_large_every_nsteps=10**9,
+        checkpoint_every_nsteps=10**9,
+        compute_dtype="bfloat16",
+        fused_transitions=True,
+        optuna_ntrials=ntrials,
+        optuna_storage=f"sqlite:///{outdir}/study.db",
+        optuna_study_name="chip_demo",
+        optuna_sampler="TPE",
+        optuna_pruner="nopruner",
+        logdir=os.path.join(outdir, "logs"),
+    )
+
+    t0 = time.time()
+    study = harness.run(cfg)
+    wall = time.time() - t0
+
+    done = [t for t in study.trials if t.state == "COMPLETE" and t.value is not None]
+    values = sorted(float(t.value) for t in done)
+    best = study.best_trial
+    print(f"{len(done)}/{ntrials} trials complete in {wall:.0f}s")
+    print(f"proxy-FID best {values[0]:.3f}  median {np.median(values):.3f}  "
+          f"worst {values[-1]:.3f}")
+    print(f"best params: {best.params}")
+    assert len(done) >= ntrials - 1, "trials failed"
+    assert values[0] < np.median(values), "sampler found nothing better than median"
+    print("HPO DEMO OK")
+
+
+if __name__ == "__main__":
+    main()

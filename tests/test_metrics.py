@@ -31,10 +31,9 @@ from saragan_tpu.metrics.swd import (
 
 def test_laplacian_pyramid_reconstructs(np_rng):
     x = np_rng.normal(size=(2, 1, 8, 32, 32)).astype(np.float32)
-    # NB reference quirk preserved: generate_laplacian_pyramid mutates a
-    # float32 input in place (np.float32(arr) is not a copy), so compare
-    # against a pristine copy.
-    pyr = generate_laplacian_pyramid(x.copy(), 2)
+    # (generate_laplacian_pyramid is pure here — the reference's in-place
+    # mutation of f32 inputs was a bug, fixed; see swd.py)
+    pyr = generate_laplacian_pyramid(x, 2)
     rec = reconstruct_laplacian_pyramid(pyr)
     np.testing.assert_allclose(rec, x, atol=1e-4)
 
@@ -78,10 +77,18 @@ def test_ssim_self_is_one(np_rng):
 
 
 def test_ssim_decreases_with_noise(np_rng):
-    a = np_rng.normal(size=(1, 1, 16, 16, 16)).astype(np.float32)
+    a = np_rng.normal(size=(2, 1, 16, 16, 16)).astype(np.float32)
     small = get_ssim(a, a + 0.1 * np_rng.normal(size=a.shape).astype(np.float32))[0]
     big = get_ssim(a, a + 1.0 * np_rng.normal(size=a.shape).astype(np.float32))[0]
     assert 0 < big < small < 1.0
+
+
+def test_ssim_singleton_batch_is_per_slice(np_rng):
+    """Reference quirk (skim_metrics.py:23-26): a batch of exactly 1 volume
+    is stripped and SSIM iterates the DEPTH axis -> D per-slice 2D values."""
+    a = np_rng.normal(size=(1, 1, 16, 16, 16)).astype(np.float32)
+    out = get_ssim(a, a + 0.1 * np_rng.normal(size=a.shape).astype(np.float32))
+    assert len(out) == 16  # one SSIM per z-slice, not one 3D SSIM
 
 
 def test_ssim_known_value():

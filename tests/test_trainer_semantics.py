@@ -76,12 +76,16 @@ def test_summary_tags_reference_names(tmp_path):
     Trainer(cfg, verbose=True, prefetch=False).run()
     events = [json.loads(l) for l in open(os.path.join(cfg.logdir, "events.jsonl"))]
     tags = {e["tag"] for e in events}
+    # full reference tag parity incl. TF name scopes: Loss/ (summary.py:43-45,
+    # gp NOT gp_loss), Training_properties/ (:17-21), Loss/max_*_grad_norm
+    # (:86-87); img_s is scope-less (optuna_objective.py:558)
     expected = {
-        "d_loss", "g_loss", "gp_loss",
-        "d_loss_val", "g_loss_val", "gp_loss_val",
-        "d_loss_EMA", "g_loss_EMA", "gp_loss_EMA",
-        "alpha", "g_lr", "d_lr", "img_s",
-        "max_g_grad_norm", "max_d_grad_norm",
+        "Loss/d_loss", "Loss/g_loss", "Loss/gp",
+        "Loss/d_loss_val", "Loss/g_loss_val", "Loss/gp_val",
+        "Loss/d_loss_EMA", "Loss/g_loss_EMA", "Loss/gp_EMA",
+        "Training_properties/alpha", "Training_properties/g_lr",
+        "Training_properties/d_lr", "img_s",
+        "Loss/max_g_grad_norm", "Loss/max_d_grad_norm",
     }
     assert expected <= tags, expected - tags
     assert any(t.startswith("grad_norm/generator/") for t in tags)
@@ -97,15 +101,19 @@ def test_summary_histograms_and_image_ranges(tmp_path):
     Trainer(cfg, verbose=True, prefetch=False).run()
     events = [json.loads(l) for l in open(os.path.join(cfg.logdir, "events.jsonl"))]
     tags = {e["tag"] for e in events}
-    for t in ("image_min_fake", "image_max_fake", "image_min_real", "image_max_real",
-              "image_min_fake_EMA", "image_max_real_EMA"):
+    for t in ("Image_properties/image_min_fake", "Image_properties/image_max_fake",
+              "Image_properties/image_min_real", "Image_properties/image_max_real",
+              "Image_properties/image_min_fake_EMA",
+              "Image_properties/image_max_real_EMA"):
         assert t in tags, t
     hist_tags = {e["tag"] for e in events if e.get("hist")}
-    assert any(t.startswith("grad_generator/") for t in hist_tags)
-    assert any(t.startswith("grad_discriminator/") for t in hist_tags)
-    # histogram counts sum to the variable's element count
-    ev = next(e for e in events if e.get("hist") and e["tag"].startswith("grad_generator/"))
+    assert any(t.startswith("Loss/grad_generator/") for t in hist_tags)
+    assert any(t.startswith("Loss/grad_discriminator/") for t in hist_tags)
+    # histogram record carries the full distribution (JSONL doubles as the
+    # machine-readable log)
+    ev = next(e for e in events if e.get("hist") and e["tag"].startswith("Loss/grad_generator/"))
     assert ev["count"] > 0 and ev["min"] <= ev["max"]
+    assert len(ev["counts"]) == len(ev["edges"]) - 1 and sum(ev["counts"]) == ev["count"]
 
 
 def test_grad_histograms_can_be_disabled(tmp_path):
