@@ -309,11 +309,17 @@ def _wgrad_xla(x: jax.Array, dy: jax.Array, kernel: Tuple[int, ...]) -> jax.Arra
 
 def _conv3d_engine(x: jax.Array, w: jax.Array) -> jax.Array:
     """Engine behind the custom-VJP algebra: 'pallas' = implicit-GEMM kernel
-    with in-VMEM offset reuse (ops/pallas_conv.py), else the scan GEMM."""
+    with in-VMEM offset reuse, 'pallas2' = the manual double-buffered-DMA
+    im2col variant (fwd/dgrad only; wgrad shares the v1 kernel) — both in
+    ops/pallas_conv.py; else the scan GEMM."""
     if CONV3D_ALGORITHM == "pallas" and w.shape[0] * w.shape[1] * w.shape[2] > 1:
         from saragan_tpu.ops.pallas_conv import conv3d_flat
 
         return conv3d_flat(x, w)
+    if CONV3D_ALGORITHM == "pallas2" and w.shape[0] * w.shape[1] * w.shape[2] > 1:
+        from saragan_tpu.ops.pallas_conv import conv3d_flat_v2
+
+        return conv3d_flat_v2(x, w)
     return _conv3d_shifted_gemm(x, w)
 
 

@@ -159,7 +159,7 @@ def conv3d_flat(x: jax.Array, w: jax.Array, interpret=None) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _wgrad_kernel(x_ref, dy_ref, m_ref, o_ref, *, deltas, halo_pad, t_tile, nsteps):
+def _wgrad_kernel(x_ref, dy_ref, o_ref, *, deltas, halo_pad, t_tile):
     step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(step == 0)
@@ -167,7 +167,11 @@ def _wgrad_kernel(x_ref, dy_ref, m_ref, o_ref, *, deltas, halo_pad, t_tile, nste
         o_ref[:] = jnp.zeros_like(o_ref)
 
     x = x_ref[0]  # (C, B)
-    dy = (dy_ref[0].astype(jnp.float32) * m_ref[:]).astype(dy_ref.dtype)  # (F, t)
+    # no interior mask needed: dy is zero at every pad position by
+    # construction (spatial zero-pad + tail pad), so masked and unmasked
+    # contractions are identical — dropping the mask operand removes one
+    # HBM stream per grid step
+    dy = dy_ref[0]  # (F, t)
     for idx, d in enumerate(deltas):
         xs = x[:, halo_pad + d : halo_pad + d + t_tile]
         # (C, t) x (F, t) -> (C, F), contract lanes
@@ -189,14 +193,12 @@ def conv3d_flat_wgrad(x: jax.Array, dy: jax.Array, kernel: Tuple[int, int, int],
         ((0, 0), (0, 0), (g["pd"], g["pd"]), (g["ph"], g["ph"]), (g["pw"], g["pw"])),
     ).reshape(n, f, g["t_p"])
     dyf = jnp.pad(dyp, ((0, 0), (0, 0), (0, g["t_rounded"] - g["t_p"])))
-    mask = _interior_mask(g, spatial)
     b = g["t_tile"] + 2 * g["halo_pad"]
     grid = (n, g["t_rounded"] // g["t_tile"])
-    nsteps = grid[0] * grid[1]
     out = pl.pallas_call(
         functools.partial(
             _wgrad_kernel, deltas=g["deltas"], halo_pad=g["halo_pad"],
-            t_tile=g["t_tile"], nsteps=nsteps,
+            t_tile=g["t_tile"],
         ),
         out_shape=jax.ShapeDtypeStruct((len(g["deltas"]), c, f), jnp.float32),
         grid=grid,
@@ -206,13 +208,12 @@ def conv3d_flat_wgrad(x: jax.Array, dy: jax.Array, kernel: Tuple[int, int, int],
                 lambda i, j, t=g["t_tile"]: (i, 0, j * t),
             ),
             pl.BlockSpec((1, f, g["t_tile"]), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, g["t_tile"]), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec(
             (len(g["deltas"]), c, f), lambda i, j: (0, 0, 0)
         ),
         interpret=(not _on_tpu()) if interpret is None else interpret,
-    )(xf, dyf, mask)
+    )(xf, dyf)
     kd, kh, kw = kernel
     return out.reshape(kd, kh, kw, c, f).astype(x.dtype)
 

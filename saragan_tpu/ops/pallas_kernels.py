@@ -160,6 +160,13 @@ def minibatch_stddev_stat(x: jax.Array, group_size: int = 4, eps: float = 1e-8):
     """Per-group scalar stddev statistic (the value tiled into the extra
     channel by minibatch_stddev_layer). One fused pass per group.
 
+    STANDALONE BENCHMARK KERNEL, not wired into the production D path:
+    minibatch_stddev sits inside the twice-differentiated WGAN-GP
+    discriminator and this bare pallas_call has no AD rule, so
+    ops.core.minibatch_stddev_layer keeps the jnp formulation (and mbstd
+    never runs in inference — D is not sampled). Kept as the
+    hardware-validated fusion measurement from round 1 (BASELINE.md).
+
     Grouping matches the reference's reshape([G, -1, ...]) (ops.py:317):
     group m aggregates the *interleaved* samples {m, m+M, m+2M, ...}."""
     n = x.shape[0]

@@ -52,6 +52,16 @@ def _halo_exchange_depth(x_local: jax.Array, radius: int, axis_name: str) -> jax
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
 
+    if x_local.shape[2] < radius:
+        # a shard must hold at least `radius` slices — otherwise the halo
+        # would need SECOND-neighbor exchanges; x[:, :, :radius] would
+        # silently clamp and drop contributions
+        raise ValueError(
+            f"halo radius {radius} exceeds local shard depth "
+            f"{x_local.shape[2]}; use fewer 'space' shards (or a smaller "
+            f"kernel) so each shard holds >= radius slices"
+        )
+
     # slabs to send: top `radius` to the left neighbor, bottom to the right
     top = x_local[:, :, :radius]
     bottom = x_local[:, :, -radius:]

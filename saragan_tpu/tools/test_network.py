@@ -44,7 +44,9 @@ def run_smoke_test(architecture: str, phase: int, cfg, batch_size: int = 2,
     real = jax.random.normal(jax.random.PRNGKey(3), img.shape)
     t0 = time.perf_counter()
     state2, metrics = step(state, real, jax.random.PRNGKey(4), 0.5, 1e-3, 1e-3)
-    jax.block_until_ready(metrics.gen_loss)
+    # value fetch, not block_until_ready — only fetches truly block through
+    # the axon relay (CLAUDE.md hardware rules)
+    _ = float(metrics.gen_loss)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     state2, metrics = step(state2, real, jax.random.PRNGKey(5), 0.5, 1e-3, 1e-3)

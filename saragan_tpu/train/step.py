@@ -93,19 +93,26 @@ def init_train_state(arch, rng: jax.Array, *, phase: int, cfg) -> Tuple[TrainSta
     return state, (g_optimizer, d_optimizer)
 
 
-def _clip_and_norms(grads: Params, clipping: bool, hist_bins: int = 0):
+def _clip_and_norms(grads: Params, clipping: bool, hist_bins: int = 0,
+                    frozen: FrozenSet[str] = frozenset()):
     """Optional global-norm clip + per-variable norms (reference
     optimization.py:64-71: norms are computed on the possibly-clipped grads).
+    The clip norm and all telemetry cover only NON-frozen variables — the
+    reference's freeze path clips over the limited var list
+    (minimize_with_clipping(gen_vars_limited), optimization.py:150-152), so
+    frozen previous-phase grads must not inflate the global norm.
     With hist_bins > 0 also returns per-variable (counts, edges) gradient
     histograms (reference summary.py:83-87)."""
+    live = {k: g for k, g in grads.items() if k not in frozen}
     if clipping:
-        gnorm = optax.global_norm(grads)
+        gnorm = optax.global_norm(live)
         scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-16))
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-    norms = {k: jnp.linalg.norm(g.reshape(-1)) for k, g in grads.items()}
+        grads = {k: (g * scale if k in live else g) for k, g in grads.items()}
+        live = {k: grads[k] for k in live}
+    norms = {k: jnp.linalg.norm(g.reshape(-1)) for k, g in live.items()}
     hists = None
     if hist_bins:
-        hists = {k: jnp.histogram(g.reshape(-1), bins=hist_bins) for k, g in grads.items()}
+        hists = {k: jnp.histogram(g.reshape(-1), bins=hist_bins) for k, g in live.items()}
     return grads, jnp.max(jnp.stack(list(norms.values()))), norms, hists
 
 
@@ -140,7 +147,8 @@ def make_train_step(
     hist_bins = 64 if grad_histograms else 0
 
     def apply_updates(optimizer, params, opt_state, grads, lr, clipping):
-        grads, max_norm, norms, hists = _clip_and_norms(grads, clipping, hist_bins)
+        grads, max_norm, norms, hists = _clip_and_norms(grads, clipping, hist_bins,
+                                                        frozen=frozen)
         new_params, new_opt = optimizer.update(grads, opt_state, params, lr)
         new_params = freeze_select(params, new_params, frozen)
         new_opt = freeze_select(opt_state, new_opt, frozen)

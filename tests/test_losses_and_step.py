@@ -261,3 +261,23 @@ def test_alternate_strategy_respects_lazy_gp():
     step_on = jax.jit(make_train_step(arch, cfg, 1, g_opt, d_opt, apply_gp=True))
     _, m_on = step_on(state, real, jax.random.PRNGKey(2), 0.0, 1e-3, 1e-3)
     assert float(m_on.gp_loss) > 0.0
+
+
+def test_clip_excludes_frozen_grads():
+    """Freeze path clips over the non-frozen var list only (reference
+    minimize_with_clipping(gen_vars_limited), optimization.py:150-152):
+    frozen previous-phase grads must not inflate the global norm."""
+    import jax.numpy as jnp
+
+    from saragan_tpu.train.step import _clip_and_norms
+
+    grads = {"old/w": jnp.full((4,), 100.0), "new/w": jnp.full((4,), 0.3)}
+    clipped, max_norm, norms, _ = _clip_and_norms(
+        grads, clipping=True, frozen=frozenset({"old/w"})
+    )
+    # ||new/w|| = 0.6 < 1 -> no clipping of the live grads at all
+    np.testing.assert_allclose(np.asarray(clipped["new/w"]), 0.3, rtol=1e-6)
+    # frozen grads untouched, excluded from telemetry
+    np.testing.assert_allclose(np.asarray(clipped["old/w"]), 100.0)
+    assert set(norms) == {"new/w"}
+    assert abs(float(max_norm) - 0.6) < 1e-5

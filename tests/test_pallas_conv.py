@@ -70,3 +70,16 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(_conv_direct(x, w)), rtol=0.06, atol=0.06
     )
+
+
+def test_conv3d_flat_v2_matches_direct():
+    """v2 (manual double-buffered DMA + im2col) oracle: must equal the direct
+    conv. Selector-reachable via SARAGAN_CONV3D=pallas2 (fwd/dgrad engine)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 2, 2, 4, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 2)).astype(np.float32))
+    from saragan_tpu.ops.pallas_conv import conv3d_flat_v2
+
+    y = conv3d_flat_v2(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_conv_direct(x, w)),
+                               atol=2e-5, rtol=1e-4)
