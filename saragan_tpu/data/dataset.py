@@ -75,11 +75,18 @@ class NumpyPathDataset:
             os.path.normpath(scratch_dir + "/" + npy_dir) if (scratch_dir and is_correct_phase) else npy_dir
         )
         if copy_files and is_correct_phase and scratch_dir is not None:
+            # Every process may attempt the copy (no node-topology knowledge
+            # needed — the reference's local_rank-0 scheme assumed MPI):
+            # copy-to-temp + atomic rename makes concurrent copiers on a
+            # shared filesystem safe, and processes on other nodes populate
+            # their own node-local scratch instead of waiting forever.
             os.makedirs(self.scratch_dir, exist_ok=True)
             for f in self.npy_files:
                 dst = os.path.join(self.scratch_dir, os.path.basename(f))
                 if not os.path.isfile(dst):
-                    shutil.copy(f, dst)
+                    tmp = f"{dst}.tmp.{os.getpid()}"
+                    shutil.copy(f, tmp)
+                    os.replace(tmp, dst)
 
         # busy-wait until some process finished the scratch copy
         # (reference dataset.py:176-180)
@@ -184,13 +191,14 @@ class NumpyPathDataset:
         return batch
 
     def batch_paths(self, batch_size: int, auto_repeat: bool = True) -> List[str]:
-        if batch_size > len(self.samplebuffer):
-            if auto_repeat:
-                self.repeat()
-                return self.batch_paths(batch_size, auto_repeat)
-            paths = self.samplebuffer
-            self.samplebuffer = []
-            return paths
+        # loop, not recursion: a request much larger than the dataset would
+        # otherwise need one stack frame per appended epoch
+        while batch_size > len(self.samplebuffer):
+            if not auto_repeat:
+                paths = self.samplebuffer
+                self.samplebuffer = []
+                return paths
+            self.repeat()
         paths = self.samplebuffer[:batch_size]
         self.samplebuffer = self.samplebuffer[batch_size:]
         return paths

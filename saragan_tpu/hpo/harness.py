@@ -56,6 +56,10 @@ def make_sampler(cfg: Config, multi_objective: bool):
     """reference main.py:46-84."""
     s = hpo.samplers
     name = cfg.optuna_sampler
+    # NSGAII/MOTPE are the (FID, train_time) multi-objective samplers and
+    # nothing else is (is_multi_objective); a mismatch means the caller
+    # passed inconsistent arguments
+    assert multi_objective == (name in ("NSGAII", "MOTPE")), (name, multi_objective)
     if name == "random":
         return s.RandomSampler(seed=cfg.seed)
     if name == "TPE":
@@ -91,28 +95,39 @@ def is_multi_objective(cfg: Config) -> bool:
 
 
 class FixedTrial:
-    """Replays a frozen trial's params (best-trial mode, main.py:91-111)."""
+    """Replays a frozen trial's params (best-trial mode, main.py:91-111).
+
+    A missing param raises (Optuna's FixedTrial does too): silently
+    substituting a distribution bound would replay a DIFFERENT config than
+    the recorded best trial — e.g. a study created before a new
+    hyperparameter was added to the search space."""
 
     def __init__(self, params):
         self.params = dict(params)
         self.number = -1
 
-    def _get(self, name, default_fn):
-        return self.params[name] if name in self.params else default_fn()
+    def _get(self, name):
+        if name not in self.params:
+            raise KeyError(
+                f"replayed trial has no value for {name!r}; the study "
+                f"predates this parameter — pass --{name} on the CLI "
+                f"(CLI values take precedence over frozen-trial values)"
+            )
+        return self.params[name]
 
     def suggest_float(self, name, low, high, **kw):
-        return self._get(name, lambda: low)
+        return self._get(name)
 
     suggest_uniform = suggest_float
 
     def suggest_loguniform(self, name, low, high):
-        return self._get(name, lambda: low)
+        return self._get(name)
 
     def suggest_int(self, name, low, high, step=1, **kw):
-        return int(self._get(name, lambda: low))
+        return int(self._get(name))
 
     def suggest_categorical(self, name, choices):
-        return self._get(name, lambda: list(choices)[0])
+        return self._get(name)
 
     def report(self, value, step):
         pass
@@ -191,7 +206,8 @@ def run(cfg: Config, objective: Callable = default_objective):
 
     if cfg.optuna_use_best_trial:
         assert cfg.optuna_storage and cfg.optuna_study_name
-        study = hpo.load_study(cfg.optuna_study_name, cfg.optuna_storage,
+        study = hpo.load_study(study_name=cfg.optuna_study_name,
+                               storage=cfg.optuna_storage,
                                sampler=sampler, pruner=pruner)
         best = study.best_trial
         print(f"Replaying best trial {best.number} with params {best.params}")
@@ -206,16 +222,27 @@ def run(cfg: Config, objective: Callable = default_objective):
             study = hpo.create_study(study_name=name, storage=storage, sampler=sampler,
                                      pruner=pruner, load_if_exists=True, **kwargs)
         else:
-            # wait for worker 0 to create the DB, staggered load (main.py:150-157)
-            db_path = storage[len("sqlite:///"):] if storage.startswith("sqlite:///") else storage
-            while not os.path.exists(db_path):
-                time.sleep(1)
+            # wait for worker 0 to create the DB, staggered load
+            # (main.py:150-157); the filesystem poll only makes sense for
+            # sqlite — other RDB URLs rely on the stagger alone
+            if storage.startswith("sqlite:///"):
+                db_path = storage[len("sqlite:///"):]
+                while not os.path.exists(db_path):
+                    time.sleep(1)
             time.sleep(wid)
-            study = hpo.load_study(name, storage, sampler=sampler, pruner=pruner)
+            study = hpo.load_study(study_name=name, storage=storage,
+                                   sampler=sampler, pruner=pruner)
         n_trials = None
         if cfg.optuna_ntrials is not None:
-            # ceil split across workers (main.py:159-160)
-            nworkers = int(os.environ.get("SARAGAN_NUM_WORKERS", "1"))
+            # ceil split across workers (main.py:159-160 divides by
+            # hvd.size(); here the launcher exports SARAGAN_NUM_WORKERS —
+            # without it each worker would run the FULL budget, so warn)
+            env = os.environ.get("SARAGAN_NUM_WORKERS")
+            if env is None and os.environ.get("SARAGAN_WORKER_ID") is not None:
+                print("WARNING: SARAGAN_WORKER_ID is set but SARAGAN_NUM_WORKERS "
+                      "is not — every worker will run the full --optuna_ntrials "
+                      "budget instead of a 1/N share")
+            nworkers = int(env or "1")
             n_trials = -(-cfg.optuna_ntrials // max(nworkers, 1))
         study.optimize(lambda t: objective(t, cfg), n_trials=n_trials,
                        timeout=cfg.optuna_walltime,

@@ -55,23 +55,16 @@ def g_mapping(
     act_param: float = 0.2,
     last_layer_latent: bool = False,
     bias_lrmul: Optional[float] = None,
-    conditioning: Optional[jax.Array] = None,
 ):
     """z -> broadcast dlatents (N, num_styles, latent).
 
     stylegan (g_mapping.py:4-31): all layers sized latent_fmaps, bias lrmul 1.
     stylegan2: fmaps = mapping_fmaps except last = latent; bias lrmul =
-    mapping_lrmul.  surfgan: adds conditioning concat (surfgan/g_mapping.py).
+    mapping_lrmul.  (surfgan's conditioning-concat mapping lives in
+    models/surfgan._g_mapping — its hidden-layer sizing differs, so it is
+    not folded in here.)
     """
     m = scope.sub("g_mapping")
-    if conditioning is not None:
-        c = m.sub("conditioning")
-        w = c.get(
-            "weight", (conditioning.shape[1], z.shape[1]), normal_initializer(1.0)
-        ).astype(z.dtype)
-        y = jnp.matmul(conditioning.astype(z.dtype), w)
-        z = jnp.concatenate([z, y], axis=1)
-
     x = z * jax.lax.rsqrt(jnp.mean(jnp.square(z), axis=1, keepdims=True) + jnp.asarray(1e-8, z.dtype))
     latent_fmaps = z.shape[1]
     for layer_idx in range(mapping_layers):

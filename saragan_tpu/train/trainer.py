@@ -110,10 +110,10 @@ class Trainer:
             self.cfg.dataset_path,
             self.cfg.scratch_path,
             verbose=self.verbose,
-            # process 0 performs the scratch copy, the rest busy-wait on it
-            # (reference dataset.py:164-188 local_rank-0 copy)
-            copy_files=(self.cfg.scratch_path is not None
-                        and jax.process_index() == 0),
+            # every process may copy (atomic-rename safe); nodes with their
+            # own scratch populate it themselves instead of waiting on a
+            # global rank 0 that lives on another node
+            copy_files=self.cfg.scratch_path is not None,
             seed=self.cfg.seed,
         )
 
@@ -221,7 +221,19 @@ class Trainer:
 
         npy_data = self._get_dataset(phase)
         train_frac = 1 - (cfg.validation_fraction + cfg.test_fraction)
-        if cfg.validation_fraction + cfg.test_fraction > 0 and len(npy_data) >= 3:
+        n = len(npy_data)
+        holdout = cfg.validation_fraction + cfg.test_fraction
+        # the chained fraction splits must leave every side non-empty —
+        # np.round's half-to-even can hand val or test 0 files on tiny
+        # datasets, which split_by_fraction correctly refuses
+        if holdout > 0:
+            n_train = int(np.round(train_frac * n) + 1e-5)  # = split_by_fraction's math
+            n_rest = n - n_train
+            n_val = int(np.round((cfg.validation_fraction / holdout) * n_rest) + 1e-5)
+            splittable = 0 < n_train < n and 0 < n_val < n_rest
+        else:
+            splittable = False
+        if splittable:
             npy_train, npy_testval = npy_data.split_by_fraction(train_frac)
             npy_val, npy_test = npy_testval.split_by_fraction(
                 cfg.validation_fraction / (cfg.validation_fraction + cfg.test_fraction)

@@ -154,7 +154,10 @@ def test_fixed_trial_replay():
     t = FixedTrial({"x": 3.3, "cat": "b"})
     assert t.suggest_float("x", 0, 1) == 3.3
     assert t.suggest_categorical("cat", ["a", "b"]) == "b"
-    assert t.suggest_int("missing", 5, 9) == 5
+    # a param absent from the recorded study must FAIL (silently replaying
+    # the distribution's low bound would train a different config)
+    with pytest.raises(KeyError, match="missing"):
+        t.suggest_int("missing", 5, 9)
     assert not t.should_prune()
 
 
