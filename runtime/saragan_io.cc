@@ -11,12 +11,23 @@
 //   * saragan_npy_read_batch — decode N same-shape files into a contiguous
 //                           float32 batch with a thread pool, converting
 //                           dtype on the fly (int16 CT volumes -> float32)
+//   * saragan_pf_*        — prefetch executor: a worker pool + FIFO ring of
+//                           in-flight batch jobs (decode + affine
+//                           normalization off the GIL), consumed in submit
+//                           order.  The Python side keeps the deterministic
+//                           shuffle/shard path selection; the native side
+//                           owns IO, dtype conversion and (x-mean)/std.
 //
 // Build: cd runtime && make    (produces build/libsaragan_io.so)
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -211,7 +222,149 @@ bool decode_to_f32(const NpyInfo& info, const uint8_t* payload, float* dst) {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Prefetch executor
+// ---------------------------------------------------------------------------
+
+namespace {
+
+int decode_one_to_f32(const char* path, float* out, int64_t bytes_per_item) {
+  MappedFile f;
+  if (!f.open_file(path)) return 1;
+  NpyInfo info;
+  if (!parse_npy_header(f.data, f.size, &info)) return 2;
+  const size_t count = info.data_bytes / dtype_size(info.dtype);
+  if (static_cast<int64_t>(count * 4) != bytes_per_item) return 3;
+  if (info.data_offset + info.data_bytes > f.size) return 4;
+  if (!decode_to_f32(info, f.data + info.data_offset, out)) return 5;
+  return 0;
+}
+
+struct PrefetchJob {
+  std::vector<std::string> paths;
+  std::vector<float> buf;          // n_items * items floats
+  float mean = 0.0f, stddev = 1.0f;
+  int normalize = 0;
+  std::atomic<int> next_item{0};   // work-stealing index across workers
+  std::atomic<int> items_done{0};
+  std::atomic<int> status{0};      // first nonzero decode status wins
+  int n_items = 0;
+};
+
+struct Prefetcher {
+  int64_t bytes_per_item = 0;
+  std::deque<std::shared_ptr<PrefetchJob>> fifo;  // submit order (front = next)
+  std::deque<std::shared_ptr<PrefetchJob>> work;  // jobs with items remaining
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_work;   // workers wait for items
+  std::condition_variable cv_done;   // consumer waits for head completion
+  bool stopping = false;
+
+  void worker_loop() {
+    for (;;) {
+      std::shared_ptr<PrefetchJob> job;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return stopping || !work.empty(); });
+        if (stopping) return;
+        job = work.front();
+        // claim an item; retire the job from the work deque when exhausted
+        if (job->next_item.load() >= job->n_items) {
+          work.pop_front();
+          continue;
+        }
+      }
+      for (;;) {
+        const int i = job->next_item.fetch_add(1);
+        if (i >= job->n_items) break;
+        const int64_t items = bytes_per_item / 4;
+        float* out = job->buf.data() + static_cast<int64_t>(i) * items;
+        int rc = decode_one_to_f32(job->paths[i].c_str(), out, bytes_per_item);
+        if (rc == 0 && job->normalize) {
+          const float m = job->mean, s = job->stddev;
+          for (int64_t k = 0; k < items; ++k) out[k] = (out[k] - m) / s;
+        }
+        if (rc != 0) {
+          int expected = 0;
+          job->status.compare_exchange_strong(expected, rc);
+        }
+        if (job->items_done.fetch_add(1) + 1 == job->n_items) {
+          std::lock_guard<std::mutex> lk(mu);
+          cv_done.notify_all();
+        }
+      }
+    }
+  }
+};
+
+}  // namespace
+
 extern "C" {
+
+void* saragan_pf_create(int64_t bytes_per_item, int num_workers) {
+  if (bytes_per_item <= 0 || bytes_per_item % 4 != 0) return nullptr;
+  auto* pf = new Prefetcher();
+  pf->bytes_per_item = bytes_per_item;
+  if (num_workers < 1) num_workers = 1;
+  for (int i = 0; i < num_workers; ++i)
+    pf->workers.emplace_back([pf] { pf->worker_loop(); });
+  return pf;
+}
+
+int saragan_pf_submit(void* handle, const char** paths, int n,
+                      float mean, float stddev, int normalize) {
+  auto* pf = static_cast<Prefetcher*>(handle);
+  if (!pf || n <= 0) return 1;
+  if (normalize && stddev == 0.0f) return 2;
+  auto job = std::make_shared<PrefetchJob>();
+  job->n_items = n;
+  job->paths.reserve(n);
+  for (int i = 0; i < n; ++i) job->paths.emplace_back(paths[i]);
+  job->buf.resize(static_cast<size_t>(n) * (pf->bytes_per_item / 4));
+  job->mean = mean;
+  job->stddev = stddev;
+  job->normalize = normalize;
+  {
+    std::lock_guard<std::mutex> lk(pf->mu);
+    pf->fifo.push_back(job);
+    pf->work.push_back(job);
+  }
+  pf->cv_work.notify_all();
+  return 0;
+}
+
+// Blocks until the OLDEST submitted job completes, copies it into dst
+// (dst_bytes must equal n_items * bytes_per_item) and retires it.
+int saragan_pf_next(void* handle, void* dst, int64_t dst_bytes) {
+  auto* pf = static_cast<Prefetcher*>(handle);
+  if (!pf) return 1;
+  std::shared_ptr<PrefetchJob> job;
+  {
+    std::unique_lock<std::mutex> lk(pf->mu);
+    if (pf->fifo.empty()) return 2;
+    job = pf->fifo.front();
+    pf->cv_done.wait(lk, [&] { return job->items_done.load() >= job->n_items; });
+    pf->fifo.pop_front();
+  }
+  if (job->status.load() != 0) return 16 + job->status.load();
+  const int64_t total = static_cast<int64_t>(job->n_items) * pf->bytes_per_item;
+  if (total != dst_bytes) return 3;
+  memcpy(dst, job->buf.data(), total);
+  return 0;
+}
+
+void saragan_pf_destroy(void* handle) {
+  auto* pf = static_cast<Prefetcher*>(handle);
+  if (!pf) return;
+  {
+    std::lock_guard<std::mutex> lk(pf->mu);
+    pf->stopping = true;
+  }
+  pf->cv_work.notify_all();
+  for (auto& t : pf->workers) t.join();
+  delete pf;
+}
 
 int saragan_npy_probe(const char* path, int64_t* shape_out, int* ndim_out, int* dtype_out) {
   MappedFile f;

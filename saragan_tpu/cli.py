@@ -118,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Exact upscale+conv transition fusion (default on; +5.6%% train, "
                         "+25%% inference measured on v5e)")
     p.add_argument("--no_fused_transitions", dest="fused_transitions", action="store_false")
+    p.add_argument("--native_prefetch", dest="native_prefetch", default=True,
+                   action="store_true",
+                   help="C++ prefetch executor for the input pipeline (default on; "
+                        "falls back to the Python thread when runtime/ isn't built)")
+    p.add_argument("--no_native_prefetch", dest="native_prefetch", action="store_false")
     p.add_argument("--use_pallas_fusion", default=False, action="store_true",
                    help="Pallas fused bias+lrelu+pixelnorm kernels (inference-only win; "
                         "see BASELINE.md)")

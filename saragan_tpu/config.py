@@ -152,6 +152,9 @@ class Config:
     compute_psnrs: bool = False
     compute_mses: bool = False
     compute_nrmses: bool = False
+    # native prefetch executor (runtime/; auto-fallback to the Python
+    # thread when the library is absent)
+    native_prefetch: bool = True
     # --- HPO (reference main.py:343-354) ---
     optuna_distributed: bool = False
     optuna_ntrials: Optional[int] = None

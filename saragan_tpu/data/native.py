@@ -67,6 +67,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_int,
         ]
+        if hasattr(lib, "saragan_pf_create"):  # prefetcher (round-2 builds)
+            lib.saragan_pf_create.restype = ctypes.c_void_p
+            lib.saragan_pf_create.argtypes = [ctypes.c_int64, ctypes.c_int]
+            lib.saragan_pf_submit.restype = ctypes.c_int
+            lib.saragan_pf_submit.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ]
+            lib.saragan_pf_next.restype = ctypes.c_int
+            lib.saragan_pf_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_int64]
+            lib.saragan_pf_destroy.restype = None
+            lib.saragan_pf_destroy.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -107,3 +120,80 @@ def load_npy_batch(paths, out: np.ndarray, num_threads: int = 4) -> bool:
         arr, len(paths), out.ctypes.data_as(ctypes.c_void_p), per_item, num_threads
     )
     return rc == 0
+
+
+class NativeBatchPrefetcher:
+    """Native prefetch executor: a C++ worker pool keeps `depth` batch jobs
+    in flight (mmap decode + affine (x-mean)/std entirely off the GIL),
+    consumed in submit order.  The deterministic shuffle/shard path
+    selection stays in Python (`make_paths()` -> list of .npy paths per
+    batch — cheap), matching NumpyPathDataset's exactly-once semantics.
+
+    Duck-types the Python `Prefetcher` (next() / stop()).  Construct via
+    `make_native_prefetcher`, which returns None when the library is absent
+    so callers can fall back to the Python thread."""
+
+    def __init__(self, make_paths, item_shape, mean, stddev,
+                 depth: int = 3, workers: int = 4):
+        lib = _load()
+        assert lib is not None and hasattr(lib, "saragan_pf_create")
+        self._lib = lib
+        self._make_paths = make_paths
+        self._item_shape = tuple(int(s) for s in item_shape)
+        self._bytes_per_item = int(np.prod(self._item_shape)) * 4
+        self._normalize = mean is not None or stddev is not None
+        self._mean = float(mean if mean is not None else 0.0)
+        self._std = float(stddev if stddev is not None else 1.0)
+        self._handle = ctypes.c_void_p(
+            lib.saragan_pf_create(self._bytes_per_item, workers))
+        assert self._handle
+        self._inflight = []  # batch sizes, FIFO
+        for _ in range(depth):
+            self._submit()
+
+    def _submit(self):
+        paths = list(self._make_paths())
+        arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        rc = self._lib.saragan_pf_submit(
+            self._handle, arr, len(paths),
+            self._mean, self._std, int(self._normalize))
+        assert rc == 0, f"saragan_pf_submit rc={rc}"
+        self._inflight.append(len(paths))
+
+    def __next__(self) -> np.ndarray:
+        if self._handle is None:
+            raise StopIteration
+        n = self._inflight.pop(0)
+        out = np.empty((n,) + self._item_shape, np.float32)
+        rc = self._lib.saragan_pf_next(
+            self._handle, out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
+        if rc != 0:
+            self.stop()
+            raise RuntimeError(f"native prefetch failed (rc={rc})")
+        self._submit()
+        return out
+
+    def stop(self):
+        if self._handle is not None:
+            self._lib.saragan_pf_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.stop()
+        except Exception:
+            pass
+
+
+def make_native_prefetcher(make_paths, item_shape, mean, stddev,
+                           depth: int = 3, workers: int = 4):
+    """NativeBatchPrefetcher when the library (with pf symbols) is built,
+    else None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "saragan_pf_create"):
+        return None
+    try:
+        return NativeBatchPrefetcher(make_paths, item_shape, mean, stddev,
+                                     depth=depth, workers=workers)
+    except Exception:
+        return None

@@ -356,7 +356,33 @@ class Trainer:
                 b = npy_train.batch(global_batch)
             return normalize_numpy(b, cfg.data_mean, cfg.data_stddev).astype(np.float32)
 
-        prefetcher = Prefetcher(make_batch) if self.prefetch else None
+        prefetcher = None
+        if self.prefetch:
+            # native prefetch executor (runtime/saragan_io.cc): a C++ worker
+            # pool keeps batches in flight off the GIL; path selection (the
+            # deterministic shuffle/shard stream) stays here.  Falls back to
+            # the Python thread when the library isn't built or the dataset
+            # isn't path-based.
+            both = (cfg.data_mean is None) == (cfg.data_stddev is None)
+            if (getattr(cfg, "native_prefetch", True) and both
+                    and hasattr(npy_train, "batch_paths")
+                    and getattr(npy_train, "shape", None) is not None):
+                from saragan_tpu.data import native as native_io
+
+                if nproc > 1:
+                    pidx = jax.process_index()
+
+                    def paths_fn():
+                        return npy_train.batch_paths(global_batch)[pidx::nproc]
+                else:
+                    def paths_fn():
+                        return npy_train.batch_paths(global_batch)
+
+                prefetcher = native_io.make_native_prefetcher(
+                    paths_fn, npy_train.shape, cfg.data_mean, cfg.data_stddev
+                )
+            if prefetcher is None:
+                prefetcher = Prefetcher(make_batch)
         self._log(f"Begin mixing epochs in phase {phase}" if mixing_bool else f"Begin stabilizing epochs in phase {phase}")
 
         # jax.profiler trace of a few steady-state steps (SURVEY §5.1 —

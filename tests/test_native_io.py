@@ -92,3 +92,83 @@ def test_negative_shape_header_rejected(tmp_path):
     rc = lib.saragan_npy_probe(str(p).encode(), shape, ctypes.byref(ndim),
                                ctypes.byref(dtype_code))
     assert rc != 0  # native parser refuses; load_npy falls back to np.load
+
+
+def test_native_prefetcher_parity_and_order(tmp_path):
+    """The native prefetch executor must return batches in submit order,
+    bit-equal to the numpy load + normalize_numpy path."""
+    from saragan_tpu.data import native
+    from saragan_tpu.data.normalize import normalize_numpy
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    files = []
+    for i in range(8):
+        p = tmp_path / f"v{i}.npy"
+        np.save(p, (np.random.default_rng(i).normal(size=(2, 4, 4)) * 50).astype(np.int16))
+        files.append(str(p))
+    order = []
+
+    seq = iter([files[0:4], files[4:8], files[2:6], files[1:5]])
+
+    def make_paths():
+        p = next(seq, files[0:4])
+        order.append(p)
+        return p
+
+    pf = native.make_native_prefetcher(make_paths, (1, 2, 4, 4), 1.5, 0.5, depth=2)
+    if pf is None:
+        pytest.skip("prefetch symbols absent")
+    try:
+        for k in range(4):
+            got = next(pf)
+            exp = np.stack([np.load(p).astype(np.float32)[None] for p in order[k]])
+            exp = normalize_numpy(exp, 1.5, 0.5).astype(np.float32)
+            np.testing.assert_array_equal(got, exp)
+    finally:
+        pf.stop()
+
+
+def test_trainer_uses_native_prefetcher_and_trains(tmp_path):
+    """End-to-end: the trainer's native-prefetch path produces a working
+    phase (same events/checkpoint as the Python thread path)."""
+    from saragan_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    import json
+
+    from saragan_tpu.config import Config
+    from saragan_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    for size in (4,):
+        d = tmp_path / "data" / f"{size}x{size}"
+        d.mkdir(parents=True)
+        for i in range(12):
+            np.save(d / f"v{i}.npy", rng.normal(size=(size, size, size)).astype(np.float32))
+    cfg = Config(
+        architecture="pgan",
+        dataset_path=str(tmp_path / "data"),
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 8, 8, 8)",
+        starting_phase=1,
+        ending_phase=1,
+        latent_dim=8,
+        network_size="xxs",
+        base_batch_size=4,
+        mixing_nimg=8,
+        stabilizing_nimg=8,
+        loss_fn="wgan",
+        noise_stddev=0.0,
+        g_lr=1e-3,
+        d_lr=1e-3,
+        data_mean=0.1,
+        data_stddev=1.1,
+        native_prefetch=True,
+        logdir=str(tmp_path / "logs"),
+    ).finalize()
+    t = Trainer(cfg, verbose=True, prefetch=True)
+    t.run()
+    events = [json.loads(l) for l in open(tmp_path / "logs" / "events.jsonl")]
+    assert any(e["tag"] == "Loss/d_loss" for e in events)
