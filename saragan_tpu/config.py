@@ -177,6 +177,10 @@ class Config:
     data_stddev: Optional[float] = None
     # --- TPU-native additions (no reference equivalent) ---
     compute_dtype: str = "float32"  # "bfloat16" for mixed precision (SURVEY §5.9)
+    # host->device input dtype: "float16" halves the per-step batch transfer
+    # (the step casts to compute_dtype on device; normalized inputs lose
+    # ~1e-3 relative precision — below bf16 compute noise)
+    transfer_dtype: str = "float32"
     num_data_shards: Optional[int] = None  # mesh 'data' axis; None = all devices
     num_space_shards: int = 1  # spatial halo sharding for huge phases (SURVEY §5.7)
     profile_dir: Optional[str] = None

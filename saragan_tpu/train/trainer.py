@@ -349,12 +349,15 @@ class Trainer:
         # only its interleaved shard (exactly-once, no scatter — §5.8).
         nproc = jax.process_count()
 
+        transfer_dtype = (np.float16 if getattr(cfg, "transfer_dtype", "float32")
+                          == "float16" else np.float32)
+
         def make_batch():
             if nproc > 1:
                 b = npy_train.batch_sharded(global_batch // nproc, nproc, jax.process_index())
             else:
                 b = npy_train.batch(global_batch)
-            return normalize_numpy(b, cfg.data_mean, cfg.data_stddev).astype(np.float32)
+            return normalize_numpy(b, cfg.data_mean, cfg.data_stddev).astype(transfer_dtype)
 
         prefetcher = None
         if self.prefetch:
@@ -422,6 +425,8 @@ class Trainer:
                         )
 
                 batch = next(prefetcher) if prefetcher else make_batch()
+                if batch.dtype != transfer_dtype:  # native prefetch yields f32
+                    batch = batch.astype(transfer_dtype)
                 if self.mesh is not None:
                     batch = shard_global_batch(self.mesh, batch, space_axis)
 

@@ -79,11 +79,21 @@ def build_dataset(root: str, n: int = 384, master: int = 32, seed: int = 0):
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/convergence_run"
     ending_phase = int(sys.argv[2]) if len(sys.argv) > 2 else 4  # 4 -> 32³, 5 -> 64³
+    # optional starting phase: resume mid-schedule by chaining from the
+    # model_{N-1}.npz already in <outdir>/logs (one process per phase also
+    # sidesteps the relay's per-transfer host-buffer accumulation at 128³)
+    starting_phase = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     master = 4 * 2 ** (ending_phase - 1)
     dataroot = os.path.join(outdir, "data")
     os.makedirs(outdir, exist_ok=True)
-    print(f"Building synthetic blob pyramid (master {master}³) ...", flush=True)
-    mean, std = build_dataset(dataroot, master=master)
+    if os.path.isdir(os.path.join(dataroot, f"{master}x{master}")):
+        print("Reusing existing blob pyramid", flush=True)
+        sample = np.stack([make_blob_volume(np.random.default_rng(10_000 + i), master)
+                           for i in range(64)])
+        mean, std = float(sample.mean()), float(sample.std())
+    else:
+        print(f"Building synthetic blob pyramid (master {master}³) ...", flush=True)
+        mean, std = build_dataset(dataroot, master=master)
     print(f"data mean {mean:.4f} std {std:.4f}", flush=True)
 
     cfg = Config(
@@ -93,7 +103,7 @@ def main():
         # phases 1..ending_phase -> 4..master (num_phases = log2(final/start),
         # reference utils.py:211-217; final-shape convention is one above master)
         final_shape=f"(1, {2 * master}, {2 * master}, {2 * master})",
-        starting_phase=1,
+        starting_phase=starting_phase,
         ending_phase=ending_phase,
         latent_dim=64,
         network_size="xs",
@@ -123,6 +133,8 @@ def main():
         summary_large_every_nsteps=10**9,
         checkpoint_every_nsteps=10**9,
         compute_dtype="bfloat16",
+        transfer_dtype="float16",  # halves the per-step relay transfer (and
+        # the relay's per-transfer host-buffer accumulation — BASELINE.md)
         fused_transitions=True,
         logdir=os.path.join(outdir, "logs"),
     ).finalize()
