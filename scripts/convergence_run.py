@@ -105,6 +105,10 @@ def main():
         final_shape=f"(1, {2 * master}, {2 * master}, {2 * master})",
         starting_phase=starting_phase,
         ending_phase=ending_phase,
+        # resuming mid-schedule: chain from the previous phase's checkpoint
+        # (phase chaining only auto-restores for phase > starting_phase)
+        continue_path=(os.path.join(outdir, "logs", f"model_{starting_phase - 1}")
+                       if starting_phase > 1 else None),
         latent_dim=64,
         network_size="xs",
         base_batch_size=64,
