@@ -29,14 +29,17 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 
-def _decode_resize(path: str, size: int) -> np.ndarray:
+def _decode_resize(path: str, size: int, channels: int = 3) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
-        im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+        im = im.convert("RGB" if channels == 3 else "L").resize(
+            (size, size), Image.BILINEAR)
         arr = np.asarray(im, np.float32)
     # normalize to [-1, 1], CHW (SURFGAN_2D/main.py:80-90)
     arr = arr / 127.5 - 1.0
+    if arr.ndim == 2:
+        return arr[None]
     return np.transpose(arr, (2, 0, 1))
 
 
@@ -87,7 +90,12 @@ class ImageNetDataset:
                     if copy_files:
                         os.makedirs(os.path.dirname(dst), exist_ok=True)
                         if not os.path.isfile(dst):
-                            shutil.copy(f, dst)
+                            # atomic temp+rename: concurrent copiers are safe
+                            # and the busy-wait below never sees a truncated
+                            # file (same invariant as data/dataset.py)
+                            tmp = f"{dst}.tmp.{os.getpid()}"
+                            shutil.copy(f, tmp)
+                            os.replace(tmp, dst)
                     out.append(dst)
                 return out
 
@@ -129,10 +137,12 @@ class ImagePipeline:
         shard_index: int = 0,
         seed: int = 42,
         num_workers: int = 4,
+        channels: int = 3,
     ):
         self.files = list(files)
         self.labels = list(labels)
         self.size = size
+        self.channels = channels
         self.batch_size = batch_size
         self.num_shards = num_shards
         self.shard_index = shard_index
@@ -145,14 +155,21 @@ class ImagePipeline:
         order = list(range(len(self.files)))
         random.Random(f"{self.seed}/{self._epoch}").shuffle(order)
         self._epoch += 1
-        self._buffer.extend(order[self.shard_index :: self.num_shards])
+        shard = order[self.shard_index :: self.num_shards]
+        if not shard:
+            raise ValueError(
+                f"shard {self.shard_index}/{self.num_shards} of a "
+                f"{len(self.files)}-file dataset is empty — next_batch would "
+                f"spin forever; use fewer shards or more files"
+            )
+        self._buffer.extend(shard)
 
     def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
         while len(self._buffer) < self.batch_size:
             self._refill()
         idxs = self._buffer[: self.batch_size]
         self._buffer = self._buffer[self.batch_size :]
-        imgs = list(self._pool.map(lambda i: _decode_resize(self.files[i], self.size), idxs))
+        imgs = list(self._pool.map(lambda i: _decode_resize(self.files[i], self.size, self.channels), idxs))
         labels = np.asarray([self.labels[i] for i in idxs], np.int32)
         return np.stack(imgs), labels
 
@@ -170,13 +187,15 @@ class ImageDatasetAdapter:
     unchanged for 2D runs (the reference kept a separate 2D main loop,
     SURFGAN_2D/main.py; here one trainer serves both ranks)."""
 
-    def __init__(self, files: List[str], labels: List[int], size: int, seed: int = 42):
+    def __init__(self, files: List[str], labels: List[int], size: int, seed: int = 42,
+                 channels: int = 3):
         self.files = list(files)
         self.labels = list(labels)
         self.size = size
+        self.channels = channels
         self.seed = seed
         self._pipe: Optional[ImagePipeline] = None
-        self.shape = (1, 3, size, size)
+        self.shape = (1, channels, size, size)
 
     def _pipeline(self, batch_size: int, num_shards: int = 1,
                   shard_index: int = 0) -> ImagePipeline:
@@ -187,12 +206,29 @@ class ImageDatasetAdapter:
                 self._pipe.close()
             self._pipe = ImagePipeline(self.files, self.labels, self.size, batch_size,
                                        num_shards=num_shards, shard_index=shard_index,
-                                       seed=self.seed)
+                                       seed=self.seed, channels=self.channels)
         return self._pipe
 
     def batch(self, batch_size: int, auto_repeat: bool = True, verbose: bool = False):
+        if not auto_repeat:
+            # the streaming pipeline always repeats; silently looping would
+            # double-count an exactly-once sweep (NumpyPathDataset contract)
+            raise NotImplementedError(
+                "ImageDatasetAdapter.batch only supports auto_repeat=True"
+            )
         imgs, _ = self._pipeline(batch_size).next_batch()
         return imgs
+
+    def close(self):
+        if self._pipe is not None:
+            self._pipe.close()
+            self._pipe = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def batch_sharded(self, local_batch: int, num_shards: int, shard_index: int):
         """Per-process shard of the deterministic shared stream — the 2D
@@ -204,15 +240,17 @@ class ImageDatasetAdapter:
 
     def clone(self, seed_offset: int = 0):
         return ImageDatasetAdapter(self.files, self.labels, self.size,
-                                   self.seed + seed_offset)
+                                   self.seed + seed_offset, channels=self.channels)
 
     def split_by_fraction(self, fraction: float):
         n1 = int(np.round(fraction * len(self.files)) + 1e-5)
         return self.split_by_index(n1)
 
     def split_by_index(self, index: int):
-        a = ImageDatasetAdapter(self.files[:index], self.labels[:index], self.size, self.seed)
-        b = ImageDatasetAdapter(self.files[index:], self.labels[index:], self.size, self.seed)
+        a = ImageDatasetAdapter(self.files[:index], self.labels[:index], self.size,
+                                self.seed, channels=self.channels)
+        b = ImageDatasetAdapter(self.files[index:], self.labels[index:], self.size,
+                                self.seed, channels=self.channels)
         return a, b
 
     def __len__(self):
@@ -222,12 +260,15 @@ class ImageDatasetAdapter:
 def imagenet_dataset_factory(cfg, imagenet_dir: str, num_classes: int = 1):
     """dataset_factory(phase) for Trainer: ImageNet images at the phase's
     resolution (the reference's per-phase resize, SURFGAN_2D/main.py:66-103)."""
-    ds = ImageNetDataset(imagenet_dir, cfg.scratch_path, copy_files=False,
+    ds = ImageNetDataset(imagenet_dir, cfg.scratch_path,
+                         copy_files=cfg.scratch_path is not None,
                          is_correct_phase=True, num_classes=num_classes)
     files, labels = ds.files_and_labels(train=True)
 
     def factory(phase: int) -> ImageDatasetAdapter:
         size = cfg.start_shape_t[-1] * 2 ** (phase - 1)
-        return ImageDatasetAdapter(files, labels, size, seed=cfg.seed)
+        # honor the config's channel count (grayscale 2D configs get L-mode)
+        return ImageDatasetAdapter(files, labels, size, seed=cfg.seed,
+                                   channels=cfg.start_shape_t[0])
 
     return factory

@@ -124,16 +124,23 @@ def get_normalized_root_mse(real, fake):
 
 
 def get_psnr(real, fake, data_range=3072):
-    """PSNR with CT HU data range (reference skim_metrics.py:16-17)."""
+    """PSNR with CT HU data range (reference skim_metrics.py:16-17);
+    identical inputs give inf (skimage semantics), not a ZeroDivisionError."""
     mse = get_mean_squared_error(real, fake)
+    if mse == 0:
+        return float("inf")
     return float(10 * np.log10((data_range**2) / mse))
 
 
 def get_ssim(real, fake, data_range=3):
     """Per-volume NDHWC multichannel gaussian SSIM list (reference
     skim_metrics.py:20-44): inputs NCDHW, transposed to channels-last."""
-    real = np.transpose(np.asarray(real), [0, 2, 3, 4, 1])
-    fake = np.transpose(np.asarray(fake), [0, 2, 3, 4, 1])
+    real = np.asarray(real)
+    fake = np.asarray(fake)
+    # channels-last: 5D NCDHW volumes or 4D NCHW images (2D pipeline)
+    perm = [0, 2, 3, 4, 1] if real.ndim == 5 else [0, 2, 3, 1]
+    real = np.transpose(real, perm)
+    fake = np.transpose(fake, perm)
     if real.shape[0] == 1:
         # reference quirk (skim_metrics.py:23-26): a singleton batch is
         # stripped and the zip below then iterates the DEPTH axis — D

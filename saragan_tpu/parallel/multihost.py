@@ -113,7 +113,8 @@ class SynchronizedTrial:
         return self._sync(lambda: self._trial.suggest_loguniform(name, low, high))
 
     def suggest_int(self, name, low, high, step=1, **kw):
-        return int(self._sync(lambda: self._trial.suggest_int(name, low, high, step, **kw)))
+        # step is keyword-only in real Optuna >= 3
+        return int(self._sync(lambda: self._trial.suggest_int(name, low, high, step=step, **kw)))
 
     def suggest_categorical(self, name, choices):
         choices = list(choices)
