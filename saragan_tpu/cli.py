@@ -118,6 +118,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Exact upscale+conv transition fusion (default on; +5.6%% train, "
                         "+25%% inference measured on v5e)")
     p.add_argument("--no_fused_transitions", dest="fused_transitions", action="store_false")
+    p.add_argument("--fused_grads", dest="fused_grads", default=True, action="store_true",
+                   help="Shared-fake-pass WGAN gradient assembly: one D backward over "
+                        "the fake batch instead of two (exact; default on)")
+    p.add_argument("--no_fused_grads", dest="fused_grads", action="store_false")
     p.add_argument("--native_prefetch", dest="native_prefetch", default=True,
                    action="store_true",
                    help="C++ prefetch executor for the input pipeline (default on; "

@@ -192,6 +192,11 @@ class Config:
     # gradient tested), +5.6% train / +25% inference measured on v5e; default
     # on, opt out with --no_fused_transitions
     fused_transitions: bool = True
+    # assemble WGAN simultaneous gradients from per-term vjps so the fake
+    # batch takes ONE discriminator backward instead of two — exact
+    # (losses.grads_simultaneous; grad-equality pinned in tests); default
+    # on, opt out with --no_fused_grads
+    fused_grads: bool = True
 
     # ------------------------------------------------------------------
     # Derived properties
@@ -263,6 +268,19 @@ class Config:
         batch_size = max(1, self.base_batch_size // (2 ** (phase - 1)))
         if self.max_global_batch_size is not None:
             max_local = max(1, self.max_global_batch_size // global_size)
+            if max_local * global_size > self.max_global_batch_size:
+                # the floor-at-1 keeps every worker busy, but the global
+                # batch (= global_size) then exceeds the configured cap —
+                # the reference instead asserts batch_size * global_size <=
+                # max_global_batch_size (optuna_objective.py:133); surface it
+                import warnings
+
+                warnings.warn(
+                    f"global batch {max_local * global_size} exceeds "
+                    f"max_global_batch_size={self.max_global_batch_size}: "
+                    f"{global_size} workers need at least 1 sample each",
+                    stacklevel=2,
+                )
             batch_size = min(batch_size, max_local)
         return batch_size
 

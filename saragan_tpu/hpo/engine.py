@@ -210,8 +210,11 @@ class Trial:
         if step is not None:
             # floor, not round: low + n*step must stay <= high (Optuna clamps
             # the grid the same way) — round() could overshoot, e.g.
-            # (0, 1, step=0.35) -> n=3 -> 1.05 > high
-            n = int((high - low) / step + 1e-9)
+            # (0, 1, step=0.35) -> n=3 -> 1.05 > high.  The tolerance is
+            # RELATIVE: with a wide range, FP error in (high-low)/step can
+            # sit further than 1e-9 below an integer and an absolute epsilon
+            # would drop the top grid point when the range divides exactly
+            n = int((high - low) / step * (1 + 1e-12) + 1e-9)
             return self._suggest(name, ("discrete_float", low, step, n))
         return self._suggest(name, ("float_log" if log else "float", low, high))
 

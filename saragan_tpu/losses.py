@@ -26,7 +26,7 @@ standard full reduction everywhere.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -145,6 +145,96 @@ def forward_simultaneous(
         raise ValueError(f"Unknown loss function: {loss_fn}")
 
     return LossOutput(gen_loss, disc_loss, jnp.mean(gp_loss), gen_sample)
+
+
+def grads_simultaneous(
+    gen_fn: Callable,
+    disc_fn: Callable,
+    g_params,
+    d_params,
+    real_image_input: jax.Array,
+    rng: jax.Array,
+    *,
+    latent_dim: int,
+    gp_weight: float = 1.0,
+    noise_stddev: float = 0.0,
+    gp_full_reduction: bool = False,
+    compute_gp: bool = True,
+) -> Tuple[Tuple[Any, Any], LossOutput]:
+    """WGAN simultaneous gradients with the fake critic pass SHARED.
+
+    Mathematically identical to ``jax.grad(gen_loss + disc_loss)`` over
+    `forward_simultaneous` (WGAN branch), but assembled from per-term vjps so
+    the discriminator runs over the fake batch ONCE instead of twice:
+
+    * the reference evaluates D(fake) twice per step — once inside the
+      generator loss and once inside the discriminator loss (reference
+      loss.py:110-117; `forward_simultaneous` mirrors it with a
+      stop_gradient pair).  XLA CSEs the duplicate *forward*, but the two
+      *backwards* through D (cotangents -1/N for G's path, +1/N for D's
+      path) are separate programs.  For the WGAN loss those cotangents are
+      exactly proportional, so ONE joint grad of mean(D(fake(G(z)))) w.r.t.
+      (g_params, d_params) yields both: g_grads = -that, d_fake_grads =
+      +that.  This removes one full D backward from the hot step.
+    * the real-scores term (critic + drift) and the gradient penalty are
+      independent d-only grads, summed in.
+
+    Only valid for loss_fn == 'wgan' (the logistic loss applies different
+    nonlinearities to the two fake-score paths, so their cotangents are not
+    proportional and sharing saves nothing).  Returns
+    ``((g_grads, d_grads), LossOutput)`` with the same reported losses as
+    `forward_simultaneous` (floating-point association differs).
+    """
+    k_z, k_g, k_nr, k_nf, k_gamma = jax.random.split(rng, 5)
+    n = real_image_input.shape[0]
+    dtype = real_image_input.dtype
+
+    z = jax.random.normal(k_z, (n, latent_dim), dtype)
+    real = _instance_noise(k_nr, real_image_input, noise_stddev)
+
+    def f_fake(g_p, d_p):
+        gen_sample = gen_fn(g_p, z, k_g)
+        fake = _instance_noise(k_nf, gen_sample, noise_stddev)
+        score = jnp.mean(disc_fn(d_p, fake).astype(jnp.float32))
+        return score, (gen_sample, fake)
+
+    (fake_score, (gen_sample, fake)), (gfake_g, gfake_d) = jax.value_and_grad(
+        f_fake, argnums=(0, 1), has_aux=True
+    )(g_params, d_params)
+
+    def f_real(d_p):
+        scores = disc_fn(d_p, real).astype(jnp.float32)
+        # -critic(real) + drift (reference loss.py:133-134)
+        return jnp.mean(-scores + 1e-3 * jnp.square(scores))
+
+    real_term, greal_d = jax.value_and_grad(f_real)(d_params)
+
+    if compute_gp:
+        fake_sg = jax.lax.stop_gradient(fake)
+        gamma = jax.random.uniform(k_gamma, (n,) + (1,) * (real.ndim - 1), dtype)
+        interpolates = gamma * real + (1 - gamma) * fake_sg
+        axes = _simultaneous_axes(real.ndim, gp_full_reduction)
+
+        def f_gp(d_p):
+            slopes = _gp_slopes(disc_fn, d_p, interpolates, axes)
+            return jnp.mean(gp_weight * (slopes - 1.0) ** 2)
+
+        gp_mean, ggp_d = jax.value_and_grad(f_gp)(d_params)
+    else:
+        gp_mean = jnp.zeros((), jnp.float32)
+        ggp_d = None
+
+    g_grads = jax.tree_util.tree_map(lambda g: -g, gfake_g)
+    if ggp_d is None:
+        d_grads = jax.tree_util.tree_map(lambda a, b: a + b, gfake_d, greal_d)
+    else:
+        d_grads = jax.tree_util.tree_map(
+            lambda a, b, c: a + b + c, gfake_d, greal_d, ggp_d
+        )
+
+    gen_loss = -fake_score
+    disc_loss = fake_score + real_term + gp_mean
+    return (g_grads, d_grads), LossOutput(gen_loss, disc_loss, gp_mean, gen_sample)
 
 
 def forward_generator(

@@ -141,10 +141,11 @@ def get_ssim(real, fake, data_range=3):
     perm = [0, 2, 3, 4, 1] if real.ndim == 5 else [0, 2, 3, 1]
     real = np.transpose(real, perm)
     fake = np.transpose(fake, perm)
-    if real.shape[0] == 1:
-        # reference quirk (skim_metrics.py:23-26): a singleton batch is
+    if real.shape[0] == 1 and real.ndim == 5:
+        # reference quirk (skim_metrics.py:23-26): a singleton 3D batch is
         # stripped and the zip below then iterates the DEPTH axis — D
-        # per-slice 2D SSIMs, not one 3D SSIM
+        # per-slice 2D SSIMs, not one 3D SSIM.  3D-only: the reference is a
+        # 3D pipeline; stripping a (1,H,W,C) 2D image would iterate ROWS.
         real = real[0, ...]
         fake = fake[0, ...]
     return [

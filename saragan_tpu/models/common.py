@@ -6,6 +6,16 @@ from __future__ import annotations
 from saragan_tpu import ops
 
 
+def static_alpha_zero(alpha) -> bool:
+    """True when alpha is a compile-time Python 0 — the models then skip the
+    phase-transition branches (prev-resolution to_rgb/from_rgb + blend)
+    entirely.  Exact: at alpha == 0 those branches contribute 0 to the
+    output and exactly-zero gradients, and jax.grad materializes the same
+    zero grads for params the trace never reads, so optimizer/EMA updates
+    are identical (see train/step.py make_train_step(static_alpha=...))."""
+    return isinstance(alpha, (int, float)) and float(alpha) == 0.0
+
+
 def adaptive_kernel(spatial_shape):
     """Per-dim kernel size: 1 if the dim is < 3 else 3 (reference
     networks/ops.py:25-29, `k(x)`), applied to the current tensor shape."""

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from saragan_tpu import ops
 from saragan_tpu.core import Params, Scope
-from saragan_tpu.models.common import adaptive_kernel, phase_filters, resolve_base_dim, spectral_iters
+from saragan_tpu.models.common import adaptive_kernel, phase_filters, resolve_base_dim, spectral_iters, static_alpha_zero
 from saragan_tpu.models.registry import Architecture, register
 
 
@@ -80,10 +80,11 @@ def _generator(scope, z, alpha, phase, cfg, param):
         x = _generator_block(g.sub(f"generator_block_{i}"), x, filters_out, activation, param,
                              fused_transitions=getattr(cfg, "fused_transitions", False))
         rgb = ops.to_rgb(g.sub(f"to_rgb_{i}"), x, channels)
-        if i == phase:
+        if i == phase and not static_alpha_zero(alpha):
             a = jnp.asarray(alpha, x.dtype)
             x_out = (1 - a) * rgb + ops.upscale(x_out)
         else:
+            # at static alpha==0 the i==phase branch reduces to exactly this
             x_out = rgb + ops.upscale(x_out)
     return x_out
 
@@ -144,7 +145,7 @@ def _discriminator(scope, x, alpha, phase, cfg, param):
         x = _discriminator_block(
             d.sub(f"discriminator_block_{i}"), x, filters_in, filters_out, activation, param
         )
-        if i == phase:
+        if i == phase and not static_alpha_zero(alpha):
             fromrgb_prev = ops.from_rgb(
                 d.sub(f"from_rgb_{phase - 1}"), ops.downscale(x_downscale), filters_out,
                 activation, param=param,

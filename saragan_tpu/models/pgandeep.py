@@ -26,7 +26,7 @@ import numpy as np
 from saragan_tpu import ops
 from saragan_tpu.core import Params, Scope
 from saragan_tpu.models.pgan import get_filters, get_kernels
-from saragan_tpu.models.common import spectral_iters
+from saragan_tpu.models.common import spectral_iters, static_alpha_zero
 from saragan_tpu.models.registry import Architecture, register
 
 
@@ -77,7 +77,7 @@ def _generator(scope, z, alpha, phase, cfg, param):
     x = _generator_in(g.sub("generator_in"), z, base_shape[1:], activation, kernel_spec, filter_spec, param)
     x_upsample = None
     for i in range(2, phase + 1):
-        if i == phase:
+        if i == phase and not static_alpha_zero(alpha):
             x_upsample = ops.upscale(ops.to_rgb(g.sub(f"to_rgb_{phase - 1}"), x, base_shape[0]))
         x = _generator_block(g.sub(f"generator_block_{i}"), x, activation, kernel_spec, filter_spec, i, param)
     x_out = ops.to_rgb(g.sub(f"to_rgb_{phase}"), x, base_shape[0])
@@ -140,7 +140,7 @@ def _discriminator(scope, x, alpha, phase, cfg, param):
     )
     for i in reversed(range(2, phase + 1)):
         x = _discriminator_block(d.sub(f"discriminator_block_{i}"), x, activation, kernel_spec, filter_spec, i, param)
-        if i == phase:
+        if i == phase and not static_alpha_zero(alpha):
             fromrgb_prev = ops.from_rgb(
                 d.sub(f"from_rgb_{phase - 1}"), ops.downscale(x_downscale),
                 get_filters(filter_spec, phase - 2, 1), activation, param=param,

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from saragan_tpu import ops
 from saragan_tpu.core import Params, Scope, ones_initializer, zeros_initializer
-from saragan_tpu.models.common import adaptive_kernel, phase_filters, resolve_base_dim, spectral_iters
+from saragan_tpu.models.common import adaptive_kernel, phase_filters, resolve_base_dim, spectral_iters, static_alpha_zero
 from saragan_tpu.models.registry import Architecture, register
 from saragan_tpu.models import style_ops
 
@@ -93,7 +93,7 @@ def _g_synthesis(scope, d_z, alpha, phase, cfg, param, rng):
     x = _synthesis_in(s.sub("generator_in"), d_z, base_dim, base_shape, activation, param, rng)
     x_upsample = None
     for layer_idx in range(2, phase + 1):
-        if layer_idx == phase:
+        if layer_idx == phase and not static_alpha_zero(alpha):
             x_upsample = ops.upscale(
                 ops.to_rgb(s.sub(f"to_rgb_{phase - 1}"), x, base_shape[0])
             )
@@ -173,7 +173,7 @@ def _discriminator(scope, x, alpha, phase, cfg, param):
         filters_in = phase_filters(cfg, i)
         filters_out = phase_filters(cfg, i - 1)
         x = _discriminator_block(d.sub(f"discriminator_block_{i}"), x, filters_in, filters_out, activation, param)
-        if i == phase:
+        if i == phase and not static_alpha_zero(alpha):
             fromrgb_prev = ops.from_rgb(
                 d.sub(f"from_rgb_{phase - 1}"), ops.downscale(x_downscale), filters_out,
                 activation, param=param,

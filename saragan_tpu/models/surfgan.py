@@ -24,7 +24,7 @@ import numpy as np
 
 from saragan_tpu import ops
 from saragan_tpu.core import Params, Scope, normal_initializer, zeros_initializer
-from saragan_tpu.models.common import adaptive_kernel, phase_filters, resolve_base_dim, spectral_iters
+from saragan_tpu.models.common import adaptive_kernel, phase_filters, resolve_base_dim, spectral_iters, static_alpha_zero
 from saragan_tpu.models.registry import Architecture, register
 from saragan_tpu.models import style_ops
 
@@ -207,10 +207,11 @@ def _g_synthesis(scope, d_z, alpha, phase, cfg, param, rng):
             fused_transitions=getattr(cfg, "fused_transitions", False),
         )
         rgb = _to_rgb_mod(s.sub(f"to_rgb_{layer_idx}"), x, d_z[:, layer_idx * 4 - 3], base_shape[0])
-        if layer_idx == phase:
+        if layer_idx == phase and not static_alpha_zero(alpha):
             a = jnp.asarray(alpha, x_out.dtype)
             x_out = (1 - a) * rgb + ops.upscale(x_out)
         else:
+            # at static alpha==0 the layer_idx==phase branch reduces to this
             x_out = rgb + ops.upscale(x_out)
     return x_out
 
@@ -288,7 +289,7 @@ def _discriminator(scope, x, alpha, phase, cfg, param, conditioning):
         filters_in = phase_filters(cfg, i)
         filters_out = phase_filters(cfg, i - 1)
         x = _discriminator_block(d.sub(f"discriminator_block_{i}"), x, filters_in, filters_out, activation, param)
-        if i == phase:
+        if i == phase and not static_alpha_zero(alpha):
             fromrgb_prev = _from_rgb(
                 d.sub(f"from_rgb_{phase - 1}"), ops.downscale(x_downscale), filters_out, activation, param
             )

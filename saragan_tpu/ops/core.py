@@ -527,6 +527,14 @@ def upscale(x: jax.Array, factor: int = 2) -> jax.Array:
     return avg_unpool(x, factor)
 
 
+def _box_sum(arr: jax.Array, axis: int) -> jax.Array:
+    """Per-dim kernel box-sum: w'[j] = w[j-1] + w[j] (length k+1, OOB = 0)."""
+    z = jnp.zeros_like(lax.slice_in_dim(arr, 0, 1, axis=axis))
+    shifted = jnp.concatenate([z, arr], axis=axis)  # w[j-1] terms
+    padded = jnp.concatenate([arr, z], axis=axis)  # w[j] terms
+    return shifted + padded  # length k+1
+
+
 def upscale_conv(x: jax.Array, w: jax.Array) -> jax.Array:
     """Fused nearest-2x-upscale + SAME conv: conv(repeat(x), w), computed
     WITHOUT materializing the upscaled activation.
@@ -544,17 +552,9 @@ def upscale_conv(x: jax.Array, w: jax.Array) -> jax.Array:
     spatial_rank = x.ndim - 2
     kernel = w.shape[:spatial_rank]
 
-    # per-dim kernel' = box-sum of w: w'[j] = w[j-1] + w[j] (length k+1)
-    def box_sum(arr, axis):
-        k = arr.shape[axis]
-        z = jnp.zeros_like(lax.slice_in_dim(arr, 0, 1, axis=axis))
-        shifted = jnp.concatenate([z, arr], axis=axis)  # w[j-1] terms
-        padded = jnp.concatenate([arr, z], axis=axis)  # w[j] terms
-        return shifted + padded  # length k+1
-
     wp = w
     for axis in range(spatial_rank):
-        wp = box_sum(wp, axis)
+        wp = _box_sum(wp, axis)
 
     # Alignment (1D, odd k, h = (k-1)/2): SAME conv over repeat(x) gives
     # y[o] = sum_c x[c] * w'[2c + 1 + h - o]; an lhs_dilation=2 correlation
@@ -569,6 +569,45 @@ def upscale_conv(x: jax.Array, w: jax.Array) -> jax.Array:
         padding=pads,
         lhs_dilation=(2,) * spatial_rank,
         dimension_numbers=dn,
+        preferred_element_type=x.dtype,
+    )
+
+
+def conv_downscale(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Fused SAME conv + 2x average-pool: downscale(conv(x, w)) computed as
+    ONE stride-2 conv with the box-averaged (k+1)^d kernel — the mirror of
+    `upscale_conv`, same linearity argument:
+
+        pool2(conv(x, w))[p] = (1/2^d) sum_{s in {0,1}^d} conv(x, w)[2p+s]
+                             = conv_{stride 2}(x, w')[p],
+        w'[m] = (1/2^d) sum_s w[m - s]   (per-dim box-sum / 2, length k+1)
+
+    with per-dim padding ((k-1)/2, (k-1)/2).  3.4x fewer madds than
+    conv-then-pool for k=3 in 3D (64 taps at coarse vs 27 at fine res).
+
+    NOTE on applicability (round-3 settled verdict, BASELINE.md): in the
+    reference's discriminators the pattern is conv -> bias -> LEAKY_RELU ->
+    downscale3d in every family (e.g. pgan discriminator.py:36-45), and the
+    nonlinearity does not commute with the pool, so this fusion is exact in
+    the model ONLY for linear-activation conv blocks (bias DOES commute:
+    avg(x + b) = avg(x) + b).  The 1x1 adjacencies that do exist
+    (from_rgb(downscale(x)), residual shortcuts) commute with the pool
+    outright and are already ordered pool-first.  The op is therefore wired
+    behind `fused_transitions` only for activation == 'linear' D blocks.
+    """
+    spatial_rank = x.ndim - 2
+    kernel = w.shape[:spatial_rank]
+    wp = w
+    for axis in range(spatial_rank):
+        wp = _box_sum(wp, axis)
+    wp = wp * (0.5**spatial_rank)
+    pads = [((kk - 1) // 2, (kk - 1) // 2) for kk in kernel]
+    return lax.conv_general_dilated(
+        x,
+        wp.astype(x.dtype),
+        window_strides=(2,) * spatial_rank,
+        padding=pads,
+        dimension_numbers=_conv_dimension_numbers(spatial_rank),
         preferred_element_type=x.dtype,
     )
 

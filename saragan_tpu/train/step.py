@@ -126,11 +126,24 @@ def make_train_step(
     freeze: bool = False,
     apply_gp: bool = True,
     grad_histograms: bool = False,
+    static_alpha: float = None,
 ):
     """Build the (un-jitted) train step for one phase.
 
     The caller jits it (optionally with shardings); `alpha`, `g_lr`, `d_lr`
     are traced scalars so schedule/fade never recompile.
+
+    static_alpha: bind alpha as a compile-time Python constant instead of a
+    traced scalar.  With ``static_alpha=0.0`` the models skip the
+    phase-transition branches entirely (to_rgb_{phase-1} + upscale + blend in
+    G; input downscale + from_rgb_{phase-1} + blend in D) — EXACT for the
+    stabilizing half of every phase, where alpha is identically 0: the
+    pruned branches contribute 0 to the output and exactly-zero gradients,
+    and jax.grad materializes the same zero grads for the untouched params,
+    so the optimizer/EMA see identical updates (including residual Adam
+    momentum on the transition layers).  The traced `alpha` argument is then
+    ignored.  The reference keeps these branches in its static TF graph for
+    the whole phase (optuna_objective.py:446-453).
     """
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     frozen = frozen_names if freeze else frozenset()
@@ -156,13 +169,14 @@ def make_train_step(
 
     def train_step(state: TrainState, real: jax.Array, rng: jax.Array, alpha, g_lr, d_lr):
         real = real.astype(compute_dtype)
+        a = alpha if static_alpha is None else static_alpha
 
         # Bind alpha into the model closures for this trace.
         def gen_a(p, z, k=None):
-            return arch.generator(p, z, alpha, phase=phase, cfg=cfg, rng=k)
+            return arch.generator(p, z, a, phase=phase, cfg=cfg, rng=k)
 
         def disc_a(p, x):
-            return arch.discriminator(p, x, alpha, phase=phase, cfg=cfg)
+            return arch.discriminator(p, x, a, phase=phase, cfg=cfg)
 
         if getattr(cfg, "remat", False):
             # rematerialize forwards in the backward pass: trades recompute
@@ -175,7 +189,42 @@ def make_train_step(
         # the reference 2D path's accumulate-then-apply, optim.py:95-160)
         accum = max(1, int(getattr(cfg, "gradient_accumulation", 1)))
 
-        if cfg.optim_strategy == "simultaneous":
+        if cfg.optim_strategy == "simultaneous" and cfg.loss_fn == "wgan" and getattr(
+            cfg, "fused_grads", True
+        ):
+            # shared-fake-pass gradient assembly: one D backward over the
+            # fake batch instead of two (losses.grads_simultaneous) — exact
+            # for WGAN, measured on-chip (BASELINE.md round 3)
+            def micro_grads(mb, k):
+                (gg, dg), out = losses.grads_simultaneous(
+                    gen_a,
+                    disc_a,
+                    state.g_params,
+                    state.d_params,
+                    mb,
+                    k,
+                    latent_dim=cfg.latent_dim,
+                    gp_weight=gp_weight_eff,
+                    noise_stddev=cfg.noise_stddev,
+                    compute_gp=apply_gp,
+                )
+                return (gg, dg), (
+                    out.gen_loss, out.disc_loss, out.gp_loss,
+                    jnp.min(out.gen_sample), jnp.max(out.gen_sample),
+                )
+
+            ((g_grads, d_grads), (gen_loss, disc_loss, gp_loss, fake_min, fake_max)) = (
+                grad_accumulate(micro_grads, real, rng, accum)
+            )
+
+            g_params, g_opt, max_g_norm, g_norms, g_hists = apply_updates(
+                g_optimizer, state.g_params, state.g_opt, g_grads, g_lr, cfg.g_clipping
+            )
+            d_params, d_opt, max_d_norm, d_norms, d_hists = apply_updates(
+                d_optimizer, state.d_params, state.d_opt, d_grads, d_lr, cfg.d_clipping
+            )
+
+        elif cfg.optim_strategy == "simultaneous":
 
             def total_loss(g_params, d_params, real_mb, rng_mb):
                 out = losses.forward_simultaneous(

@@ -145,7 +145,9 @@ def memory_summary() -> Dict[str, float]:
         import psutil
 
         out["memory/host_rss_percent"] = float(psutil.Process().memory_percent())
-    except ImportError:
+    except Exception:
+        # not just ImportError: psutil can raise AccessDenied reading /proc
+        # in restricted containers — telemetry must never kill the train loop
         pass
     try:
         import jax

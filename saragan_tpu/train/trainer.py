@@ -268,7 +268,13 @@ class Trainer:
         step_mixing = make_train_step(
             self.arch, cfg, phase, g_optimizer, d_optimizer, frozen_names=frozen, freeze=bool(frozen)
         )
-        step_stab = make_train_step(self.arch, cfg, phase, g_optimizer, d_optimizer)
+        # stabilizing steps run at alpha == 0 for the whole half-phase, so
+        # alpha is bound statically: the models prune the transition
+        # branches (to_rgb/from_rgb_{phase-1} + blend) — exact, measured
+        # faster on-chip (BASELINE.md round 3)
+        step_stab = make_train_step(
+            self.arch, cfg, phase, g_optimizer, d_optimizer, static_alpha=0.0
+        )
         lazy_k = max(1, int(getattr(cfg, "lazy_gp", 1)))
         if lazy_k > 1:
             # StyleGAN2 lazy regularization: GP only every k-th step
@@ -277,7 +283,8 @@ class Trainer:
                 frozen_names=frozen, freeze=bool(frozen), apply_gp=False,
             )
             step_stab_nogp = make_train_step(
-                self.arch, cfg, phase, g_optimizer, d_optimizer, apply_gp=False
+                self.arch, cfg, phase, g_optimizer, d_optimizer, apply_gp=False,
+                static_alpha=0.0,
             )
         batch_ndim = len(cfg.current_shape(phase, batch_size))
         step_count = 0
@@ -306,6 +313,7 @@ class Trainer:
                     frozen_names=frozen if mixing else frozenset(),
                     freeze=bool(frozen) and mixing,
                     apply_gp=use_gp, grad_histograms=True,
+                    static_alpha=None if mixing else 0.0,
                 )
                 hist_steps[key] = jit_train_step(
                     fn, self.mesh, batch_ndim, donate=True, space_axis=space_axis
@@ -456,12 +464,23 @@ class Trainer:
                 if profile_steps and step_idx == profile_steps[1] and phase == cfg.starting_phase:
                     jax.block_until_ready(metrics.gen_loss)
                     jax.profiler.stop_trace()
+                if step_idx == 0:
+                    # the first step's minutes of cold compile must not
+                    # deflate the first throughput window (which feeds
+                    # PhaseResult/HPO objectives); a value fetch is the only
+                    # true completion barrier through the relay
+                    _ = float(metrics.gen_loss)
+                    window_t0 = time.time()
+                    window_imgs = -global_batch  # cancel the += below
                 step_idx += 1
 
                 window_imgs += global_batch
                 if small_summary_bool or large_summary_bool:
-                    # value fetches — the only true device sync through the
-                    # relay; this closes the throughput window
+                    # ONE batched device_get of the whole metrics tree — the
+                    # only true device sync through the relay; per-variable
+                    # float() fetches would each be a round-trip (~100 of
+                    # them on histogram steps).  This closes the window.
+                    metrics = jax.device_get(metrics)
                     d_loss = float(metrics.disc_loss)
                     g_loss = float(metrics.gen_loss)
                     gp_loss = float(metrics.gp_loss)
@@ -554,12 +573,15 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _ema_sampler(self, state: TrainState, sample_fn):
+        # Sample from the EMA tree itself — correct regardless of whether
+        # fold_ema has already copied it into the live weights, so an
+        # innocent reordering of _run_phase's tail can't silently ship
+        # non-EMA samples to end-of-phase metrics (reference evaluates
+        # end-of-phase metrics under EMA weights, optuna_objective.py:599).
         g_ema, _ = split_params(state.ema)
-        # after fold the live weights equal the EMA; use them directly
-        g_params = state.g_params
 
         def gen(rng, n, alpha=0.0):
-            return np.asarray(sample_fn(g_params, rng, n, alpha), np.float32)
+            return np.asarray(sample_fn(g_ema, rng, n, alpha), np.float32)
 
         return gen
 
@@ -642,14 +664,18 @@ class Trainer:
                 npy_val.batch(batch_size), cfg.data_mean, cfg.data_stddev
             ).astype(np.float32)
             k1, k2 = jax.random.split(rng)
-            gl, dl, gpl, _ = eval_losses(state.g_params, state.d_params, val_batch, k1, alpha)
+            gl, dl, gpl, _ = jax.device_get(
+                eval_losses(state.g_params, state.d_params, val_batch, k1, alpha)
+            )
             w.scalars(
                 {"Loss/d_loss_val": float(dl), "Loss/g_loss_val": float(gl),
                  "Loss/gp_val": float(gpl)},
                 global_step,
             )
             g_ema, d_ema = split_params(state.ema)
-            gl, dl, gpl, fake_ema = eval_losses(g_ema, d_ema, val_batch, k2, alpha)
+            gl, dl, gpl, fake_ema = jax.device_get(
+                eval_losses(g_ema, d_ema, val_batch, k2, alpha)
+            )
             w.scalars(
                 summ.small_summary(dl, gl, gpl, np.asarray(fake_ema, np.float32),
                                    val_batch, "_EMA"),

@@ -263,6 +263,131 @@ def test_alternate_strategy_respects_lazy_gp():
     assert float(m_on.gp_loss) > 0.0
 
 
+def test_fused_grads_matches_unfused():
+    """The shared-fake-pass gradient assembly (losses.grads_simultaneous,
+    cfg.fused_grads) must produce the same updates as differentiating
+    gen_loss + disc_loss through forward_simultaneous."""
+    arch = get_architecture("pgan")
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 8, 8, 8))
+    rng = jax.random.PRNGKey(5)
+    results = {}
+    for fused in (True, False):
+        cfg = tiny_cfg(fused_grads=fused, noise_stddev=0.02)
+        state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+        step = jax.jit(make_train_step(arch, cfg, 2, g_opt, d_opt))
+        new_state, metrics = step(state, real, rng, 0.5, 1e-3, 1e-3)
+        results[fused] = (new_state, metrics)
+    st_f, m_f = results[True]
+    st_u, m_u = results[False]
+    np.testing.assert_allclose(float(m_f.gen_loss), float(m_u.gen_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(m_f.disc_loss), float(m_u.disc_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(m_f.gp_loss), float(m_u.gp_loss), rtol=1e-5)
+    for k in st_f.g_params:
+        np.testing.assert_allclose(
+            np.asarray(st_f.g_params[k]), np.asarray(st_u.g_params[k]),
+            rtol=2e-4, atol=1e-6, err_msg=k,
+        )
+    for k in st_f.d_params:
+        np.testing.assert_allclose(
+            np.asarray(st_f.d_params[k]), np.asarray(st_u.d_params[k]),
+            rtol=2e-4, atol=1e-6, err_msg=k,
+        )
+
+
+def test_fused_grads_raw_gradient_equality(setup):
+    """grads_simultaneous == jax.grad(gen_loss + disc_loss) at the gradient
+    level (tighter than the through-the-optimizer check)."""
+    cfg, arch, state, *_ = setup
+    gen, disc = _bound(arch, cfg)
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4))
+    rng = jax.random.PRNGKey(5)
+    kw = dict(latent_dim=cfg.latent_dim, gp_weight=3.0, noise_stddev=0.0)
+
+    (gg, dg), out = losses.grads_simultaneous(
+        gen, disc, state.g_params, state.d_params, real, rng, **kw
+    )
+
+    def total(gp, dp):
+        o = losses.forward_simultaneous(
+            gen, disc, gp, dp, real, rng, loss_fn="wgan", **kw
+        )
+        return o.gen_loss + o.disc_loss, o
+
+    (g_ref, d_ref), o_ref = jax.grad(total, argnums=(0, 1), has_aux=True)(
+        state.g_params, state.d_params
+    )
+    np.testing.assert_allclose(float(out.gen_loss), float(o_ref.gen_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(out.disc_loss), float(o_ref.disc_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(out.gp_loss), float(o_ref.gp_loss), rtol=1e-6)
+    for k in gg:
+        np.testing.assert_allclose(np.asarray(gg[k]), np.asarray(g_ref[k]),
+                                   rtol=2e-4, atol=1e-7, err_msg=k)
+    for k in dg:
+        np.testing.assert_allclose(np.asarray(dg[k]), np.asarray(d_ref[k]),
+                                   rtol=2e-4, atol=1e-7, err_msg=k)
+
+
+def test_static_alpha_zero_step_matches_traced():
+    """make_train_step(static_alpha=0.0) prunes the transition branches; the
+    resulting update must equal the traced step called with alpha=0.0 —
+    including the transition-layer params, which keep receiving residual
+    Adam-momentum updates from their zero gradients."""
+    arch = get_architecture("pgan")
+    cfg = tiny_cfg()
+    state0, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 8, 8, 8))
+
+    step_traced = jax.jit(make_train_step(arch, cfg, 2, g_opt, d_opt))
+    step_static = jax.jit(make_train_step(arch, cfg, 2, g_opt, d_opt, static_alpha=0.0))
+
+    st_t, st_s = state0, state0
+    rng = jax.random.PRNGKey(5)
+    for _ in range(3):  # several steps so Adam momentum on zero-grad params acts
+        rng, k = jax.random.split(rng)
+        st_t, m_t = step_traced(st_t, real, k, 0.0, 1e-3, 1e-3)
+        st_s, m_s = step_static(st_s, real, k, 12345.0, 1e-3, 1e-3)  # traced alpha ignored
+    np.testing.assert_allclose(float(m_s.gen_loss), float(m_t.gen_loss), rtol=1e-6)
+    transition_keys = [k for k in st_t.g_params if "to_rgb_1" in k]
+    assert transition_keys, "phase-2 pgan must have a to_rgb_1 transition layer"
+    for k in st_t.g_params:
+        np.testing.assert_allclose(np.asarray(st_s.g_params[k]), np.asarray(st_t.g_params[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    for k in st_t.d_params:
+        np.testing.assert_allclose(np.asarray(st_s.d_params[k]), np.asarray(st_t.d_params[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_static_alpha_zero_all_families():
+    """Every growing family's G/D must produce identical outputs with alpha
+    statically 0 vs traced 0 at a transition phase."""
+    for name in ("pgan", "pgan2", "pgandeep", "stylegan", "surfgan"):
+        # (stylegan2 is single-phase: no alpha path)
+        cfg = Config(
+            architecture=name,
+            start_shape="(1, 4, 4, 4)",
+            final_shape="(1, 16, 16, 16)",
+            latent_dim=16,
+            base_batch_size=2,
+            network_size="xxs",
+            kernel_spec=[[[], [3, 3, 3]], [[3, 3, 3], [3, 3, 3]]],
+            filter_spec=[[8, 8], [8, 8]],
+            loss_fn="wgan",
+        ).finalize()
+        arch = get_architecture(name)
+        params = arch.init(jax.random.PRNGKey(0), phase=2, cfg=cfg)
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.latent_dim))
+        rng = jax.random.PRNGKey(2)
+        img_t = arch.generator(params, z, jnp.asarray(0.0), phase=2, cfg=cfg, rng=rng)
+        img_s = arch.generator(params, z, 0.0, phase=2, cfg=cfg, rng=rng)
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_t), rtol=1e-6,
+                                   atol=1e-7, err_msg=f"{name} generator")
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 1, 8, 8, 8))
+        s_t = arch.discriminator(params, x, jnp.asarray(0.0), phase=2, cfg=cfg)
+        s_s = arch.discriminator(params, x, 0.0, phase=2, cfg=cfg)
+        np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_t), rtol=1e-6,
+                                   atol=1e-7, err_msg=f"{name} discriminator")
+
+
 def test_clip_excludes_frozen_grads():
     """Freeze path clips over the non-frozen var list only (reference
     minimize_with_clipping(gen_vars_limited), optimization.py:150-152):
