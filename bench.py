@@ -7,6 +7,17 @@ Reference baseline: the TF1 codebase measured ~6 volumes/s/GPU at 64x64x16
 
 Config: pgan 'xs' filter sizing, base (1,1,4,4) -> phase 6 = 32x128x128
 volumes (z,y,x), WGAN-GP simultaneous, bf16 compute / fp32 params, one chip.
+
+The headline is the PHASE-AVERAGE step: the trainer runs the mixing half
+with traced alpha and the stabilizing half with alpha bound statically to 0
+(make_train_step(static_alpha=0.0) prunes the transition branches — exact),
+so a phase's wall-clock is the mean of the two step times.  Both variants
+use the default shared-fake-pass WGAN gradient assembly (cfg.fused_grads)
+and exact upscale+conv transition fusion (cfg.fused_transitions).
+
+A phase-7 step (64x256x256, batch 1 — the big-volume regression guard) is
+measured alongside and reported in the same JSON line.
+
 Prints ONE JSON line.
 """
 
@@ -16,20 +27,15 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 BASELINE_VPS = 0.75  # TF1-GPU volumes/s/chip estimate at 128x128x32 (BASELINE.md)
 
 
-def main():
+def make_cfg(phase: int, batch: int):
     from saragan_tpu.config import Config
-    from saragan_tpu.models import get_architecture
-    from saragan_tpu.train import init_train_state, make_train_step
 
-    phase = 6  # (1,1,4,4) * 2^(6-1) = 32 x 128 x 128
-    batch = 8  # best measured throughput point that fits one chip's HBM
-    cfg = Config(
+    return Config(
         architecture="pgan",
         start_shape="(1, 1, 4, 4)",
         final_shape="(1, 128, 512, 512)",
@@ -45,32 +51,56 @@ def main():
         d_lr=1e-3,
         compute_dtype="bfloat16",
         fused_transitions=True,  # exact upscale+conv fusion (+5.6% measured)
+        fused_grads=True,  # shared-fake-pass WGAN grads (+6.5% measured)
     ).finalize()
 
-    arch = get_architecture("pgan")
-    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
-    step = jax.jit(make_train_step(arch, cfg, phase, g_opt, d_opt), donate_argnums=(0,))
 
+def measure_step(arch, cfg, phase: int, batch: int, shape, static_alpha, n_steps: int):
+    """ms/step for one jitted variant, donated-state chained, one scalar
+    fetch as the completion barrier (the relay returns early from
+    block_until_ready — CLAUDE.md hardware rules)."""
+    from saragan_tpu.train import init_train_state, make_train_step
+
+    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
+    step = jax.jit(
+        make_train_step(arch, cfg, phase, g_opt, d_opt, static_alpha=static_alpha),
+        donate_argnums=(0,),
+    )
     real = jax.device_put(
-        np.random.default_rng(0).normal(size=(batch, 1, 32, 128, 128)).astype(np.float32)
+        np.random.default_rng(0).normal(size=(batch, 1) + shape).astype(np.float32)
     )
     rng = jax.random.PRNGKey(1)
+    alpha = 0.5 if static_alpha is None else 0.0
 
-    # warmup / compile. NB: through the axon relay block_until_ready returns
-    # early; a scalar *fetch* is the only reliable completion barrier, and the
-    # donated-state dependency chain makes the timed steps strictly serial.
-    state, metrics = step(state, real, rng, 0.0, 1e-3, 1e-3)
-    _ = float(metrics.gen_loss)
+    state, metrics = step(state, real, rng, alpha, 1e-3, 1e-3)
+    _ = float(metrics.gen_loss)  # compile + warmup barrier
 
-    n_steps = 50
     t0 = time.perf_counter()
-    for i in range(n_steps):
+    for _ in range(n_steps):
         rng, k = jax.random.split(rng)
-        state, metrics = step(state, real, k, 0.0, 1e-3, 1e-3)
+        state, metrics = step(state, real, k, alpha, 1e-3, 1e-3)
     _ = float(metrics.gen_loss)  # forces the whole chain
-    dt = time.perf_counter() - t0
+    return (time.perf_counter() - t0) / n_steps * 1e3
 
-    vps = batch * n_steps / dt
+
+def main():
+    from saragan_tpu.models import get_architecture
+
+    arch = get_architecture("pgan")
+
+    # phase 6 (32x128x128), batch 8: mixing (traced alpha) + stabilizing
+    # (static alpha=0) halves
+    cfg6 = make_cfg(6, 8)
+    ms_mix = measure_step(arch, cfg6, 6, 8, (32, 128, 128), None, 40)
+    ms_stab = measure_step(arch, cfg6, 6, 8, (32, 128, 128), 0.0, 40)
+    ms_avg = (ms_mix + ms_stab) / 2
+    vps = 8 / (ms_avg / 1e3)
+
+    # phase 7 (64x256x256), batch 1: big-volume regression guard
+    cfg7 = make_cfg(7, 1)
+    ms_p7 = measure_step(arch, cfg7, 7, 1, (64, 256, 256), 0.0, 10)
+    vps_p7 = 1 / (ms_p7 / 1e3)
+
     print(
         json.dumps(
             {
@@ -78,6 +108,12 @@ def main():
                 "value": round(vps, 3),
                 "unit": "volumes/s/chip",
                 "vs_baseline": round(vps / BASELINE_VPS, 2),
+                "detail": {
+                    "mixing_ms_per_step": round(ms_mix, 1),
+                    "stabilizing_ms_per_step": round(ms_stab, 1),
+                    "phase7_64x256x256_b1_ms_per_step": round(ms_p7, 1),
+                    "phase7_volumes_per_sec": round(vps_p7, 3),
+                },
             }
         )
     )
