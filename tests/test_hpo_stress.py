@@ -1,0 +1,142 @@
+"""Concurrent HPO storage stress — the reference's inter-trial model is N
+independent worker processes hammering ONE SQLite study (reference
+main.py:135-168 spawns per-rank workers that each call study.optimize
+against the shared storage URL).  This pins that contract for the built-in
+engine: 8 OS processes x 25 trials against one DB must lose no updates,
+produce no duplicate trial numbers, keep the directions table consistent,
+and never crash a sampler/pruner reading a mid-write DB.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_WORKERS = 8
+TRIALS_PER_WORKER = 25
+
+_WORKER = r"""
+import sys, os
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from saragan_tpu.hpo import engine
+from saragan_tpu.hpo.engine import TrialPruned, create_study, samplers, pruners
+
+seed = int(sys.argv[1])
+storage = sys.argv[2]
+
+study = create_study(
+    study_name="stress",
+    storage=storage,
+    sampler=samplers.TPESampler(seed=seed, n_startup_trials=8),
+    pruner=pruners.MedianPruner(n_startup_trials=4, n_warmup_steps=1),
+    direction="minimize",
+    load_if_exists=True,
+)
+
+def objective(trial):
+    x = trial.suggest_float("x", -3.0, 3.0)
+    y = trial.suggest_float("y", 1e-4, 1.0, log=True)
+    k = trial.suggest_int("k", 1, 8)
+    val = x * x + y + 0.01 * k
+    for step in range(3):
+        trial.report(val * (3 - step), step=step)
+        if trial.should_prune():
+            raise TrialPruned()
+    return val
+
+study.optimize(objective, n_trials={trials!r}, catch=())
+print("WORKER_DONE", seed)
+"""
+
+
+def test_eight_processes_one_sqlite_study(tmp_path):
+    storage = f"sqlite:///{tmp_path}/stress.db"
+    script = _WORKER.format(repo=REPO, trials=TRIALS_PER_WORKER)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(1000 + i), storage],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(N_WORKERS)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-2000:]}"
+        assert "WORKER_DONE" in out
+
+    # reload the study fresh and audit the DB
+    from saragan_tpu.hpo.engine import load_study
+
+    study = load_study("stress", storage)
+    assert study.directions == ["minimize"]
+    trials = study.get_trials()
+    total = N_WORKERS * TRIALS_PER_WORKER
+
+    # no lost trials, no duplicate or gapped numbers
+    assert len(trials) == total, len(trials)
+    numbers = sorted(t.number for t in trials)
+    assert numbers == list(range(total)), "duplicate/gapped trial numbers"
+
+    # every trial reached a terminal state with its data intact
+    states = {t.number: t.state for t in trials}
+    assert set(states.values()) <= {"COMPLETE", "PRUNED"}, set(states.values())
+    completed = [t for t in trials if t.state == "COMPLETE"]
+    assert len(completed) >= total // 2  # pruner can't have eaten everything
+    for t in completed:
+        assert t.value is not None and np.isfinite(t.value)
+        assert set(t.params) == {"x", "y", "k"}, t.params
+    pruned = [t for t in trials if t.state == "PRUNED"]
+    for t in pruned:
+        assert t.intermediate_values, "pruned trial lost its reports"
+
+    # the study is still usable for a post-hoc read (mid-write robustness
+    # was exercised live; this checks final integrity)
+    best = study.best_trial
+    assert best.value == min(t.value for t in completed)
+
+
+def test_directions_survive_concurrent_set(tmp_path):
+    """8 processes calling create_study(load_if_exists=True) concurrently on
+    one multi-objective study must leave one consistent directions row."""
+    storage = f"sqlite:///{tmp_path}/dirs.db"
+    script = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "from saragan_tpu.hpo.engine import create_study\n"
+        "s = create_study(study_name='d', storage={st!r},"
+        " directions=['minimize', 'maximize'], load_if_exists=True)\n"
+        "t = s.ask(); t.suggest_float('x', 0, 1); s.tell(t, 'COMPLETE', [0.1, 0.2])\n"
+        "print('OK')\n"
+    ).format(repo=REPO, st=storage)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script], stdout=subprocess.PIPE, text=True)
+        for _ in range(N_WORKERS)
+    ]
+    for p in procs:
+        out = p.communicate(timeout=300)[0]
+        assert p.returncode == 0 and "OK" in out
+
+    from saragan_tpu.hpo.engine import load_study
+
+    study = load_study("d", storage)
+    assert study.directions == ["minimize", "maximize"]
+    assert len(study.get_trials()) == N_WORKERS
+    front = study.best_trials
+    assert front  # pareto machinery reads the multi-objective values back
+
+    # raw DB audit: exactly one directions row
+    import sqlite3
+
+    conn = sqlite3.connect(f"{tmp_path}/dirs.db")
+    rows = conn.execute("SELECT study, directions FROM studies").fetchall()
+    assert len(rows) == 1 and json.loads(rows[0][1]) == ["minimize", "maximize"]
