@@ -122,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shared-fake-pass WGAN gradient assembly: one D backward over "
                         "the fake batch instead of two (exact; default on)")
     p.add_argument("--no_fused_grads", dest="fused_grads", action="store_false")
+    p.add_argument("--remat", default=False, action="store_true",
+                   help="Rematerialize G/D forwards in the backward (HBM for FLOPs)")
+    p.add_argument("--remat_offload", default=False, action="store_true",
+                   help="Remat with block activations offloaded to pinned host memory "
+                        "instead of recomputed — single-chip path for 512^3-scale phases")
     p.add_argument("--native_prefetch", dest="native_prefetch", default=True,
                    action="store_true",
                    help="C++ prefetch executor for the input pipeline (default on; "

@@ -186,6 +186,13 @@ class Config:
     profile_dir: Optional[str] = None
     use_pallas_fusion: bool = False  # fused bias+lrelu+pixelnorm Pallas kernels
     remat: bool = False  # jax.checkpoint G/D forwards: recompute activations in backward (HBM for FLOPs)
+    # remat with per-resolution-block activations OFFLOADED to pinned host
+    # memory instead of recomputed — the single-chip path for volumes whose
+    # activation footprint exceeds HBM (phase 8 = 128x512x512 is infeasible
+    # even at batch 1 with plain remat, BASELINE.md dress rehearsal; the
+    # reference used big-RAM CPU nodes, scripts/run_haswell.jb).  Trades
+    # PCIe/DMA bandwidth for HBM.
+    remat_offload: bool = False
     lazy_gp: int = 1  # apply the gradient penalty every k-th step with k-scaled weight (StyleGAN2 lazy regularization; 1 = reference-exact)
     full_state_checkpoints: bool = False  # periodic checkpoints also save the full TrainState (optimizer slots) for exact mid-phase resume
     # compute conv-after-upscale as one transposed conv — exact (oracle +

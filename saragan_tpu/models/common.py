@@ -16,6 +16,31 @@ def static_alpha_zero(alpha) -> bool:
     return isinstance(alpha, (int, float)) and float(alpha) == 0.0
 
 
+def block_tap(x, name: str, cfg):
+    """Tag a per-resolution-block activation boundary for remat offload
+    policies (jax.ad_checkpoint.checkpoint_name).  Gated on
+    cfg.remat_offload so the default trace is untouched; under
+    make_train_step's offload remat these names become the set of
+    activations parked in pinned host memory during the forward pass and
+    DMA'd back one block at a time in the backward — the single-chip answer
+    to volumes whose activations exceed HBM (phase 8 = 128x512x512; the
+    reference used big-RAM CPU nodes for these, scripts/run_haswell.jb)."""
+    if getattr(cfg, "remat_offload", False):
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(x, name)
+    return x
+
+
+def offload_block_names(phase: int) -> list:
+    """Every name block_tap can emit up to `phase` (superset is fine: names
+    that never appear in the trace are ignored by the policy)."""
+    names = ["gen_in", "disc_in"]
+    for i in range(2, phase + 1):
+        names += [f"gen_block_{i}", f"disc_block_{i}"]
+    return names
+
+
 def adaptive_kernel(spatial_shape):
     """Per-dim kernel size: 1 if the dim is < 3 else 3 (reference
     networks/ops.py:25-29, `k(x)`), applied to the current tensor shape."""

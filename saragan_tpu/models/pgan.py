@@ -35,7 +35,7 @@ import numpy as np
 
 from saragan_tpu import ops
 from saragan_tpu.core import Params, Scope
-from saragan_tpu.models.common import spectral_iters, static_alpha_zero
+from saragan_tpu.models.common import block_tap, spectral_iters, static_alpha_zero
 from saragan_tpu.models.registry import Architecture, register
 
 
@@ -131,6 +131,7 @@ def _generator(scope, z, alpha, phase, cfg, param):
         g.sub("generator_in"), z, base_shape[1:], activation, kernel_spec, filter_spec, param,
         fused=fused,
     )
+    x = block_tap(x, "gen_in", cfg)
 
     x_upsample = None
     for i in range(2, phase + 1):
@@ -142,6 +143,7 @@ def _generator(scope, z, alpha, phase, cfg, param):
             g.sub(f"generator_block_{i}"), x, activation, kernel_spec, filter_spec, i, param,
             fused=fused, fused_transitions=getattr(cfg, "fused_transitions", False),
         )
+        x = block_tap(x, f"gen_block_{i}", cfg)
 
     x_out = ops.to_rgb(g.sub(f"to_rgb_{phase}"), x, channels=base_shape[0])
     if x_upsample is not None:
@@ -223,11 +225,13 @@ def _discriminator(scope, x, alpha, phase, cfg, param):
     x = ops.from_rgb(
         d.sub(f"from_rgb_{phase}"), x, get_filters(filter_spec, phase - 1, 1), activation, param=param
     )
+    x = block_tap(x, "disc_in", cfg)
 
     for i in reversed(range(2, phase + 1)):
         x = _discriminator_block(
             d.sub(f"discriminator_block_{i}"), x, activation, kernel_spec, filter_spec, i, param
         )
+        x = block_tap(x, f"disc_block_{i}", cfg)
         if i == phase and not static_alpha_zero(alpha):
             fromrgb_prev = ops.from_rgb(
                 d.sub(f"from_rgb_{phase - 1}"),

@@ -178,7 +178,24 @@ def make_train_step(
         def disc_a(p, x):
             return arch.discriminator(p, x, a, phase=phase, cfg=cfg)
 
-        if getattr(cfg, "remat", False):
+        if getattr(cfg, "remat_offload", False):
+            # remat, but block-boundary activations (models tag them with
+            # checkpoint_name via block_tap) are OFFLOADED to pinned host
+            # memory during the forward and DMA'd back per-block in the
+            # backward — everything else is rematerialized.  Peak HBM drops
+            # to roughly one resolution block's working set, which is what
+            # makes phase-8 (128x512x512) volumes reachable on one chip.
+            from saragan_tpu.models.common import offload_block_names
+
+            policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=[],
+                names_which_can_be_offloaded=offload_block_names(phase),
+                offload_src="device",
+                offload_dst="pinned_host",
+            )
+            gen_a = jax.checkpoint(gen_a, policy=policy)
+            disc_a = jax.checkpoint(disc_a, policy=policy)
+        elif getattr(cfg, "remat", False):
             # rematerialize forwards in the backward pass: trades recompute
             # FLOPs for activation HBM -> larger per-chip batches at the
             # big-volume phases (SURVEY §7: donated buffers + remat)

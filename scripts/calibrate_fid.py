@@ -108,7 +108,7 @@ def main() -> int:
         calculate_fid_given_batch_volumes(real, f, extractor, verbose=False)
         for f in (clean, corrupt(clean, 8, 1), corrupt(clean, 16, 2))
     ]
-    print(f"corruption FIDs (clean/light/heavy): {[round(f, 3) for f in fids]}")
+    print("corruption FIDs (clean/light/heavy): " + ", ".join(f"{f:.4g}" for f in fids))
     if not (fids[0] < fids[1] < fids[2]):
         print("FAIL: FID is not monotone in corruption level")
         return 1

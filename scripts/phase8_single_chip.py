@@ -1,0 +1,92 @@
+"""Phase-8 (128x512x512) WGAN-GP training step on ONE chip via offload remat.
+
+BASELINE.md's round-2 dress rehearsal proved phase 8 is infeasible on a
+single 16 GB chip with or without plain remat (one conv intermediate alone
+is 17.7 GB).  cfg.remat_offload changes where the saved activations live:
+every per-resolution-block boundary activation (models tag them with
+checkpoint_name) is DMA'd to pinned HOST memory during the forward and
+brought back one block at a time in the backward, so peak HBM is roughly a
+single block's working set.  The reference handled this scale with big-RAM
+CPU nodes (scripts/run_haswell.jb); this is the TPU-native single-chip
+equivalent, trading PCIe bandwidth for HBM.
+
+Usage: python scripts/phase8_single_chip.py [phase] [batch] [n_steps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+
+def main():
+    phase = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from saragan_tpu.config import Config
+    from saragan_tpu.models import get_architecture
+    from saragan_tpu.train import init_train_state, make_train_step
+
+    cfg = Config(
+        architecture="pgan",
+        start_shape="(1, 1, 4, 4)",
+        final_shape="(1, 128, 512, 512)",
+        latent_dim=256,
+        base_batch_size=batch * (2 ** (phase - 1)),
+        network_size="xs",
+        loss_fn="wgan",
+        gp_weight=10.0,
+        noise_stddev=0.0,
+        adam_beta1=0.0,
+        adam_beta2=0.9,
+        g_lr=1e-3,
+        d_lr=1e-3,
+        compute_dtype="bfloat16",
+        fused_transitions=True,
+        fused_grads=True,
+        remat_offload=True,
+    ).finalize()
+    shape = tuple(cfg.current_shape(phase, batch))
+    print(f"phase {phase}: volume shape {shape}, remat_offload on", flush=True)
+
+    arch = get_architecture("pgan")
+    state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
+    # stabilizing-half step (static alpha): the leanest hot step; phase-8
+    # feasibility is the question, transition blending adds nothing to it
+    step = jax.jit(
+        make_train_step(arch, cfg, phase, g_opt, d_opt, static_alpha=0.0),
+        donate_argnums=(0,),
+    )
+
+    real = jax.device_put(np.random.default_rng(0).normal(size=shape).astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, real, rng, 0.0, 1e-3, 1e-3)
+    gl = float(metrics.gen_loss)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s, g_loss={gl:.4f}", flush=True)
+    assert np.isfinite(gl)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, real, k, 0.0, 1e-3, 1e-3)
+    gl = float(metrics.gen_loss)
+    dt = (time.perf_counter() - t0) / n_steps
+    print(
+        f"PHASE8_OK phase={phase} batch={batch}: {dt * 1e3:.0f} ms/step "
+        f"({batch / dt:.3f} vol/s), g_loss={gl:.4f} finite={np.isfinite(gl)}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

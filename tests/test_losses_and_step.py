@@ -406,3 +406,36 @@ def test_clip_excludes_frozen_grads():
     np.testing.assert_allclose(np.asarray(clipped["old/w"]), 100.0)
     assert set(norms) == {"new/w"}
     assert abs(float(max_norm) - 0.6) < 1e-5
+
+
+@pytest.mark.parametrize("variant", ["remat", "remat_offload"])
+def test_remat_variants_match_plain_step(variant):
+    """jax.checkpoint (plain recompute) and the offload policy (block
+    activations parked in pinned host memory via the models' block_tap
+    names) must both be numerically identical to the un-rematerialized
+    step — remat/offload change WHERE activations live, never the math.
+    Covers the WGAN-GP grad-of-grad through the checkpointed forwards."""
+    arch = get_architecture("pgan")
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 8, 8, 8))
+    rng = jax.random.PRNGKey(5)
+    results = {}
+    for on in (False, True):
+        cfg = tiny_cfg(**({variant: on} if on else {}))
+        state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+        step = jax.jit(make_train_step(arch, cfg, 2, g_opt, d_opt))
+        results[on] = step(state, real, rng, 0.5, 1e-3, 1e-3)
+    st_p, m_p = results[False]
+    st_r, m_r = results[True]
+    np.testing.assert_allclose(float(m_r.gen_loss), float(m_p.gen_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(m_r.disc_loss), float(m_p.disc_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(m_r.gp_loss), float(m_p.gp_loss), rtol=1e-6)
+    for k in st_p.g_params:
+        np.testing.assert_allclose(
+            np.asarray(st_r.g_params[k]), np.asarray(st_p.g_params[k]),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )
+    for k in st_p.d_params:
+        np.testing.assert_allclose(
+            np.asarray(st_r.d_params[k]), np.asarray(st_p.d_params[k]),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )

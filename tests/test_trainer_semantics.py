@@ -123,3 +123,34 @@ def test_grad_histograms_can_be_disabled(tmp_path):
     Trainer(cfg, verbose=True, prefetch=False).run()
     events = [json.loads(l) for l in open(os.path.join(cfg.logdir, "events.jsonl"))]
     assert not any(e.get("hist") for e in events)
+
+
+def test_ema_sampler_reads_ema_tree_regardless_of_fold_order():
+    """VERDICT r2 weak #6: end-of-phase metrics must sample EMA weights even
+    if _run_phase's tail is reordered — _ema_sampler has to read state.ema
+    itself, not rely on fold_ema having already overwritten the live params."""
+    import numpy as np
+
+    from saragan_tpu.train.step import TrainState
+    from saragan_tpu.train.trainer import Trainer
+
+    live = {"generator/w": np.full((2,), 5.0, np.float32)}
+    ema = {"generator/w": np.full((2,), 7.0, np.float32),
+           "discriminator/w": np.full((2,), 9.0, np.float32)}
+    state = TrainState(
+        g_params=live, d_params={"discriminator/w": np.zeros(2, np.float32)},
+        g_opt=None, d_opt=None, ema=ema,
+    )
+
+    seen = {}
+
+    def sample_fn(g_params, rng, n, alpha):
+        seen["params"] = g_params
+        return g_params["generator/w"][None].repeat(n, 0)
+
+    # UNFOLDED state (the reordering hazard): sampler must still produce EMA
+    gen = Trainer._ema_sampler(object.__new__(Trainer), state, sample_fn)
+    out = gen(None, 3)
+    assert set(seen["params"]) == {"generator/w"}
+    np.testing.assert_array_equal(seen["params"]["generator/w"], 7.0)
+    np.testing.assert_array_equal(out, 7.0)
