@@ -164,3 +164,52 @@ def test_surfgan_fused_transitions_parity(rng):
     np.testing.assert_allclose(
         np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-3, atol=1e-4
     )
+
+
+@pytest.mark.parametrize(
+    "shape,kshape",
+    [
+        ((2, 3, 4, 6, 8), (3, 3, 3)),
+        ((1, 2, 2, 2, 2), (3, 3, 3)),
+        ((2, 3, 6, 4), (3, 3)),
+        ((1, 2, 4, 4, 4), (1, 3, 3)),
+        ((1, 2, 4, 4, 4), (1, 1, 1)),
+        ((2, 2, 4, 4, 4), (5, 5, 5)),
+    ],
+)
+def test_conv_downscale_matches_oracle(np_rng, shape, kshape):
+    """conv_downscale == downscale(conv(x, w)) exactly (the mirror identity
+    of upscale_conv: stride-2 conv with the box-averaged (k+1)^d kernel)."""
+    from saragan_tpu.ops.core import conv_downscale, downscale
+
+    x = jnp.asarray(np_rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(np_rng.normal(size=(*kshape, shape[1], 4)).astype(np.float32)) * 0.1
+    oracle = downscale(_conv_direct(x, w), 2)
+    got = conv_downscale(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), rtol=1e-4, atol=1e-5)
+
+
+def test_conv_downscale_gradients_and_second_order(np_rng):
+    """1st-order grads match the unfused form, and the WGAN-GP-shaped
+    grad-of-grad (d/dw of ||d/dx||) agrees — the op is safe inside D."""
+    from saragan_tpu.ops.core import conv_downscale, downscale
+
+    x = jnp.asarray(np_rng.normal(size=(2, 3, 4, 4, 4)).astype(np.float32))
+    w = jnp.asarray(np_rng.normal(size=(3, 3, 3, 3, 4)).astype(np.float32)) * 0.1
+    f1 = lambda x, w: jnp.sum(jnp.sin(conv_downscale(x, w)))
+    f2 = lambda x, w: jnp.sum(jnp.sin(downscale(_conv_direct(x, w), 2)))
+    for arg in (0, 1):
+        g1 = jax.grad(f1, arg)(x, w)
+        g2 = jax.grad(f2, arg)(x, w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
+
+    def gp_like(f):
+        def inner(w):
+            slopes = jax.grad(lambda xx: jnp.sum(f(xx, w)))(x)
+            return jnp.sum(jnp.sqrt(jnp.sum(jnp.square(slopes)) + 1e-8))
+
+        return jax.grad(inner)(w)
+
+    np.testing.assert_allclose(
+        np.asarray(gp_like(f1)), np.asarray(gp_like(f2)), rtol=1e-3, atol=1e-4
+    )
