@@ -37,7 +37,8 @@ def offload_block_names(phase: int) -> list:
     that never appear in the trace are ignored by the policy)."""
     names = ["gen_in", "disc_in"]
     for i in range(2, phase + 1):
-        names += [f"gen_block_{i}", f"disc_block_{i}"]
+        names += [f"gen_block_{i}", f"gen_block_{i}_mid",
+                  f"disc_block_{i}", f"disc_block_{i}_mid"]
     return names
 
 

@@ -91,7 +91,7 @@ def _generator_in(scope, x, shape, activation, kernel_spec, filter_spec, param, 
 
 
 def _generator_block(scope, x, activation, kernel_spec, filter_spec, i, param, fused=False,
-                     fused_transitions=False):
+                     fused_transitions=False, cfg=None):
     """reference generator.py:48-71."""
     if fused_transitions:
         # upscale + conv_1 as one transposed conv (exact algebraic fusion)
@@ -101,6 +101,7 @@ def _generator_block(scope, x, activation, kernel_spec, filter_spec, i, param, f
         w = ops.get_weight(c, (*kernel, x.shape[1], fmaps), activation, param=param)
         x = ops.core.upscale_conv(x, w.astype(x.dtype))
         x = _bias_act_pn(c, x, activation, param, fused)
+        x = block_tap(x, f"gen_block_{i}_mid", cfg)
         rest = (("conv_2", 1),)
     else:
         x = ops.upscale(x)
@@ -116,6 +117,10 @@ def _generator_block(scope, x, activation, kernel_spec, filter_spec, i, param, f
             param=param,
         )
         x = _bias_act_pn(c, x, activation, param, fused)
+        if name == "conv_1":
+            # mid-block offload tap: halves the per-block backward working
+            # set under cfg.remat_offload (the phase-8 feasibility crux)
+            x = block_tap(x, f"gen_block_{i}_mid", cfg)
     return x
 
 
@@ -141,7 +146,7 @@ def _generator(scope, z, alpha, phase, cfg, param):
             )
         x = _generator_block(
             g.sub(f"generator_block_{i}"), x, activation, kernel_spec, filter_spec, i, param,
-            fused=fused, fused_transitions=getattr(cfg, "fused_transitions", False),
+            fused=fused, fused_transitions=getattr(cfg, "fused_transitions", False), cfg=cfg,
         )
         x = block_tap(x, f"gen_block_{i}", cfg)
 
@@ -174,7 +179,7 @@ def generator(
 # ---------------------------------------------------------------------------
 
 
-def _discriminator_block(scope, x, activation, kernel_spec, filter_spec, i, param):
+def _discriminator_block(scope, x, activation, kernel_spec, filter_spec, i, param, cfg=None):
     """reference discriminator.py:25-45.
 
     Note the reference's index quirk, preserved here: conv_1 uses
@@ -187,6 +192,7 @@ def _discriminator_block(scope, x, activation, kernel_spec, filter_spec, i, para
     )
     x = ops.apply_bias(c1, x)
     x = ops.act(x, activation, param=param)
+    x = block_tap(x, f"disc_block_{i}_mid", cfg)
     c2 = scope.sub("conv_2")
     x = ops.conv(
         c2, x, get_filters(filter_spec, i - 2, 1), get_kernels(kernel_spec, i - 1, 0), activation, param=param
@@ -229,7 +235,8 @@ def _discriminator(scope, x, alpha, phase, cfg, param):
 
     for i in reversed(range(2, phase + 1)):
         x = _discriminator_block(
-            d.sub(f"discriminator_block_{i}"), x, activation, kernel_spec, filter_spec, i, param
+            d.sub(f"discriminator_block_{i}"), x, activation, kernel_spec, filter_spec, i, param,
+            cfg=cfg,
         )
         x = block_tap(x, f"disc_block_{i}", cfg)
         if i == phase and not static_alpha_zero(alpha):
