@@ -206,6 +206,43 @@ void convert_f16_to_f32(const uint8_t* src, float* dst, size_t count) {
   }
 }
 
+// fp32 -> fp16 (scalar, round-to-nearest-even) — the --transfer_dtype
+// float16 path: normalized batches are stored and shipped to Python at half
+// width so the host->device transfer (and the relay's per-transfer host
+// accumulation, see BASELINE.md) halves without an extra Python-side cast.
+void convert_f32_to_f16(const float* src, uint16_t* dst, size_t count) {
+  for (size_t i = 0; i < count; ++i) {
+    uint32_t x;
+    memcpy(&x, &src[i], 4);
+    const uint32_t sign = (x >> 16) & 0x8000u;
+    uint32_t exp = (x >> 23) & 0xffu;
+    uint32_t mant = x & 0x7fffffu;
+    uint16_t out;
+    if (exp == 255) {  // inf / nan
+      out = static_cast<uint16_t>(sign | 0x7c00u | (mant ? 0x200u : 0));
+    } else if (exp >= 143) {  // >= 2^16 after rounding -> inf (143 = 127+16)
+      out = static_cast<uint16_t>(sign | 0x7c00u);
+    } else if (exp < 101) {  // < 2^-26: rounds to +-0 (smallest sub-ulp/2)
+      out = static_cast<uint16_t>(sign);
+    } else if (exp < 113) {  // subnormal half: h = round(mant_full >> shift)
+      mant |= 0x800000u;                       // 24-bit significand
+      const uint32_t shift = 126 - exp;        // 14..25 (exp 101..112)
+      const uint32_t h = mant >> shift;
+      const uint32_t rem = mant & ((1u << shift) - 1);
+      const uint32_t half_ulp = 1u << (shift - 1);
+      uint32_t r = h;
+      if (rem > half_ulp || (rem == half_ulp && (h & 1u))) r += 1;  // RNE
+      out = static_cast<uint16_t>(sign | r);
+    } else {  // normal (may round up into inf, handled by carry into exp)
+      uint32_t h = ((exp - 112) << 10) | (mant >> 13);
+      const uint32_t rest = mant & 0x1fffu;
+      if ((rest > 0x1000u) || (rest == 0x1000u && (h & 1u))) h += 1;  // RNE
+      out = static_cast<uint16_t>(sign | h);
+    }
+    dst[i] = out;
+  }
+}
+
 bool decode_to_f32(const NpyInfo& info, const uint8_t* payload, float* dst) {
   const size_t count = info.data_bytes / dtype_size(info.dtype);
   switch (info.dtype) {
@@ -242,9 +279,11 @@ int decode_one_to_f32(const char* path, float* out, int64_t bytes_per_item) {
 
 struct PrefetchJob {
   std::vector<std::string> paths;
-  std::vector<float> buf;          // n_items * items floats
+  std::vector<float> buf;          // n_items * items floats (f32 output)
+  std::vector<uint16_t> buf16;     // f16 output when out_f16
   float mean = 0.0f, stddev = 1.0f;
   int normalize = 0;
+  int out_f16 = 0;                 // store normalized items as fp16
   std::atomic<int> next_item{0};   // work-stealing index across workers
   std::atomic<int> items_done{0};
   std::atomic<int> status{0};      // first nonzero decode status wins
@@ -279,11 +318,25 @@ struct Prefetcher {
         const int i = job->next_item.fetch_add(1);
         if (i >= job->n_items) break;
         const int64_t items = bytes_per_item / 4;
-        float* out = job->buf.data() + static_cast<int64_t>(i) * items;
+        // f16 jobs decode+normalize in a per-thread f32 scratch, then
+        // convert into the half-width output slot — the cast runs on the
+        // worker pool, off the consumer's critical path
+        thread_local std::vector<float> scratch;
+        float* out;
+        if (job->out_f16) {
+          scratch.resize(items);
+          out = scratch.data();
+        } else {
+          out = job->buf.data() + static_cast<int64_t>(i) * items;
+        }
         int rc = decode_one_to_f32(job->paths[i].c_str(), out, bytes_per_item);
         if (rc == 0 && job->normalize) {
           const float m = job->mean, s = job->stddev;
           for (int64_t k = 0; k < items; ++k) out[k] = (out[k] - m) / s;
+        }
+        if (rc == 0 && job->out_f16) {
+          convert_f32_to_f16(out, job->buf16.data() + static_cast<int64_t>(i) * items,
+                             static_cast<size_t>(items));
         }
         if (rc != 0) {
           int expected = 0;
@@ -312,8 +365,8 @@ void* saragan_pf_create(int64_t bytes_per_item, int num_workers) {
   return pf;
 }
 
-int saragan_pf_submit(void* handle, const char** paths, int n,
-                      float mean, float stddev, int normalize) {
+int saragan_pf_submit_t(void* handle, const char** paths, int n,
+                        float mean, float stddev, int normalize, int out_f16) {
   auto* pf = static_cast<Prefetcher*>(handle);
   if (!pf || n <= 0) return 1;
   if (normalize && stddev == 0.0f) return 2;
@@ -321,7 +374,13 @@ int saragan_pf_submit(void* handle, const char** paths, int n,
   job->n_items = n;
   job->paths.reserve(n);
   for (int i = 0; i < n; ++i) job->paths.emplace_back(paths[i]);
-  job->buf.resize(static_cast<size_t>(n) * (pf->bytes_per_item / 4));
+  const size_t items = static_cast<size_t>(n) * (pf->bytes_per_item / 4);
+  job->out_f16 = out_f16 ? 1 : 0;
+  if (job->out_f16) {
+    job->buf16.resize(items);
+  } else {
+    job->buf.resize(items);
+  }
   job->mean = mean;
   job->stddev = stddev;
   job->normalize = normalize;
@@ -332,6 +391,11 @@ int saragan_pf_submit(void* handle, const char** paths, int n,
   }
   pf->cv_work.notify_all();
   return 0;
+}
+
+int saragan_pf_submit(void* handle, const char** paths, int n,
+                      float mean, float stddev, int normalize) {
+  return saragan_pf_submit_t(handle, paths, n, mean, stddev, normalize, 0);
 }
 
 // Blocks until the OLDEST submitted job completes, copies it into dst
@@ -348,9 +412,12 @@ int saragan_pf_next(void* handle, void* dst, int64_t dst_bytes) {
     pf->fifo.pop_front();
   }
   if (job->status.load() != 0) return 16 + job->status.load();
-  const int64_t total = static_cast<int64_t>(job->n_items) * pf->bytes_per_item;
+  const int64_t total = static_cast<int64_t>(job->n_items) * pf->bytes_per_item
+                        / (job->out_f16 ? 2 : 1);
   if (total != dst_bytes) return 3;
-  memcpy(dst, job->buf.data(), total);
+  memcpy(dst, job->out_f16 ? static_cast<const void*>(job->buf16.data())
+                           : static_cast<const void*>(job->buf.data()),
+         total);
   return 0;
 }
 

@@ -80,6 +80,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                             ctypes.c_int64]
             lib.saragan_pf_destroy.restype = None
             lib.saragan_pf_destroy.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "saragan_pf_submit_t"):  # f16 output (round-3 builds)
+            lib.saragan_pf_submit_t.restype = ctypes.c_int
+            lib.saragan_pf_submit_t.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -134,13 +140,20 @@ class NativeBatchPrefetcher:
     so callers can fall back to the Python thread."""
 
     def __init__(self, make_paths, item_shape, mean, stddev,
-                 depth: int = 3, workers: int = 4):
+                 depth: int = 3, workers: int = 4, out_dtype=np.float32):
         lib = _load()
         assert lib is not None and hasattr(lib, "saragan_pf_create")
+        out_dtype = np.dtype(out_dtype)
+        assert out_dtype in (np.float32, np.float16), out_dtype
+        if out_dtype == np.float16 and not hasattr(lib, "saragan_pf_submit_t"):
+            # pre-f16 library build: fall back to f32 output (the trainer
+            # then casts, as before)
+            out_dtype = np.dtype(np.float32)
         self._lib = lib
         self._make_paths = make_paths
         self._item_shape = tuple(int(s) for s in item_shape)
         self._bytes_per_item = int(np.prod(self._item_shape)) * 4
+        self._out_dtype = out_dtype
         self._normalize = mean is not None or stddev is not None
         self._mean = float(mean if mean is not None else 0.0)
         self._std = float(stddev if stddev is not None else 1.0)
@@ -154,9 +167,17 @@ class NativeBatchPrefetcher:
     def _submit(self):
         paths = list(self._make_paths())
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-        rc = self._lib.saragan_pf_submit(
-            self._handle, arr, len(paths),
-            self._mean, self._std, int(self._normalize))
+        if self._out_dtype == np.float16:
+            # normalized batches stored/shipped at half width: the f32->f16
+            # cast runs on the C++ worker pool, and the consumer copy (and
+            # any host->device transfer after it) halves
+            rc = self._lib.saragan_pf_submit_t(
+                self._handle, arr, len(paths),
+                self._mean, self._std, int(self._normalize), 1)
+        else:
+            rc = self._lib.saragan_pf_submit(
+                self._handle, arr, len(paths),
+                self._mean, self._std, int(self._normalize))
         assert rc == 0, f"saragan_pf_submit rc={rc}"
         self._inflight.append(len(paths))
 
@@ -164,7 +185,7 @@ class NativeBatchPrefetcher:
         if self._handle is None:
             raise StopIteration
         n = self._inflight.pop(0)
-        out = np.empty((n,) + self._item_shape, np.float32)
+        out = np.empty((n,) + self._item_shape, self._out_dtype)
         rc = self._lib.saragan_pf_next(
             self._handle, out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
         if rc != 0:
@@ -186,7 +207,8 @@ class NativeBatchPrefetcher:
 
 
 def make_native_prefetcher(make_paths, item_shape, mean, stddev,
-                           depth: int = 3, workers: int = 4):
+                           depth: int = 3, workers: int = 4,
+                           out_dtype=np.float32):
     """NativeBatchPrefetcher when the library (with pf symbols) is built,
     else None."""
     lib = _load()
@@ -194,6 +216,7 @@ def make_native_prefetcher(make_paths, item_shape, mean, stddev,
         return None
     try:
         return NativeBatchPrefetcher(make_paths, item_shape, mean, stddev,
-                                     depth=depth, workers=workers)
+                                     depth=depth, workers=workers,
+                                     out_dtype=out_dtype)
     except Exception:
         return None

@@ -390,7 +390,8 @@ class Trainer:
                         return npy_train.batch_paths(global_batch)
 
                 prefetcher = native_io.make_native_prefetcher(
-                    paths_fn, npy_train.shape, cfg.data_mean, cfg.data_stddev
+                    paths_fn, npy_train.shape, cfg.data_mean, cfg.data_stddev,
+                    out_dtype=transfer_dtype,
                 )
             if prefetcher is None:
                 prefetcher = Prefetcher(make_batch)

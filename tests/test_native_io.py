@@ -172,3 +172,45 @@ def test_trainer_uses_native_prefetcher_and_trains(tmp_path):
     t.run()
     events = [json.loads(l) for l in open(tmp_path / "logs" / "events.jsonl")]
     assert any(e["tag"] == "Loss/d_loss" for e in events)
+
+
+def test_prefetcher_f16_output_bit_exact(tmp_path):
+    """--transfer_dtype float16 path: the executor's f32->f16 conversion
+    (normalize included) must be bit-exact vs numpy's round-to-nearest-even
+    cast, including signed zeros, inf/nan, the 65504/65520 overflow
+    boundary, and half subnormals."""
+    if not hasattr(native._load(), "saragan_pf_submit_t"):
+        pytest.skip("library built without f16 prefetch support")
+    rng = np.random.default_rng(0)
+    special = np.array(
+        [0.0, -0.0, np.inf, -np.inf, np.nan, 65504.0, 65520.0, 65519.9,
+         2**-24, 2**-25, 2**-25 * 1.0001, 2**-26, 1e-8, -1e-8, 3.14159,
+         -2.71828e4, 6.1e-5, 5.96e-8], np.float32)
+    vals = np.concatenate([
+        special,
+        rng.normal(0, 10, 4096).astype(np.float32),
+        rng.normal(0, 1e-6, 1024).astype(np.float32),
+        rng.normal(0, 1e4, 1024).astype(np.float32),
+    ])
+    p = str(tmp_path / "a.npy")
+    np.save(p, vals)
+    n = len(vals)
+
+    pf = native.NativeBatchPrefetcher(
+        lambda: [p], (n,), None, None, depth=1, out_dtype=np.float16)
+    got = next(pf)
+    pf.stop()
+    assert got.dtype == np.float16
+    want = vals.astype(np.float16)[None]
+    np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
+
+    # normalized variant
+    pf = native.NativeBatchPrefetcher(
+        lambda: [p], (n,), 1.5, 2.0, depth=1, out_dtype=np.float16)
+    got = next(pf)
+    pf.stop()
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)  # inf overflow in the cast
+        want = ((vals - 1.5) / 2.0).astype(np.float16)[None]
+    np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
