@@ -122,6 +122,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shared-fake-pass WGAN gradient assembly: one D backward over "
                         "the fake batch instead of two (exact; default on)")
     p.add_argument("--no_fused_grads", dest="fused_grads", action="store_false")
+    p.add_argument("--gp_full_reduction", default=False, action="store_true",
+                   help="Reduce the GP norm over ALL non-batch axes in the simultaneous "
+                        "loss instead of the reference's literal (1,2,3) axes quirk "
+                        "(reference loss.py:140)")
+    p.add_argument("--gp_grad_mode", default="revrev", choices=["revrev", "revfwd"],
+                   help="Gradient-penalty parameter-gradient algebra in the fused-grads "
+                        "step: reverse-over-reverse (default) or reverse-over-forward "
+                        "(exact either way; hardware A/B in BASELINE.md)")
     p.add_argument("--remat", default=False, action="store_true",
                    help="Rematerialize G/D forwards in the backward (HBM for FLOPs)")
     p.add_argument("--remat_offload", default=False, action="store_true",

@@ -194,6 +194,10 @@ class Config:
     # PCIe/DMA bandwidth for HBM.
     remat_offload: bool = False
     lazy_gp: int = 1  # apply the gradient penalty every k-th step with k-scaled weight (StyleGAN2 lazy regularization; 1 = reference-exact)
+    # reduce the GP norm over ALL non-batch axes in the simultaneous loss
+    # instead of the reference's literal axes (1, 2, 3) quirk (reference
+    # loss.py:140 drops the last spatial axis for 3D volumes)
+    gp_full_reduction: bool = False
     full_state_checkpoints: bool = False  # periodic checkpoints also save the full TrainState (optimizer slots) for exact mid-phase resume
     # compute conv-after-upscale as one transposed conv — exact (oracle +
     # gradient tested), +5.6% train / +25% inference measured on v5e; default
@@ -204,6 +208,12 @@ class Config:
     # (losses.grads_simultaneous; grad-equality pinned in tests); default
     # on, opt out with --no_fused_grads
     fused_grads: bool = True
+    # algebra of the gradient-penalty parameter gradient in the fused-grads
+    # step: 'revrev' (reverse-over-reverse, the textbook grad-of-grad) or
+    # 'revfwd' (reverse-over-forward: grad of a jvp in the frozen-cotangent
+    # direction).  Both exact (equality pinned in tests); which schedules
+    # faster is hardware-measured (BASELINE.md).
+    gp_grad_mode: str = "revrev"
 
     # ------------------------------------------------------------------
     # Derived properties

@@ -160,6 +160,7 @@ def grads_simultaneous(
     noise_stddev: float = 0.0,
     gp_full_reduction: bool = False,
     compute_gp: bool = True,
+    gp_grad_mode: str = "revrev",
 ) -> Tuple[Tuple[Any, Any], LossOutput]:
     """WGAN simultaneous gradients with the fake critic pass SHARED.
 
@@ -184,6 +185,22 @@ def grads_simultaneous(
     proportional and sharing saves nothing).  Returns
     ``((g_grads, d_grads), LossOutput)`` with the same reported losses as
     `forward_simultaneous` (floating-point association differs).
+
+    gp_grad_mode selects the ALGEBRA of the penalty's parameter gradient
+    (both are exact; floating-point association differs):
+
+    * ``'revrev'`` (default): reverse-over-reverse — jax.grad of a function
+      whose body contains the inner jax.grad, the textbook grad-of-grad.
+    * ``'revfwd'``: reverse-over-forward.  With g = dD/dx at the
+      interpolates and P(g) the penalty, dP/dtheta = (dg/dtheta)^T P'(g);
+      freezing c = P'(g) (stop_gradient: the true gradient has NO term
+      through c — d/dtheta P(g(theta)) = P'(g)·dg/dtheta exactly), the
+      identity <c, dD/dx> = jvp of D at x in direction c turns the penalty
+      gradient into jax.grad of a *forward-mode* directional derivative:
+      one fwd+bwd for g, then reverse through a jvp instead of reverse
+      through the inner reverse.  Same math, different XLA program — which
+      of the two schedules better on hardware is an empirical A/B
+      (BASELINE.md).
     """
     k_z, k_g, k_nr, k_nf, k_gamma = jax.random.split(rng, 5)
     n = real_image_input.shape[0]
@@ -215,11 +232,37 @@ def grads_simultaneous(
         interpolates = gamma * real + (1 - gamma) * fake_sg
         axes = _simultaneous_axes(real.ndim, gp_full_reduction)
 
-        def f_gp(d_p):
-            slopes = _gp_slopes(disc_fn, d_p, interpolates, axes)
-            return jnp.mean(gp_weight * (slopes - 1.0) ** 2)
+        if gp_grad_mode == "revfwd":
+            d_params_c = jax.tree_util.tree_map(jax.lax.stop_gradient, d_params)
+            g = jax.grad(
+                lambda xi: jnp.sum(disc_fn(d_params_c, xi).astype(jnp.float32))
+            )(interpolates)
 
-        gp_mean, ggp_d = jax.value_and_grad(f_gp)(d_params)
+            def penalty_of(gg):
+                slopes = jnp.sqrt(jnp.sum(jnp.square(gg.astype(jnp.float32)), axis=axes))
+                return jnp.mean(gp_weight * (slopes - 1.0) ** 2)
+
+            gp_mean, c = jax.value_and_grad(penalty_of)(g)
+            c = jax.lax.stop_gradient(c).astype(interpolates.dtype)
+
+            def directional(d_p):
+                _, tangent = jax.jvp(
+                    lambda xi: jnp.sum(disc_fn(d_p, xi).astype(jnp.float32)),
+                    (interpolates,),
+                    (c,),
+                )
+                return tangent
+
+            ggp_d = jax.grad(directional)(d_params)
+        elif gp_grad_mode == "revrev":
+
+            def f_gp(d_p):
+                slopes = _gp_slopes(disc_fn, d_p, interpolates, axes)
+                return jnp.mean(gp_weight * (slopes - 1.0) ** 2)
+
+            gp_mean, ggp_d = jax.value_and_grad(f_gp)(d_params)
+        else:
+            raise ValueError(f"Unknown gp_grad_mode: {gp_grad_mode}")
     else:
         gp_mean = jnp.zeros((), jnp.float32)
         ggp_d = None

@@ -223,7 +223,9 @@ def make_train_step(
                     latent_dim=cfg.latent_dim,
                     gp_weight=gp_weight_eff,
                     noise_stddev=cfg.noise_stddev,
+                    gp_full_reduction=getattr(cfg, "gp_full_reduction", False),
                     compute_gp=apply_gp,
+                    gp_grad_mode=getattr(cfg, "gp_grad_mode", "revrev"),
                 )
                 return (gg, dg), (
                     out.gen_loss, out.disc_loss, out.gp_loss,
@@ -255,6 +257,7 @@ def make_train_step(
                     loss_fn=cfg.loss_fn,
                     gp_weight=gp_weight_eff,
                     noise_stddev=cfg.noise_stddev,
+                    gp_full_reduction=getattr(cfg, "gp_full_reduction", False),
                     compute_gp=apply_gp,
                 )
                 return out.gen_loss + out.disc_loss, out

@@ -336,3 +336,136 @@ def test_uncaught_exception_marks_trial_failed(tmp_path):
         study.optimize(obj, n_trials=1)
     states = [t.state for t in study.get_trials()]
     assert states == ["FAIL"], states
+
+
+# -- full CMA-ES (round 3: evolution paths + CSA + rank-1/rank-mu) ----------
+
+
+def test_cma_step_size_adapts_on_sphere():
+    """CSA must SHRINK sigma as the population converges on a sphere —
+    the round-2 elite-ES had no step-size control at all."""
+
+    def obj(t):
+        x = t.suggest_float("x", -4, 4)
+        y = t.suggest_float("y", -4, 4)
+        return (x - 1.0) ** 2 + (y - 1.0) ** 2
+
+    sampler = samplers.CmaEsSampler(seed=5, n_startup_trials=8)
+    study = create_study(sampler=sampler)
+    study.optimize(obj, n_trials=100)
+    done = [t for t in study.trials if t.value is not None and t.state == "COMPLETE"]
+    m, sigma, B, D, names = sampler._replay(study, done)
+    assert sigma < sampler._SIGMA0, sigma  # step size adapted downward
+    # replayed mean sits near the optimum in unit coords ((1-(-4))/8 = 0.625)
+    assert abs(m[names.index("x")] - 0.625) < 0.1
+    assert abs(m[names.index("y")] - 0.625) < 0.1
+
+
+def test_cma_converges_on_ill_conditioned_ellipsoid():
+    """Rotated 100:1 ellipsoid: needs BOTH covariance adaptation (rotation)
+    and step-size control (conditioning) — the defining CMA-ES benchmark."""
+
+    def obj(t):
+        x = t.suggest_float("x", -3, 3)
+        y = t.suggest_float("y", -3, 3)
+        u = (x + y) / math.sqrt(2) - 1.0
+        v = (x - y) / math.sqrt(2)
+        return u * u + 100.0 * v * v
+
+    study = create_study(sampler=samplers.CmaEsSampler(seed=7, n_startup_trials=10))
+    study.optimize(obj, n_trials=200)
+    assert study.best_trial.value < 0.05, study.best_trial.value
+
+
+def test_cma_ipop_restart_grows_population():
+    """Once a generation's fitness goes flat, ipop must restart with an
+    inc_popsize-scaled population (observable as a reset, wider sigma)."""
+
+    def obj(t):
+        x = t.suggest_float("x", -1, 1)
+        return 0.0  # perfectly flat fitness: forces the stagnation branch
+
+    sampler = samplers.CmaEsSampler(seed=9, n_startup_trials=4,
+                                    restart_strategy="ipop", inc_popsize=2, popsize=4)
+    study = create_study(sampler=sampler)
+    study.optimize(obj, n_trials=24)
+    done = [t for t in study.trials if t.value is not None and t.state == "COMPLETE"]
+    m, sigma, B, D, names = sampler._replay(study, done)
+    # after >= 1 flat generation the state was reset: sigma back at SIGMA0
+    assert sigma == pytest.approx(sampler._SIGMA0)
+    # and the same history WITHOUT ipop adapts sigma away from SIGMA0
+    plain = samplers.CmaEsSampler(seed=9, n_startup_trials=4, popsize=4)
+    _, sigma_plain, _, _, _ = plain._replay(study, done)
+    assert sigma_plain != pytest.approx(sampler._SIGMA0)
+
+
+def test_nsgaii_joint_child_recombines_correlated_params():
+    """The child vector must be built ONCE per trial (joint SBX), not per
+    parameter with independent parents — cache present and respected."""
+    study = create_study(
+        sampler=samplers.NSGAIISampler(seed=13, n_startup_trials=8, population_size=10),
+        directions=["minimize", "minimize"],
+    )
+
+    def obj(t):
+        x = t.suggest_float("x", 0, 1)
+        y = t.suggest_float("y", 0, 1)
+        return (x - y) ** 2 + x, (x - y) ** 2 + (1 - x)
+
+    study.optimize(obj, n_trials=60)
+    front = study.best_trials
+    assert len(front) >= 4
+    # the Pareto set is the diagonal x == y: the front must hug it
+    diag = [abs(t.params["x"] - t.params["y"]) for t in front]
+    assert float(np.median(diag)) < 0.25, diag
+
+
+def test_nsgaii_environmental_selection_orders_fronts():
+    """_select_population fills from successive non-dominated fronts and
+    truncates the tail front by crowding distance."""
+    from saragan_tpu.hpo.engine import FrozenTrial, _non_dominated_sort
+
+    def ft(n, vals):
+        return FrozenTrial(number=n, state="COMPLETE", params={"x": 0.5},
+                           value=vals[0], values=list(vals),
+                           dists={"x": ("float", 0, 1)})
+
+    # two clean fronts: {(0,3),(1,1),(3,0)} dominate {(2,4),(4,2)}
+    trials = [ft(0, (0, 3)), ft(1, (1, 1)), ft(2, (3, 0)), ft(3, (2, 4)), ft(4, (4, 2))]
+    fronts = _non_dominated_sort(trials, ["minimize", "minimize"])
+    assert [sorted(t.number for t in f) for f in fronts] == [[0, 1, 2], [3, 4]]
+
+    s = samplers.NSGAIISampler(seed=0, population_size=4)
+
+    class _FakeStudy:
+        directions = ["minimize", "minimize"]
+
+    pop, rank, crowd = s._select_population(trials, _FakeStudy.directions)
+    numbers = sorted(t.number for t in pop)
+    # all of front 0, plus exactly one crowding-selected member of front 1
+    assert set([0, 1, 2]).issubset(numbers) and len(pop) == 4
+
+
+def test_median_pruner_sees_running_peers():
+    """A running trial that has reported must count toward the median
+    (Optuna semantics) — with concurrent workers most peers ARE running."""
+    from saragan_tpu.hpo.engine import FrozenTrial
+
+    study = create_study(pruner=pruners.MedianPruner(n_startup_trials=2, n_warmup_steps=0))
+    # two finished trials (startup gate) with middling values
+    for v in (5.0, 6.0):
+        t = study.ask()
+        t.suggest_float("x", 0, 1)
+        t.report(v, 0)
+        study.tell(t, "COMPLETE", v)
+    # three RUNNING trials that reported much better values
+    for v in (1.0, 1.1, 1.2):
+        t = study.ask()
+        t.suggest_float("x", 0, 1)
+        t.report(v, 0)
+    # current trial: value 4.0 — better than both finished peers, but worse
+    # than the running-median (1.1 .. 5, 6 -> median 1.2)
+    cur = study.ask()
+    cur.suggest_float("x", 0, 1)
+    cur.report(4.0, 0)
+    assert cur.should_prune()

@@ -327,6 +327,55 @@ def test_fused_grads_raw_gradient_equality(setup):
                                    rtol=2e-4, atol=1e-7, err_msg=k)
 
 
+def test_gp_revfwd_matches_revrev(setup):
+    """gp_grad_mode='revfwd' (reverse-over-forward: grad of a jvp in the
+    frozen P'(g) direction) must equal the default reverse-over-reverse
+    grad-of-grad — same losses, same G and D gradients."""
+    cfg, arch, state, *_ = setup
+    gen, disc = _bound(arch, cfg)
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4))
+    rng = jax.random.PRNGKey(5)
+    kw = dict(latent_dim=cfg.latent_dim, gp_weight=3.0, noise_stddev=0.02)
+
+    (gg_rr, dg_rr), out_rr = losses.grads_simultaneous(
+        gen, disc, state.g_params, state.d_params, real, rng,
+        gp_grad_mode="revrev", **kw
+    )
+    (gg_rf, dg_rf), out_rf = losses.grads_simultaneous(
+        gen, disc, state.g_params, state.d_params, real, rng,
+        gp_grad_mode="revfwd", **kw
+    )
+    np.testing.assert_allclose(float(out_rf.gp_loss), float(out_rr.gp_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(out_rf.disc_loss), float(out_rr.disc_loss), rtol=1e-6)
+    for k in gg_rr:
+        np.testing.assert_allclose(np.asarray(gg_rf[k]), np.asarray(gg_rr[k]),
+                                   rtol=1e-5, atol=1e-8, err_msg=k)
+    for k in dg_rr:
+        np.testing.assert_allclose(np.asarray(dg_rf[k]), np.asarray(dg_rr[k]),
+                                   rtol=2e-4, atol=1e-7, err_msg=k)
+
+
+def test_gp_revfwd_full_reduction_and_2nd_order_families():
+    """revfwd under gp_full_reduction and through a full train step."""
+    arch = get_architecture("pgan")
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 8, 8, 8))
+    rng = jax.random.PRNGKey(5)
+    results = {}
+    for mode in ("revrev", "revfwd"):
+        cfg = tiny_cfg(gp_grad_mode=mode, gp_full_reduction=True)
+        state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+        step = jax.jit(make_train_step(arch, cfg, 2, g_opt, d_opt))
+        results[mode] = step(state, real, rng, 0.5, 1e-3, 1e-3)
+    st_rr, m_rr = results["revrev"]
+    st_rf, m_rf = results["revfwd"]
+    np.testing.assert_allclose(float(m_rf.gp_loss), float(m_rr.gp_loss), rtol=1e-5)
+    for k in st_rr.d_params:
+        np.testing.assert_allclose(
+            np.asarray(st_rf.d_params[k]), np.asarray(st_rr.d_params[k]),
+            rtol=2e-4, atol=1e-6, err_msg=k,
+        )
+
+
 def test_static_alpha_zero_step_matches_traced():
     """make_train_step(static_alpha=0.0) prunes the transition branches; the
     resulting update must equal the traced step called with alpha=0.0 —
