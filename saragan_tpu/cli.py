@@ -128,8 +128,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference loss.py:140)")
     p.add_argument("--gp_grad_mode", default="revrev", choices=["revrev", "revfwd"],
                    help="Gradient-penalty parameter-gradient algebra in the fused-grads "
-                        "step: reverse-over-reverse (default) or reverse-over-forward "
-                        "(exact either way; hardware A/B in BASELINE.md)")
+                        "step: reverse-over-reverse (default; measured faster on v5e, "
+                        "BASELINE.md) or reverse-over-forward (exact either way)")
     p.add_argument("--remat", default=False, action="store_true",
                    help="Rematerialize G/D forwards in the backward (HBM for FLOPs)")
     p.add_argument("--remat_offload", default=False, action="store_true",

@@ -211,8 +211,8 @@ class Config:
     # algebra of the gradient-penalty parameter gradient in the fused-grads
     # step: 'revrev' (reverse-over-reverse, the textbook grad-of-grad) or
     # 'revfwd' (reverse-over-forward: grad of a jvp in the frozen-cotangent
-    # direction).  Both exact (equality pinned in tests); which schedules
-    # faster is hardware-measured (BASELINE.md).
+    # direction).  Both exact (equality pinned in tests); revrev measured
+    # ~1.3% faster on v5e at phase 6, so it is the default (BASELINE.md).
     gp_grad_mode: str = "revrev"
 
     # ------------------------------------------------------------------

@@ -554,7 +554,8 @@ class CmaEsSampler:
             y_w = w @ ys
             m = m + sigma * y_w
 
-            B, D = _eigen(C)
+            # B, D always hold the decomposition of the CURRENT C on entry
+            # (init, end of the previous generation, or restart)
             c_inv_sqrt_yw = B @ ((B.T @ y_w) / D)
             p_sigma = (1.0 - c_sigma) * p_sigma + math.sqrt(
                 c_sigma * (2.0 - c_sigma) * mu_eff) * c_inv_sqrt_yw
@@ -833,9 +834,11 @@ class MedianPruner:
     the median of other trials' values at the same step (Optuna's documented
     MedianPruner semantics; reference uses MedianPruner(n_startup_trials=10)).
 
-    Peers include RUNNING trials that have already reported (Optuna does the
-    same — with N concurrent inter-trial workers most comparable trials ARE
-    running); the startup gate counts finished trials only."""
+    Peers include RUNNING trials that have already reported (with N
+    concurrent inter-trial workers most comparable trials ARE running);
+    FAIL trials and non-finite reports are excluded so one diverged trial
+    cannot poison the median; the startup gate counts finished trials
+    only."""
 
     def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0):
         self.n_startup_trials = n_startup_trials
@@ -845,7 +848,8 @@ class MedianPruner:
         step = trial.last_step
         if step is None or step < self.n_warmup_steps:
             return False
-        all_trials = [t for t in study.get_trials() if t.number != trial.number]
+        all_trials = [t for t in study.get_trials()
+                      if t.number != trial.number and t.state != FAIL]
         finished = [t for t in all_trials
                     if t.state in (COMPLETE, PRUNED) and t.intermediate_values]
         if len(finished) < self.n_startup_trials:
@@ -857,17 +861,19 @@ class MedianPruner:
             # value at the LARGEST step <= step — dict insertion order is not
             # step order if reports ever arrive out of order (resume,
             # multiple callbacks); SHA below sorts for the same reason
-            at_step = [v for s, v in sorted(t.intermediate_values.items()) if s <= step]
+            at_step = [v for s, v in sorted(t.intermediate_values.items())
+                       if s <= step and math.isfinite(v)]
             if at_step:
                 peers.append(at_step[-1])
         if not peers:
             return False
         median = float(np.median(peers))
+        values = list(trial.intermediate_values.values())
+        if any(not math.isfinite(v) for v in values):
+            return True  # diverged (NaN/inf report): prune, as Optuna does
         if study.direction == "minimize":
-            best = min(trial.intermediate_values.values())
-            return best > median
-        best = max(trial.intermediate_values.values())
-        return best < median
+            return min(values) > median
+        return max(values) < median
 
 
 class SuccessiveHalvingPruner:

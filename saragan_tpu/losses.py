@@ -42,10 +42,16 @@ def _instance_noise(rng, x, noise_stddev):
     return x
 
 
+def _slopes_from_grads(grads: jax.Array, axes) -> jax.Array:
+    """||g|| reduced over `axes` in f32 — the single definition of the GP
+    slope norm, shared by every gradient-penalty formulation below."""
+    return jnp.sqrt(jnp.sum(jnp.square(grads.astype(jnp.float32)), axis=axes))
+
+
 def _gp_slopes(disc_fn, d_params, interp, axes) -> jax.Array:
     """||d D(x)/d x|| per sample over `axes` (second-order differentiable)."""
     grads = jax.grad(lambda xi: jnp.sum(disc_fn(d_params, xi)).astype(jnp.float32))(interp)
-    return jnp.sqrt(jnp.sum(jnp.square(grads.astype(jnp.float32)), axis=axes))
+    return _slopes_from_grads(grads, axes)
 
 
 def _simultaneous_axes(ndim: int, full: bool) -> Tuple[int, ...]:
@@ -239,7 +245,7 @@ def grads_simultaneous(
             )(interpolates)
 
             def penalty_of(gg):
-                slopes = jnp.sqrt(jnp.sum(jnp.square(gg.astype(jnp.float32)), axis=axes))
+                slopes = _slopes_from_grads(gg, axes)
                 return jnp.mean(gp_weight * (slopes - 1.0) ** 2)
 
             gp_mean, c = jax.value_and_grad(penalty_of)(g)

@@ -58,13 +58,22 @@ def main():
 
     arch = get_architecture("pgan")
 
-    variants = {
-        # name -> (cfg, static_alpha): both halves of the phase for each mode
-        "revrev_traced": (make_cfg("revrev"), None),
-        "revfwd_traced": (make_cfg("revfwd"), None),
-        "revrev_static0": (make_cfg("revrev"), 0.0),
-        "revfwd_static0": (make_cfg("revfwd"), 0.0),
-    }
+    if phase >= 7:
+        # big-volume phases can't hold 4 variants' params+opt states in HBM
+        # at once (phase-7 batch-2 already OOMs, BASELINE.md): A/B the
+        # stabilizing-half step only
+        variants = {
+            "revrev_static0": (make_cfg("revrev"), 0.0),
+            "revfwd_static0": (make_cfg("revfwd"), 0.0),
+        }
+    else:
+        variants = {
+            # name -> (cfg, static_alpha): both halves of the phase per mode
+            "revrev_traced": (make_cfg("revrev"), None),
+            "revfwd_traced": (make_cfg("revfwd"), None),
+            "revrev_static0": (make_cfg("revrev"), 0.0),
+            "revfwd_static0": (make_cfg("revfwd"), 0.0),
+        }
 
     states = {}
     steps = {}

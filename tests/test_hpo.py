@@ -469,3 +469,39 @@ def test_median_pruner_sees_running_peers():
     cur.suggest_float("x", 0, 1)
     cur.report(4.0, 0)
     assert cur.should_prune()
+
+
+def test_median_pruner_ignores_failed_and_nan_peers():
+    """A FAIL trial's reports and non-finite intermediates must not poison
+    the peer median (one NaN would disable pruning study-wide: NaN
+    comparisons are always False); a diverged current trial is pruned."""
+    study = create_study(pruner=pruners.MedianPruner(n_startup_trials=2, n_warmup_steps=0))
+    for v in (5.0, 6.0):
+        t = study.ask()
+        t.suggest_float("x", 0, 1)
+        t.report(v, 0)
+        study.tell(t, "COMPLETE", v)
+    # a crashed trial that reported NaN before failing
+    t = study.ask()
+    t.suggest_float("x", 0, 1)
+    t.report(float("nan"), 0)
+    study.tell(t, "FAIL")
+    # a running peer with an inf report: the report is skipped, trial kept
+    t = study.ask()
+    t.suggest_float("x", 0, 1)
+    t.report(float("inf"), 0)
+
+    good = study.ask()
+    good.suggest_float("x", 0, 1)
+    good.report(4.0, 0)  # better than the 5.0/6.0 median -> keep
+    assert not good.should_prune()
+
+    bad = study.ask()
+    bad.suggest_float("x", 0, 1)
+    bad.report(9.0, 0)  # worse than the median -> prune (NaN didn't poison it)
+    assert bad.should_prune()
+
+    diverged = study.ask()
+    diverged.suggest_float("x", 0, 1)
+    diverged.report(float("nan"), 0)
+    assert diverged.should_prune()
