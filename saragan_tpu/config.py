@@ -58,6 +58,11 @@ class Config:
     # --- positional ---
     architecture: str = "pgan"
     dataset_path: str = ""
+    # dataset KIND — the 2D sibling's `dataset` positional (reference
+    # SURFGAN_2D/main.py:669): 'imagenet' selects the class-folder JPEG
+    # pipeline; None = npy pyramid (auto-detects ImageNet layout for 2D
+    # configs whose dataset_path holds a train/ folder of class dirs)
+    dataset: Optional[str] = None
     # --- shapes / phases (reference main.py:236-244) ---
     start_shape: str = "(1, 4, 4, 4)"
     final_shape: str = "(1, 32, 32, 32)"
@@ -214,6 +219,15 @@ class Config:
     # direction).  Both exact (equality pinned in tests); revrev measured
     # ~1.3% faster on v5e at phase 6, so it is the default (BASELINE.md).
     gp_grad_mode: str = "revrev"
+    # stack the fake and real critic passes through one vmap'ped D so XLA
+    # emits a single 2N-batched forward/backward pair instead of two
+    # N-batched subgraphs — exact for every family (vmap keeps
+    # minibatch-stddev statistics within each pass; equality pinned in
+    # tests).  Only reachable on the fused-grads WGAN path.  Measured on
+    # v5e phase 6 batch 8: 380.2 -> 358.0 ms traced-alpha, 343.6 -> 321.7
+    # ms static0 (+6.4% throughput) — default on, opt out with
+    # --no_batched_passes.
+    batched_passes: bool = True
 
     # ------------------------------------------------------------------
     # Derived properties

@@ -167,6 +167,7 @@ def grads_simultaneous(
     gp_full_reduction: bool = False,
     compute_gp: bool = True,
     gp_grad_mode: str = "revrev",
+    batched_passes: bool = False,
 ) -> Tuple[Tuple[Any, Any], LossOutput]:
     """WGAN simultaneous gradients with the fake critic pass SHARED.
 
@@ -207,6 +208,17 @@ def grads_simultaneous(
       through the inner reverse.  Same math, different XLA program — which
       of the two schedules better on hardware is an empirical A/B
       (BASELINE.md).
+
+    batched_passes stacks the fake and real critic passes on a leading
+    axis of 2 and runs them through ONE ``jax.vmap``-ped discriminator, so
+    XLA emits a single 2N-batched forward and a single 2N-batched backward
+    instead of two separate N-batched subgraphs.  Exact for every family:
+    vmap keeps minibatch-stddev statistics (and every other cross-sample
+    op) WITHIN each pass — plain batch concatenation would not, because the
+    reference's mbstd groups are strided across the batch (reference
+    ops.py:313-325 reshapes [G, N/G, ...] and reduces axis 0).  The d-grads
+    of the two terms come out pre-summed, which is exactly the combination
+    the step applies anyway.
     """
     k_z, k_g, k_nr, k_nf, k_gamma = jax.random.split(rng, 5)
     n = real_image_input.shape[0]
@@ -215,22 +227,46 @@ def grads_simultaneous(
     z = jax.random.normal(k_z, (n, latent_dim), dtype)
     real = _instance_noise(k_nr, real_image_input, noise_stddev)
 
-    def f_fake(g_p, d_p):
-        gen_sample = gen_fn(g_p, z, k_g)
-        fake = _instance_noise(k_nf, gen_sample, noise_stddev)
-        score = jnp.mean(disc_fn(d_p, fake).astype(jnp.float32))
-        return score, (gen_sample, fake)
+    if batched_passes:
 
-    (fake_score, (gen_sample, fake)), (gfake_g, gfake_d) = jax.value_and_grad(
-        f_fake, argnums=(0, 1), has_aux=True
-    )(g_params, d_params)
+        def f_joint(g_p, d_p):
+            gen_sample = gen_fn(g_p, z, k_g)
+            fake = _instance_noise(k_nf, gen_sample, noise_stddev)
+            stacked = jnp.stack([fake, real.astype(fake.dtype)])
+            scores = jax.vmap(disc_fn, in_axes=(None, 0))(d_p, stacked)
+            scores = scores.astype(jnp.float32)
+            f_score = jnp.mean(scores[0])
+            rs = scores[1]
+            # -critic(real) + drift (reference loss.py:133-134)
+            r_term = jnp.mean(-rs + 1e-3 * jnp.square(rs))
+            return f_score + r_term, (gen_sample, fake, f_score, r_term)
 
-    def f_real(d_p):
-        scores = disc_fn(d_p, real).astype(jnp.float32)
-        # -critic(real) + drift (reference loss.py:133-134)
-        return jnp.mean(-scores + 1e-3 * jnp.square(scores))
+        (_, (gen_sample, fake, fake_score, real_term)), (gfake_g, gjoint_d) = (
+            jax.value_and_grad(f_joint, argnums=(0, 1), has_aux=True)(
+                g_params, d_params
+            )
+        )
+        # gjoint_d == gfake_d + greal_d (the real term has no g_p path, so
+        # gfake_g is untouched by the merge)
+        gfake_d, greal_d = gjoint_d, None
+    else:
 
-    real_term, greal_d = jax.value_and_grad(f_real)(d_params)
+        def f_fake(g_p, d_p):
+            gen_sample = gen_fn(g_p, z, k_g)
+            fake = _instance_noise(k_nf, gen_sample, noise_stddev)
+            score = jnp.mean(disc_fn(d_p, fake).astype(jnp.float32))
+            return score, (gen_sample, fake)
+
+        (fake_score, (gen_sample, fake)), (gfake_g, gfake_d) = jax.value_and_grad(
+            f_fake, argnums=(0, 1), has_aux=True
+        )(g_params, d_params)
+
+        def f_real(d_p):
+            scores = disc_fn(d_p, real).astype(jnp.float32)
+            # -critic(real) + drift (reference loss.py:133-134)
+            return jnp.mean(-scores + 1e-3 * jnp.square(scores))
+
+        real_term, greal_d = jax.value_and_grad(f_real)(d_params)
 
     if compute_gp:
         fake_sg = jax.lax.stop_gradient(fake)
@@ -274,12 +310,8 @@ def grads_simultaneous(
         ggp_d = None
 
     g_grads = jax.tree_util.tree_map(lambda g: -g, gfake_g)
-    if ggp_d is None:
-        d_grads = jax.tree_util.tree_map(lambda a, b: a + b, gfake_d, greal_d)
-    else:
-        d_grads = jax.tree_util.tree_map(
-            lambda a, b, c: a + b + c, gfake_d, greal_d, ggp_d
-        )
+    terms = [t for t in (gfake_d, greal_d, ggp_d) if t is not None]
+    d_grads = jax.tree_util.tree_map(lambda *ts: sum(ts), *terms)
 
     gen_loss = -fake_score
     disc_loss = fake_score + real_term + gp_mean

@@ -226,6 +226,7 @@ def make_train_step(
                     gp_full_reduction=getattr(cfg, "gp_full_reduction", False),
                     compute_gp=apply_gp,
                     gp_grad_mode=getattr(cfg, "gp_grad_mode", "revrev"),
+                    batched_passes=getattr(cfg, "batched_passes", False),
                 )
                 return (gg, dg), (
                     out.gen_loss, out.disc_loss, out.gp_loss,

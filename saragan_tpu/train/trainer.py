@@ -103,6 +103,22 @@ class Trainer:
     def _get_dataset(self, phase: int) -> NumpyPathDataset:
         if self.dataset_factory is not None:
             return self.dataset_factory(phase)
+        cfg = self.cfg
+        wants_imagenet = getattr(cfg, "dataset", None) == "imagenet" or (
+            getattr(cfg, "dataset", None) is None
+            and cfg.ndim == 2
+            and os.path.isdir(os.path.join(cfg.dataset_path or "", "train"))
+        )
+        if wants_imagenet:
+            # the 2D sibling's ImageNet path (reference SURFGAN_2D/main.py:
+            # 66-103): class-folder JPEGs resized per phase.  Cached so the
+            # file listing / scratch copy happens once across phases.
+            from saragan_tpu.data.imagenet import imagenet_dataset_factory
+
+            self.dataset_factory = imagenet_dataset_factory(
+                cfg, cfg.dataset_path, num_classes=max(1, cfg.num_labels or 1)
+            )
+            return self.dataset_factory(phase)
         return get_numpy_dataset(
             phase,
             self.cfg.starting_phase,

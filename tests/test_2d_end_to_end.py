@@ -61,6 +61,36 @@ def test_2d_pgan_two_phase_run(imagenet_dir, tmp_path):
     assert params["generator/generator_block_2/conv_1/weight"].shape == (3, 3, 8, 8)
 
 
+def test_2d_cli_autoselects_imagenet_dataset(imagenet_dir, tmp_path):
+    """Without an explicit dataset_factory, a 2D config whose dataset_path
+    is an ImageNet class-folder layout must reach the JPEG pipeline from the
+    plain CLI path (the 2D sibling's `dataset` positional,
+    SURFGAN_2D/main.py:669 — here --dataset / auto-detection)."""
+    from saragan_tpu.data.imagenet import ImageDatasetAdapter
+
+    cfg = Config(
+        architecture="pgan",
+        dataset_path=imagenet_dir,
+        start_shape="(3, 4, 4)",
+        final_shape="(3, 16, 16)",
+        latent_dim=16,
+        base_batch_size=4,
+        kernel_spec=[[[], [3, 3]], [[3, 3], [3, 3]]],
+        filter_spec=[[8, 8], [8, 8]],
+        conv_kernel_size=(3, 3),
+        g_lr=1e-3,
+        d_lr=1e-3,
+        logdir=str(tmp_path / "logs2d_auto"),
+    ).finalize()
+    tr = Trainer(cfg, verbose=False)
+    ds = tr._get_dataset(1)
+    assert isinstance(ds, ImageDatasetAdapter)
+    # explicit kind wins regardless of layout
+    cfg2 = Config(**{**cfg.__dict__, "dataset": "imagenet"}).finalize()
+    tr2 = Trainer(cfg2, verbose=False)
+    assert isinstance(tr2._get_dataset(1), ImageDatasetAdapter)
+
+
 def test_2d_g_adam_d_lamb_with_accumulation(imagenet_dir, tmp_path):
     """The reference 2D path's hardwired configuration: G on Adam, D on LAMB
     with decoupled weight decay, plus micro-batch gradient accumulation

@@ -327,6 +327,64 @@ def test_fused_grads_raw_gradient_equality(setup):
                                    rtol=2e-4, atol=1e-7, err_msg=k)
 
 
+@pytest.mark.parametrize("arch_name", ["pgan", "surfgan"])
+def test_batched_passes_matches_separate(arch_name):
+    """batched_passes=True (fake+real through ONE vmap-stacked D pass) must
+    reproduce the separate-pass gradients exactly — including for surfgan,
+    whose discriminator uses minibatch-stddev: vmap keeps the group
+    statistics within each pass, which plain concatenation would not
+    (reference ops.py:313-325 strided groups)."""
+    arch = get_architecture(arch_name)
+    cfg = tiny_cfg(architecture=arch_name, network_size="xxs", noise_stddev=0.02)
+    state, _ = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+    gen, disc = _bound(arch, cfg, phase=2, alpha=0.5)
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 8, 8, 8))
+    rng = jax.random.PRNGKey(5)
+    kw = dict(latent_dim=cfg.latent_dim, gp_weight=3.0, noise_stddev=0.02)
+
+    (gg_s, dg_s), out_s = losses.grads_simultaneous(
+        gen, disc, state.g_params, state.d_params, real, rng,
+        batched_passes=False, **kw
+    )
+    (gg_b, dg_b), out_b = losses.grads_simultaneous(
+        gen, disc, state.g_params, state.d_params, real, rng,
+        batched_passes=True, **kw
+    )
+    np.testing.assert_allclose(float(out_b.gen_loss), float(out_s.gen_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(out_b.disc_loss), float(out_s.disc_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(out_b.gp_loss), float(out_s.gp_loss), rtol=1e-6)
+    for k in gg_s:
+        np.testing.assert_allclose(np.asarray(gg_b[k]), np.asarray(gg_s[k]),
+                                   rtol=2e-4, atol=1e-7, err_msg=k)
+    for k in dg_s:
+        np.testing.assert_allclose(np.asarray(dg_b[k]), np.asarray(dg_s[k]),
+                                   rtol=2e-4, atol=1e-7, err_msg=k)
+
+
+def test_batched_passes_through_step():
+    """cfg.batched_passes wired through make_train_step produces the same
+    parameter updates as the default fused step."""
+    arch = get_architecture("pgan")
+    real = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 8, 8, 8))
+    rng = jax.random.PRNGKey(5)
+    results = {}
+    for batched in (True, False):
+        cfg = tiny_cfg(batched_passes=batched, noise_stddev=0.02)
+        state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+        step = jax.jit(make_train_step(arch, cfg, 2, g_opt, d_opt))
+        new_state, metrics = step(state, real, rng, 0.5, 1e-3, 1e-3)
+        results[batched] = (new_state, metrics)
+    st_b, m_b = results[True]
+    st_s, m_s = results[False]
+    np.testing.assert_allclose(float(m_b.gen_loss), float(m_s.gen_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(m_b.disc_loss), float(m_s.disc_loss), rtol=1e-5)
+    for k in st_b.d_params:
+        np.testing.assert_allclose(
+            np.asarray(st_b.d_params[k]), np.asarray(st_s.d_params[k]),
+            rtol=2e-4, atol=1e-6, err_msg=k,
+        )
+
+
 def test_gp_revfwd_matches_revrev(setup):
     """gp_grad_mode='revfwd' (reverse-over-forward: grad of a jvp in the
     frozen P'(g) direction) must equal the default reverse-over-reverse
