@@ -15,7 +15,9 @@ so a phase's wall-clock is the mean of the two step times.  Both variants
 use the default shared-fake-pass WGAN gradient assembly (cfg.fused_grads)
 and exact upscale+conv transition fusion (cfg.fused_transitions).
 
-A phase-7 step (64x256x256, batch 1 — the big-volume regression guard) is
+A phase-7 step (64x256x256, batch 1 — the big-volume regression guard) and
+the serving path (EMA generator sampling at phase 6, fused transitions +
+Pallas elementwise kernels — tools/generate.make_volume_sampler) are
 measured alongside and reported in the same JSON line.
 
 Prints ONE JSON line.
@@ -83,6 +85,32 @@ def measure_step(arch, cfg, phase: int, batch: int, shape, static_alpha, n_steps
     return (time.perf_counter() - t0) / n_steps * 1e3
 
 
+def measure_sampling(cfg, phase: int, batch: int, shape, n_iters: int):
+    """ms/batch for the serving path: EMA generator sampling through
+    tools/generate.make_volume_sampler (fused transitions + Pallas
+    elementwise kernels — the fast_inference default)."""
+    from saragan_tpu.models import get_architecture
+    from saragan_tpu.tools.generate import make_volume_sampler
+    from saragan_tpu.train import init_train_state
+    from saragan_tpu.train.step import split_params
+
+    arch = get_architecture(cfg.architecture)
+    state, _ = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
+    g_ema, _ = split_params(state.ema)
+    gen = make_volume_sampler(cfg, phase, batch_size=batch, alpha=0.0)
+
+    rng = jax.random.PRNGKey(2)
+    out = gen(g_ema, rng)
+    _ = float(out.ravel()[0])  # compile + warmup barrier (relay rules)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        rng, k = jax.random.split(rng)
+        out = gen(g_ema, k)
+    _ = float(out.ravel()[0])  # in-order execution: last ready => all done
+    return (time.perf_counter() - t0) / n_iters * 1e3
+
+
 def main():
     from saragan_tpu.models import get_architecture
 
@@ -101,6 +129,10 @@ def main():
     ms_p7 = measure_step(arch, cfg7, 7, 1, (64, 256, 256), 0.0, 10)
     vps_p7 = 1 / (ms_p7 / 1e3)
 
+    # serving path: EMA generator sampling at phase 6, batch 8
+    ms_gen = measure_sampling(cfg6, 6, 8, (32, 128, 128), 40)
+    vps_gen = 8 / (ms_gen / 1e3)
+
     print(
         json.dumps(
             {
@@ -113,6 +145,8 @@ def main():
                     "stabilizing_ms_per_step": round(ms_stab, 1),
                     "phase7_64x256x256_b1_ms_per_step": round(ms_p7, 1),
                     "phase7_volumes_per_sec": round(vps_p7, 3),
+                    "serving_ema_sample_ms_per_batch8": round(ms_gen, 1),
+                    "serving_volumes_per_sec": round(vps_gen, 3),
                 },
             }
         )
