@@ -78,8 +78,10 @@ def main():
     )
 
     compute_dtype = jnp.bfloat16
-    g_params = jax.tree_util.tree_map(lambda x: x, state.g_params)
-    d_params = jax.tree_util.tree_map(lambda x: x, state.d_params)
+    # dedicated (never-donated) param trees for the loss-level closures —
+    # the train-step variants donate their state, which deletes its buffers
+    state_ref, _ = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
+    g_params, d_params = state_ref.g_params, state_ref.d_params
 
     def gen_a(p, z, k=None):
         return arch.generator(p, z, 0.0, phase=phase, cfg=cfg, rng=k)
