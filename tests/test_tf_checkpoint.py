@@ -140,6 +140,54 @@ def test_partitioned_variables_rejected():
         tfc.BundleEntry.decode(buf)
 
 
+def test_multiple_data_blocks_readable(tmp_path):
+    """TF's table builder splits entries across ~4KB data blocks; the reader
+    must walk every index entry, not just the first."""
+    t1 = np.float32([1, 2, 3])
+    t2 = np.float32([[4, 5], [6, 7]])
+    e1 = tfc.BundleEntry(t1.dtype, t1.shape, 0, 0, t1.nbytes,
+                         tfc.masked_crc32c(t1.tobytes()))
+    e2 = tfc.BundleEntry(t2.dtype, t2.shape, 0, t1.nbytes, t2.nbytes,
+                         tfc.masked_crc32c(t2.tobytes()))
+    block1 = tfc._build_block([(b"", tfc._encode_header(1)), (b"a/w", e1.encode())])
+    block2 = tfc._build_block([(b"b/w", e2.encode())])
+
+    parts, off = [], 0
+    b1_off, b1_size, off = tfc._append_block(parts, off, block1)
+    b2_off, b2_size, off = tfc._append_block(parts, off, block2)
+    meta = tfc._build_block([])
+    m_off, m_size, off = tfc._append_block(parts, off, meta)
+    index = tfc._build_block([
+        (b"a/w", tfc._encode_varint(b1_off) + tfc._encode_varint(b1_size)),
+        (b"b/w", tfc._encode_varint(b2_off) + tfc._encode_varint(b2_size)),
+    ])
+    i_off, i_size, off = tfc._append_block(parts, off, index)
+    footer = (tfc._encode_varint(m_off) + tfc._encode_varint(m_size)
+              + tfc._encode_varint(i_off) + tfc._encode_varint(i_size))
+    footer += b"\x00" * (40 - len(footer)) + struct.pack("<Q", 0xDB4775248B80FB57)
+    prefix = str(tmp_path / "multiblock")
+    open(prefix + ".index", "wb").write(b"".join(parts) + footer)
+    open(prefix + ".data-00000-of-00001", "wb").write(t1.tobytes() + t2.tobytes())
+
+    out = tfc.read_tensor_bundle(prefix)
+    np.testing.assert_array_equal(out["a/w"], t1)
+    np.testing.assert_array_equal(out["b/w"], t2)
+
+
+def test_prefix_compressed_keys_readable(tmp_path):
+    """Real leveldb blocks share key prefixes between restarts; parse one."""
+    # entries: "gen/a" (restart, shared=0), "gen/b" (shared=4 'gen/')
+    v1, v2 = b"V1", b"V2222"
+    out = bytearray()
+    out += tfc._encode_varint(0) + tfc._encode_varint(5) + tfc._encode_varint(len(v1))
+    out += b"gen/a" + v1
+    out += tfc._encode_varint(4) + tfc._encode_varint(1) + tfc._encode_varint(len(v2))
+    out += b"b" + v2
+    out += struct.pack("<I", 0) + struct.pack("<I", 1)  # one restart at 0
+    got = dict(tfc._parse_block_entries(bytes(out)))
+    assert got == {b"gen/a": v1, b"gen/b": v2}
+
+
 # ------------------------------------------------------------- name mapping
 
 
