@@ -2,7 +2,7 @@
 real training trials on the chip (SURVEY C22/C23; reference run mode
 `example_hyperparam_opt_*.jb`).
 
-8 TPE trials of 3D pgan, phases 1->3 (4³->16³) on structured blob volumes;
+8 trials (sampler selectable: TPE default, cmaes, ...) of 3D pgan, phases 1->3 (4³->16³) on structured blob volumes;
 the trial samples both learning rates (left None) and optimizes the
 run-internal proxy-FID (RandomConvFeatures — uncalibrated values never reach
 external reports; within one study they are comparable).  Prints the
@@ -31,6 +31,8 @@ from saragan_tpu.hpo import harness  # noqa: E402
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hpo_chip_demo"
     ntrials = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    sampler = sys.argv[3] if len(sys.argv) > 3 else "TPE"  # e.g. cmaes: the
+    # round-3 full CMA-ES (CSA step-size, evolution paths, IPOP) on hardware
     dataroot = os.path.join(outdir, "data")
     os.makedirs(outdir, exist_ok=True)
     print("Building synthetic blob pyramid (16^3 master) ...", flush=True)
@@ -74,7 +76,7 @@ def main():
         optuna_ntrials=ntrials,
         optuna_storage=f"sqlite:///{outdir}/study.db",
         optuna_study_name="chip_demo",
-        optuna_sampler="TPE",
+        optuna_sampler=sampler,
         optuna_pruner="nopruner",
         logdir=os.path.join(outdir, "logs"),
     )
