@@ -592,8 +592,9 @@ def conv_downscale(x: jax.Array, w: jax.Array) -> jax.Array:
     the model ONLY for linear-activation conv blocks (bias DOES commute:
     avg(x + b) = avg(x) + b).  The 1x1 adjacencies that do exist
     (from_rgb(downscale(x)), residual shortcuts) commute with the pool
-    outright and are already ordered pool-first.  The op is therefore wired
-    behind `fused_transitions` only for activation == 'linear' D blocks.
+    outright and are already ordered pool-first.  The op is therefore NOT
+    wired into any family — it stays an exported, oracle/grad/2nd-order-
+    tested building block for linear-activation D blocks a user may add.
     """
     spatial_rank = x.ndim - 2
     kernel = w.shape[:spatial_rank]

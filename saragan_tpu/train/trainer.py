@@ -502,7 +502,10 @@ class Trainer:
                     g_loss = float(metrics.gen_loss)
                     gp_loss = float(metrics.gp_loss)
                     now = time.time()
-                    if now > window_t0:
+                    # window_imgs == 0 on a step-0 summary (the post-compile
+                    # reset above just zeroed it): keep the previous reading
+                    # instead of reporting a spurious 0 img/s
+                    if now > window_t0 and window_imgs > 0:
                         img_s = window_imgs / (now - window_t0)
                         local_img_s = img_s / global_size
                         self.last_img_s = img_s
@@ -562,6 +565,14 @@ class Trainer:
                 prefetcher.stop()
 
         self._log("\n\n\n End of phase.")
+
+        # Short phases (HPO trials) can end before any post-compile summary
+        # window closed; measure the remaining window so PhaseResult (and any
+        # train-speed HPO objective) carries a real throughput, not 0.
+        if window_imgs > 0 and time.time() > window_t0:
+            _ = float(metrics.gen_loss)  # completion barrier (relay rules)
+            img_s = window_imgs / (time.time() - window_t0)
+            self.last_img_s = img_s
 
         # final per-phase checkpoint with EMA folded in (:583-591)
         merged = {**state.g_params, **state.d_params}

@@ -121,7 +121,7 @@ def main():
 
         gp, grads = jax.value_and_grad(f_gp)(d_params)
         # consume every grad leaf so XLA cannot prune parts of the backward
-        return gp + sum(jnp.vdot(g, g).real.astype(jnp.float32) for g in jax.tree_util.tree_leaves(grads)) * 0e-30
+        return gp + sum(jnp.vdot(g, g).real.astype(jnp.float32) for g in jax.tree_util.tree_leaves(grads)) * 1e-30
 
     real_f32 = jax.device_put(real_np)
     rng = jax.random.PRNGKey(1)

@@ -31,7 +31,7 @@ from saragan_tpu.hpo import harness  # noqa: E402
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hpo_chip_demo"
     ntrials = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    sampler = sys.argv[3] if len(sys.argv) > 3 else "TPE"  # e.g. cmaes: the
+    sampler = sys.argv[3] if len(sys.argv) > 3 else "TPE"  # "CMA" = the
     # round-3 full CMA-ES (CSA step-size, evolution paths, IPOP) on hardware
     dataroot = os.path.join(outdir, "data")
     os.makedirs(outdir, exist_ok=True)

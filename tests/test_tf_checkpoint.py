@@ -20,6 +20,10 @@ from saragan_tpu.tools import tf_checkpoint as tfc
 def test_crc32c_check_value():
     # the standard Castagnoli check value (RFC 3720 appendix / crc catalogs)
     assert tfc.crc32c(b"123456789") == 0xE3069283
+    # the pure-Python fallback must agree with the native path
+    assert tfc._crc32c_py(b"123456789") == 0xE3069283
+    blob = bytes(range(256)) * 37
+    assert tfc._crc32c_py(blob) == tfc.crc32c(blob)
 
 
 def test_crc32c_masking_is_invertible_form():

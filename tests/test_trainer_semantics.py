@@ -154,3 +154,32 @@ def test_ema_sampler_reads_ema_tree_regardless_of_fold_order():
     assert set(seen["params"]) == {"generator/w"}
     np.testing.assert_array_equal(seen["params"]["generator/w"], 7.0)
     np.testing.assert_array_equal(out, 7.0)
+
+
+def test_short_phase_reports_nonzero_img_s(tmp_path):
+    """A phase shorter than the summary interval must still end with a real
+    throughput reading: the post-compile window reset zeroes the step-0
+    summary window, so without the end-of-phase window measurement
+    last_img_s (and any train-speed HPO objective) would be 0."""
+    make_pyramid(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path, ending_phase=1, mixing_nimg=16, stabilizing_nimg=16,
+                   summary_small_every_nsteps=10**9)
+    tr = Trainer(cfg, verbose=False, prefetch=False)
+    tr.run()
+    assert np.isfinite(tr.last_img_s) and tr.last_img_s > 0
+
+
+def test_step0_summary_does_not_zero_img_s(tmp_path):
+    """With summaries every step, the step-0 summary lands on the freshly
+    reset window (0 images); it must keep the previous reading instead of
+    recording a spurious 0."""
+    make_pyramid(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path, ending_phase=1, mixing_nimg=16, stabilizing_nimg=16,
+                   summary_small_every_nsteps=1)
+    tr = Trainer(cfg, verbose=True, prefetch=False)
+    tr.run()
+    events = [json.loads(l) for l in open(os.path.join(cfg.logdir, "events.jsonl"))]
+    img_s = [e["value"] for e in events if e.get("tag") == "img_s"]
+    assert img_s, "no img_s scalars written"
+    assert all(v > 0 for v in img_s[1:]), img_s
+    assert np.isfinite(tr.last_img_s) and tr.last_img_s > 0
