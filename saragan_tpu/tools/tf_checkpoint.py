@@ -565,6 +565,18 @@ def export_tf_checkpoint(npz_path: str, prefix: str, include_ema: bool = True,
     return write_tensor_bundle(prefix, tensors)
 
 
+def show_tf_checkpoint(prefix: str) -> List[Tuple[str, Tuple[int, ...], str]]:
+    """List (name, shape, dtype) WITHOUT reading tensor data — the
+    `tf.train.list_variables` analog (index file only)."""
+    raw = read_index_entries(prefix + ".index")
+    raw.pop("", None)
+    rows = []
+    for name in sorted(raw):
+        e = BundleEntry.decode(raw[name])
+        rows.append((name, e.shape, np.dtype(e.dtype).name))
+    return rows
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
 
@@ -580,11 +592,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     pe.add_argument("npz", help="input .npz checkpoint")
     pe.add_argument("prefix", help="output checkpoint prefix")
     pe.add_argument("--no_ema", action="store_true", help="omit EMA shadow variables")
+    ps = sub.add_parser("show", help="list variables (tf.train.list_variables analog)")
+    ps.add_argument("prefix", help="checkpoint prefix (path without .index)")
     args = p.parse_args(argv)
     if args.cmd == "import":
         import_tf_checkpoint(args.prefix, args.out, verify=not args.no_verify)
-    else:
+    elif args.cmd == "export":
         export_tf_checkpoint(args.npz, args.prefix, include_ema=not args.no_ema)
+    else:
+        for name, shape, dtype in show_tf_checkpoint(args.prefix):
+            print(f"{name} {list(shape)} {dtype}")
     return 0
 
 

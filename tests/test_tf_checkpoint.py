@@ -6,6 +6,7 @@ against the public specification: the crc32c check value, the leveldb table
 magic, hand-built snappy streams and block bytes — plus write->read
 round-trips over the same codec."""
 
+import os
 import struct
 
 import numpy as np
@@ -277,3 +278,14 @@ def test_cli_entrypoints(tmp_path):
 
     p, _, _ = load_params(str(tmp_path / "m2"))
     np.testing.assert_array_equal(p["generator/w"], np.ones((2,), np.float32))
+
+
+def test_show_lists_variables_without_reading_data(tmp_path):
+    tensors = {"generator/w": np.zeros((3, 4), np.float32),
+               "counts": np.arange(5, dtype=np.int64)}
+    prefix = str(tmp_path / "m")
+    tfc.write_tensor_bundle(prefix, tensors)
+    os.remove(prefix + ".data-00000-of-00001")  # index-only listing
+    rows = tfc.show_tf_checkpoint(prefix)
+    assert rows == [("counts", (5,), "int64"), ("generator/w", (3, 4), "float32")]
+    assert tfc.main(["show", prefix]) == 0
