@@ -505,3 +505,39 @@ def test_median_pruner_ignores_failed_and_nan_peers():
     diverged.suggest_float("x", 0, 1)
     diverged.report(float("nan"), 0)
     assert diverged.should_prune()
+
+
+def test_samplers_resume_past_orphaned_running_trial(tmp_path):
+    """Crash recovery (observed on-chip round 3): a worker dies mid-trial
+    leaving a RUNNING trial with params but no value in the shared study;
+    a new worker resuming the study must sample fresh trials without
+    crashing, for every storage-backed sampler."""
+    storage = f"sqlite:///{tmp_path}/orphan.db"
+
+    def objective(trial):
+        x = trial.suggest_float("x", -5.0, 5.0)
+        y = trial.suggest_float("y", -5.0, 5.0)
+        return x * x + y * y
+
+    for name, make in [
+        ("tpe", lambda: samplers.TPESampler(seed=3, n_startup_trials=2)),
+        ("cma", lambda: samplers.CmaEsSampler(seed=3)),
+        ("rand", lambda: samplers.RandomSampler(seed=3)),
+    ]:
+        study = create_study(study_name=f"orphan_{name}", storage=storage,
+                             sampler=make())
+        study.optimize(objective, n_trials=4)
+        # orphan a trial: params suggested, process "dies" before tell()
+        dead = study.ask()
+        dead.suggest_float("x", -5.0, 5.0)
+        dead.suggest_float("y", -5.0, 5.0)
+        del dead  # never told -> stays RUNNING in storage
+
+        resumed = load_study(study_name=f"orphan_{name}", storage=storage,
+                             sampler=make())
+        states = [t.state for t in resumed.trials]
+        assert states.count("RUNNING") == 1, (name, states)
+        resumed.optimize(objective, n_trials=3)
+        done = [t for t in resumed.trials if t.state == "COMPLETE"]
+        assert len(done) == 7, name
+        assert all(t.value is not None for t in done), name
