@@ -105,3 +105,16 @@ def test_intra_trial_harness_lockstep(twoproc_results):
     # lockstep; clean exit proves no one was left in a collective)
     assert h0["walltime_ntrials"] == h1["walltime_ntrials"] >= 2, (
         h0["walltime_ntrials"], h1["walltime_ntrials"])
+
+
+def test_full_trainer_across_processes(twoproc_results):
+    """Real 2-process data-parallel training through the phase driver
+    (the reference's mpirun run): both processes complete both phases,
+    write the per-phase checkpoints, and end with BITWISE identical
+    parameters — the DP-determinism guarantee hvd's synchronous
+    allreduce gave the reference."""
+    r0, r1 = twoproc_results
+    t0, t1 = r0["trainer"], r1["trainer"]
+    assert t0["global_size"] == t1["global_size"] == 4
+    assert t0["ckpts"] == t1["ckpts"] == ["model_1.npz", "model_2.npz"]
+    assert t0["params_sha"] == t1["params_sha"]

@@ -132,9 +132,86 @@ def main():
     # --- intra-trial HPO harness end-to-end ----------------------------
     results["harness"] = harness_e2e(outdir, pid)
 
+    # --- full 2-process Trainer run (real distributed training) --------
+    results["trainer"] = trainer_e2e(outdir, pid)
+
     with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
         json.dump(results, f)
     print(f"proc {pid} OK")
+
+
+def trainer_e2e(outdir, pid):
+    """The FULL phase driver across 2 real processes (the reference's
+    mpirun data-parallel run, optuna_objective.py:179-186): a 4-device
+    data mesh spanning both processes, per-process exactly-once input
+    shards, one sharded jitted step, psum-by-annotation gradients,
+    per-phase checkpoints.  Both processes must finish with BITWISE
+    identical parameters (DP determinism) — compared via sha256 in the
+    pytest parent."""
+    import hashlib
+    import time as _time
+
+    import numpy as np
+
+    from saragan_tpu.config import Config
+    from saragan_tpu.parallel import make_mesh
+    from saragan_tpu.train.trainer import Trainer
+
+    datadir = os.path.join(outdir, "tdata")
+    if pid == 0:
+        os.makedirs(datadir, exist_ok=True)
+        rng = np.random.default_rng(0)
+        for size in (4, 8):
+            d = os.path.join(datadir, f"{size}x{size}")
+            os.makedirs(d, exist_ok=True)
+            for i in range(12):
+                np.save(os.path.join(d, f"v{i}.npy"),
+                        rng.normal(size=(size, size, size)).astype(np.float32))
+        open(os.path.join(datadir, ".tready"), "w").close()
+    else:
+        while not os.path.exists(os.path.join(datadir, ".tready")):
+            _time.sleep(0.1)
+
+    cfg = Config(
+        architecture="pgan",
+        dataset_path=datadir,
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 16, 16, 16)",
+        starting_phase=1,
+        ending_phase=2,
+        latent_dim=16,
+        base_batch_size=4,  # global; 2 per process, 1 per device
+        mixing_nimg=8,
+        stabilizing_nimg=8,
+        checkpoint_every_nsteps=10_000,
+        kernel_spec=[[[], [3, 3, 3]], [[3, 3, 3], [3, 3, 3]]],
+        filter_spec=[[8, 8], [8, 8]],
+        loss_fn="wgan",
+        noise_stddev=0.0,
+        g_lr=1e-3,
+        d_lr=1e-3,
+        logdir=os.path.join(outdir, f"tlogs_{pid}"),  # per-process dir:
+        # same content both sides; avoids same-tmp-file checkpoint races
+        validation_fraction=0.2,
+        test_fraction=0.2,
+    ).finalize()
+
+    mesh = make_mesh()  # 4 global devices -> ('data',) = 4 over 2 processes
+    tr = Trainer(cfg, mesh=mesh, verbose=False, prefetch=False)
+    tr.run()
+
+    h = hashlib.sha256()
+    params = {**tr.state.g_params, **tr.state.d_params}
+    for k in sorted(params):
+        h.update(k.encode())
+        h.update(np.asarray(params[k]).tobytes())
+    return {
+        "params_sha": h.hexdigest(),
+        "ckpts": sorted(
+            f for f in os.listdir(cfg.logdir) if f.startswith("model_")
+        ),
+        "global_size": tr.global_size,
+    }
 
 
 def harness_e2e(outdir, pid):
