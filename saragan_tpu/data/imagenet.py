@@ -149,7 +149,20 @@ class ImagePipeline:
         self.seed = seed
         self._epoch = 0
         self._buffer: List[int] = []
+        self._num_workers = num_workers
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        # native decode (runtime/saragan_jpeg.cc): libjpeg + the PIL
+        # antialiased-triangle resize in C++, batched off the GIL —
+        # bit-exact at source size, within one uint8 LSB after resize
+        # (the reference's tf.data decode_jpeg was native too,
+        # SURFGAN_2D/main.py:66-103).  Probed once; any failure falls
+        # back to the PIL thread pool permanently.
+        self._native = None
+        if os.environ.get("SARAGAN_NATIVE_JPEG", "1") != "0":
+            from saragan_tpu.data import native as native_io
+
+            if native_io.have_jpeg():
+                self._native = native_io.decode_jpeg_batch
 
     def _refill(self):
         order = list(range(len(self.files)))
@@ -169,8 +182,14 @@ class ImagePipeline:
             self._refill()
         idxs = self._buffer[: self.batch_size]
         self._buffer = self._buffer[self.batch_size :]
-        imgs = list(self._pool.map(lambda i: _decode_resize(self.files[i], self.size, self.channels), idxs))
         labels = np.asarray([self.labels[i] for i in idxs], np.int32)
+        if self._native is not None:
+            batch = self._native([self.files[i] for i in idxs], self.size,
+                                 self.channels, self._num_workers)
+            if batch is not None:
+                return batch, labels
+            self._native = None  # e.g. a non-JPEG file: PIL from here on
+        imgs = list(self._pool.map(lambda i: _decode_resize(self.files[i], self.size, self.channels), idxs))
         return np.stack(imgs), labels
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

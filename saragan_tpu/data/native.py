@@ -220,3 +220,45 @@ def make_native_prefetcher(make_paths, item_shape, mean, stddev,
                                      out_dtype=out_dtype)
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------------------
+# Native JPEG decode (2D pipeline) — runtime/saragan_jpeg.cc
+# ---------------------------------------------------------------------------
+
+
+def have_jpeg() -> bool:
+    """True when the library was built against libjpeg."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "saragan_have_jpeg"):
+        return False
+    lib.saragan_have_jpeg.restype = ctypes.c_int
+    return bool(lib.saragan_have_jpeg())
+
+
+def decode_jpeg_batch(paths, size: int, channels: int = 3,
+                      num_threads: int = 4) -> Optional[np.ndarray]:
+    """Decode+resize a JPEG batch natively -> (n, channels, size, size)
+    float32 in [-1, 1] (the 2D pipeline contract, imagenet._decode_resize;
+    resize is the PIL antialiased-triangle filter reimplemented in C++).
+    None when the native path is unavailable or any file fails — callers
+    fall back to PIL."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "saragan_jpeg_batch") or not have_jpeg():
+        return None
+    lib.saragan_jpeg_batch.restype = ctypes.c_int
+    lib.saragan_jpeg_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    n = len(paths)
+    out = np.empty((n, channels, size, size), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.saragan_jpeg_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size, channels, num_threads,
+    )
+    if rc != 0:
+        return None
+    return out

@@ -214,3 +214,91 @@ def test_prefetcher_f16_output_bit_exact(tmp_path):
         _w.simplefilter("ignore", RuntimeWarning)  # inf overflow in the cast
         want = ((vals - 1.5) / 2.0).astype(np.float16)[None]
     np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
+
+
+# ---------------------------------------------------------------------------
+# Native JPEG decode (runtime/saragan_jpeg.cc)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_fixture(tmp_path, n=3):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.meshgrid(np.linspace(-1, 1, 64), np.linspace(-1, 1, 64), indexing="ij")
+    paths = []
+    for i in range(n):
+        g = (127 * (1 + np.sin((2 + i) * yy) * np.cos((1 + i) * xx))).astype(np.uint8)
+        if i == n - 1:
+            g = rng.integers(0, 255, size=(64, 64), dtype=np.uint8)
+        p = str(tmp_path / f"img_{i}.jpg")
+        Image.fromarray(np.stack([g] * 3, -1)).save(p, quality=95)
+        paths.append(p)
+    return paths
+
+
+def test_native_jpeg_matches_pil(tmp_path):
+    from saragan_tpu.data import native
+    from saragan_tpu.data.imagenet import _decode_resize
+
+    if not native.have_jpeg():
+        pytest.skip("library built without libjpeg")
+    paths = _jpeg_fixture(tmp_path)
+    # same-size decode is bit-exact (both stacks are libjpeg)
+    nat = native.decode_jpeg_batch(paths, 64, 3)
+    pil = np.stack([_decode_resize(p, 64, 3) for p in paths])
+    np.testing.assert_array_equal(nat, pil)
+    # resize: the C++ PIL-style antialiased triangle filter in float vs
+    # PIL's uint8 fixed point — within one 8-bit LSB of [-1, 1]
+    for size, channels in ((32, 3), (16, 3), (32, 1)):
+        nat = native.decode_jpeg_batch(paths, size, channels)
+        pil = np.stack([_decode_resize(p, size, channels) for p in paths])
+        assert nat.shape == pil.shape == (len(paths), channels, size, size)
+        assert np.abs(nat - pil).max() < 1.5 / 127.5, (size, channels)
+
+
+def test_native_jpeg_rejects_non_jpeg(tmp_path):
+    from PIL import Image
+
+    from saragan_tpu.data import native
+
+    if not native.have_jpeg():
+        pytest.skip("library built without libjpeg")
+    p = str(tmp_path / "img.png")
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p)
+    assert native.decode_jpeg_batch([p], 8, 3) is None
+
+
+def test_pipeline_uses_native_and_falls_back(tmp_path, monkeypatch):
+    """ImagePipeline: native batches equal the PIL batches on JPEGs, and a
+    non-JPEG file flips the pipeline to the PIL path without failing."""
+    from PIL import Image
+
+    from saragan_tpu.data import native
+    from saragan_tpu.data.imagenet import ImagePipeline
+
+    if not native.have_jpeg():
+        pytest.skip("library built without libjpeg")
+    paths = _jpeg_fixture(tmp_path)
+    labels = list(range(len(paths)))
+
+    pipe_nat = ImagePipeline(paths, labels, size=16, batch_size=3, seed=5)
+    assert pipe_nat._native is not None
+    b_nat, l_nat = pipe_nat.next_batch()
+
+    monkeypatch.setenv("SARAGAN_NATIVE_JPEG", "0")
+    pipe_pil = ImagePipeline(paths, labels, size=16, batch_size=3, seed=5)
+    assert pipe_pil._native is None
+    b_pil, l_pil = pipe_pil.next_batch()
+    np.testing.assert_array_equal(l_nat, l_pil)
+    assert np.abs(b_nat - b_pil).max() < 1.5 / 127.5
+    monkeypatch.delenv("SARAGAN_NATIVE_JPEG")
+
+    # fallback: a PNG in the shard disables native mid-stream, batch still ok
+    png = str(tmp_path / "odd.png")
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(png)
+    pipe_mix = ImagePipeline(paths + [png], labels + [3], size=16, batch_size=4, seed=5)
+    assert pipe_mix._native is not None
+    b, l = pipe_mix.next_batch()
+    assert b.shape == (4, 3, 16, 16) and np.isfinite(b).all()
+    assert pipe_mix._native is None
