@@ -118,3 +118,13 @@ def test_full_trainer_across_processes(twoproc_results):
     assert t0["global_size"] == t1["global_size"] == 4
     assert t0["ckpts"] == t1["ckpts"] == ["model_1.npz", "model_2.npz"]
     assert t0["params_sha"] == t1["params_sha"]
+
+
+def test_spatial_sharding_across_processes(twoproc_results):
+    """dp2 (across processes) x sp2 (within each process's devices): the
+    SURVEY §5.7 deployment shape — GSPMD halo exchange on the depth axis
+    inside a real multi-process run, still bitwise deterministic."""
+    r0, r1 = twoproc_results
+    t0, t1 = r0["trainer_sp"], r1["trainer_sp"]
+    assert t0["ckpts"] == t1["ckpts"] == ["model_1.npz", "model_2.npz"]
+    assert t0["params_sha"] == t1["params_sha"]

@@ -135,19 +135,28 @@ def main():
     # --- full 2-process Trainer run (real distributed training) --------
     results["trainer"] = trainer_e2e(outdir, pid)
 
+    # --- dp x sp: spatial halo sharding in a multi-process run ----------
+    results["trainer_sp"] = trainer_e2e(outdir, pid, num_space=2,
+                                        tag="sp")
+
     with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
         json.dump(results, f)
     print(f"proc {pid} OK")
 
 
-def trainer_e2e(outdir, pid):
+def trainer_e2e(outdir, pid, num_space=1, tag="dp"):
     """The FULL phase driver across 2 real processes (the reference's
     mpirun data-parallel run, optuna_objective.py:179-186): a 4-device
-    data mesh spanning both processes, per-process exactly-once input
+    mesh spanning both processes, per-process exactly-once input
     shards, one sharded jitted step, psum-by-annotation gradients,
     per-phase checkpoints.  Both processes must finish with BITWISE
     identical parameters (DP determinism) — compared via sha256 in the
-    pytest parent."""
+    pytest parent.
+
+    num_space=2 -> dp2 (across processes) x sp2 (each process's two local
+    devices): the volume depth axis is halo-sharded (GSPMD) INSIDE a real
+    multi-process run — the deployment shape SURVEY §5.7 prescribes for
+    the huge phases (data across hosts, space over each host's chips)."""
     import hashlib
     import time as _time
 
@@ -190,13 +199,18 @@ def trainer_e2e(outdir, pid):
         noise_stddev=0.0,
         g_lr=1e-3,
         d_lr=1e-3,
-        logdir=os.path.join(outdir, f"tlogs_{pid}"),  # per-process dir:
+        logdir=os.path.join(outdir, f"tlogs_{tag}_{pid}"),  # per-process dir:
         # same content both sides; avoids same-tmp-file checkpoint races
         validation_fraction=0.2,
         test_fraction=0.2,
     ).finalize()
 
-    mesh = make_mesh()  # 4 global devices -> ('data',) = 4 over 2 processes
+    if num_space > 1:
+        from saragan_tpu.parallel.mesh import make_mesh as make_mesh2
+
+        mesh = make_mesh2(num_data=2, num_space=num_space)
+    else:
+        mesh = make_mesh()  # 4 global devices -> ('data',) = 4 over 2 processes
     tr = Trainer(cfg, mesh=mesh, verbose=False, prefetch=False)
     tr.run()
 
