@@ -26,7 +26,7 @@ standard full reduction everywhere.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,8 +82,17 @@ def forward_simultaneous(
     noise_stddev: float = 0.0,
     gp_full_reduction: bool = False,
     compute_gp: bool = True,
+    gp_disc_fn: Optional[Callable] = None,
 ) -> LossOutput:
     """Joint G+D forward (reference loss.py:101-165).
+
+    gp_disc_fn, when given, replaces disc_fn INSIDE the gradient-penalty
+    term only (same function, different remat wrapping — exact).  Used by
+    cfg.remat_offload: XLA's host-offload pass cannot place offloaded
+    residuals inside the GP's double-backward ("moved to host ... returned
+    from the entry computation" compile error, bisected on hardware —
+    scripts/offload_bisect.py), so the GP pass runs under plain recompute
+    remat while the first-order passes keep host offload.
 
     gen_fn(params, z, rng) -> images; disc_fn(params, x) -> (N, 1) scores
     (alpha and phase already bound by the caller; rng feeds per-layer noise /
@@ -113,7 +122,7 @@ def forward_simultaneous(
         gamma = jax.random.uniform(k_gamma, (n,) + (1,) * (real.ndim - 1), dtype)
         interpolates = gamma * real + (1 - gamma) * fake_sg
         axes = _simultaneous_axes(real.ndim, gp_full_reduction)
-        slopes = _gp_slopes(disc_fn, d_params, interpolates, axes)
+        slopes = _gp_slopes(gp_disc_fn or disc_fn, d_params, interpolates, axes)
 
     # Generator pass through a gradient-blocked critic: same values, but the
     # combined scalar's d_params-gradient stays the reference's disc-only one.
@@ -168,6 +177,7 @@ def grads_simultaneous(
     compute_gp: bool = True,
     gp_grad_mode: str = "revrev",
     batched_passes: bool = False,
+    gp_disc_fn: Optional[Callable] = None,
 ) -> Tuple[Tuple[Any, Any], LossOutput]:
     """WGAN simultaneous gradients with the fake critic pass SHARED.
 
@@ -219,6 +229,10 @@ def grads_simultaneous(
     ops.py:313-325 reshapes [G, N/G, ...] and reduces axis 0).  The d-grads
     of the two terms come out pre-summed, which is exactly the combination
     the step applies anyway.
+
+    gp_disc_fn, when given, replaces disc_fn INSIDE the penalty term only
+    (same function, different remat wrapping — exact; see
+    forward_simultaneous for the cfg.remat_offload rationale).
     """
     k_z, k_g, k_nr, k_nf, k_gamma = jax.random.split(rng, 5)
     n = real_image_input.shape[0]
@@ -273,11 +287,12 @@ def grads_simultaneous(
         gamma = jax.random.uniform(k_gamma, (n,) + (1,) * (real.ndim - 1), dtype)
         interpolates = gamma * real + (1 - gamma) * fake_sg
         axes = _simultaneous_axes(real.ndim, gp_full_reduction)
+        gp_dfn = gp_disc_fn or disc_fn
 
         if gp_grad_mode == "revfwd":
             d_params_c = jax.tree_util.tree_map(jax.lax.stop_gradient, d_params)
             g = jax.grad(
-                lambda xi: jnp.sum(disc_fn(d_params_c, xi).astype(jnp.float32))
+                lambda xi: jnp.sum(gp_dfn(d_params_c, xi).astype(jnp.float32))
             )(interpolates)
 
             def penalty_of(gg):
@@ -289,7 +304,7 @@ def grads_simultaneous(
 
             def directional(d_p):
                 _, tangent = jax.jvp(
-                    lambda xi: jnp.sum(disc_fn(d_p, xi).astype(jnp.float32)),
+                    lambda xi: jnp.sum(gp_dfn(d_p, xi).astype(jnp.float32)),
                     (interpolates,),
                     (c,),
                 )
@@ -299,7 +314,7 @@ def grads_simultaneous(
         elif gp_grad_mode == "revrev":
 
             def f_gp(d_p):
-                slopes = _gp_slopes(disc_fn, d_p, interpolates, axes)
+                slopes = _gp_slopes(gp_dfn, d_p, interpolates, axes)
                 return jnp.mean(gp_weight * (slopes - 1.0) ** 2)
 
             gp_mean, ggp_d = jax.value_and_grad(f_gp)(d_params)
@@ -361,11 +376,13 @@ def forward_discriminator(
     gp_weight: float = 1.0,
     noise_stddev: float = 0.0,
     compute_gp: bool = True,
+    gp_disc_fn: Optional[Callable] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Discriminator-only forward (reference loss.py:42-98).
 
     GP norm reduces over ALL non-batch axes here (reference loss.py:79).
     `compute_gp=False` skips the grad-of-grad entirely (lazy-GP off-steps).
+    gp_disc_fn swaps the GP term's remat wrapping (see forward_simultaneous).
     Returns (disc_loss, gp_loss).
     """
     k_z, k_g, k_nr, k_nf, k_gamma = jax.random.split(rng, 5)
@@ -384,7 +401,7 @@ def forward_discriminator(
         gamma = jax.random.uniform(k_gamma, (n,) + (1,) * (real.ndim - 1), dtype)
         interpolates = gamma * real + (1 - gamma) * fake
         axes = tuple(range(1, real.ndim))
-        slopes = _gp_slopes(disc_fn, d_params, interpolates, axes)
+        slopes = _gp_slopes(gp_disc_fn or disc_fn, d_params, interpolates, axes)
 
     if loss_fn == "wgan":
         if compute_gp:

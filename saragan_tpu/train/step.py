@@ -178,6 +178,7 @@ def make_train_step(
         def disc_a(p, x):
             return arch.discriminator(p, x, a, phase=phase, cfg=cfg)
 
+        gp_disc = None
         if getattr(cfg, "remat_offload", False):
             # remat, but block-boundary activations (models tag them with
             # checkpoint_name via block_tap) are OFFLOADED to pinned host
@@ -185,6 +186,15 @@ def make_train_step(
             # backward — everything else is rematerialized.  Peak HBM drops
             # to roughly one resolution block's working set, which is what
             # makes phase-8 (128x512x512) volumes reachable on one chip.
+            #
+            # The gradient-penalty term gets its own PLAIN-remat closure:
+            # XLA's host-offload pass cannot place offloaded residuals
+            # inside the GP double-backward (compile error "Tensor which is
+            # moved to host ... returned from the entry computation",
+            # bisected to the GP term on hardware — scripts/
+            # offload_bisect.py), and recompute bounds the GP pass's memory
+            # the same way.  Exactness is unaffected (same function, same
+            # math; equality pinned in test_remat_variants_match_plain_step).
             from saragan_tpu.models.common import offload_block_names
 
             policy = jax.checkpoint_policies.save_and_offload_only_these_names(
@@ -193,6 +203,7 @@ def make_train_step(
                 offload_src="device",
                 offload_dst="pinned_host",
             )
+            gp_disc = jax.checkpoint(disc_a)
             gen_a = jax.checkpoint(gen_a, policy=policy)
             disc_a = jax.checkpoint(disc_a, policy=policy)
         elif getattr(cfg, "remat", False):
@@ -227,6 +238,7 @@ def make_train_step(
                     compute_gp=apply_gp,
                     gp_grad_mode=getattr(cfg, "gp_grad_mode", "revrev"),
                     batched_passes=getattr(cfg, "batched_passes", False),
+                    gp_disc_fn=gp_disc,
                 )
                 return (gg, dg), (
                     out.gen_loss, out.disc_loss, out.gp_loss,
@@ -260,6 +272,7 @@ def make_train_step(
                     noise_stddev=cfg.noise_stddev,
                     gp_full_reduction=getattr(cfg, "gp_full_reduction", False),
                     compute_gp=apply_gp,
+                    gp_disc_fn=gp_disc,
                 )
                 return out.gen_loss + out.disc_loss, out
 
@@ -299,6 +312,7 @@ def make_train_step(
                     gp_weight=gp_weight_eff,
                     noise_stddev=cfg.noise_stddev,
                     compute_gp=apply_gp,
+                    gp_disc_fn=gp_disc,
                 )
 
             d_vg = jax.value_and_grad(d_loss_fn, has_aux=True)
