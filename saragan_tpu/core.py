@@ -79,8 +79,16 @@ class Scope:
             if full not in self.params:
                 if self.rng is None:
                     raise ValueError(f"Scope in init mode needs an rng (param {full!r})")
-                key = jax.random.fold_in(self.rng, _stable_hash(full))
-                self.params[full] = initializer(key, tuple(shape), self.dtype)
+                # Parameter creation must stay CONCRETE even when the init
+                # forward is traced abstractly (models.common.
+                # abstract_init_forward runs it under jax.eval_shape so no
+                # full-resolution activation is ever materialized):
+                # ensure_compile_time_eval escapes omnistaging for the
+                # key-fold + initializer, whose inputs (the scope rng, the
+                # shape) are always concrete at init.
+                with jax.ensure_compile_time_eval():
+                    key = jax.random.fold_in(self.rng, _stable_hash(full))
+                    self.params[full] = initializer(key, tuple(shape), self.dtype)
             return self.params[full]
         try:
             return self.params[full]

@@ -3,7 +3,29 @@
 
 from __future__ import annotations
 
+import jax
+
 from saragan_tpu import ops
+
+
+def abstract_init_forward(fn, *args):
+    """Trace an init-mode forward abstractly (jax.eval_shape) so parameter
+    creation is the ONLY real compute.
+
+    Scope.get in init mode derives each parameter from a CONCRETE
+    closure-captured rng (key = fold_in(rng, crc32(name))), so inside the
+    abstract trace every initializer still executes eagerly and the
+    resulting params are bitwise identical to a concrete forward.  The data
+    inputs / per-layer-noise rngs passed through `args` become abstract, so
+    no activation is ever materialized — previously init ran the full
+    forward EAGERLY op-by-op in f32, which at phase 8 (128x512x512) alone
+    exceeded HBM (a single channels-minor f32[1,8,128,512,512] eager-reshape
+    buffer pads 16x to 16 GB — measured, BASELINE.md round 3) and wasted
+    seconds of relay round-trips per init at every phase.
+
+    args may be jax.ShapeDtypeStruct (preferred for big volumes: nothing is
+    allocated at all) or concrete arrays (eval_shape abstracts them)."""
+    jax.eval_shape(fn, *args)
 
 
 def static_alpha_zero(alpha) -> bool:
@@ -24,11 +46,22 @@ def block_tap(x, name: str, cfg):
     activations parked in pinned host memory during the forward pass and
     DMA'd back one block at a time in the backward — the single-chip answer
     to volumes whose activations exceed HBM (phase 8 = 128x512x512; the
-    reference used big-RAM CPU nodes for these, scripts/run_haswell.jb)."""
+    reference used big-RAM CPU nodes for these, scripts/run_haswell.jb).
+
+    Taps are tagged in a FLAT (N, C, prod(spatial)) view: XLA:TPU gives
+    channel-minor layouts to conv-adjacent 5D tensors, and the 128-lane tile
+    pads the skinny channel dim (xs tapers to C=8 at the finest phase-8
+    blocks) by 16x — the flat view puts the huge fused-spatial dim on the
+    lanes, so the offloaded buffer (and its host DMA) is unpadded.  Measured
+    on hardware: the 5D f32 tap transfer alone was 16.00 G padded vs 1.00 G
+    unpadded and OOM'd phase 8 by itself (BASELINE.md round 3).  The
+    reshape pair is exact and free on the device side.
+    """
     if getattr(cfg, "remat_offload", False):
         from jax.ad_checkpoint import checkpoint_name
 
-        return checkpoint_name(x, name)
+        flat = x.reshape(x.shape[0], x.shape[1], -1)
+        return checkpoint_name(flat, name).reshape(x.shape)
     return x
 
 

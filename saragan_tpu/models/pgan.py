@@ -35,7 +35,7 @@ import numpy as np
 
 from saragan_tpu import ops
 from saragan_tpu.core import Params, Scope
-from saragan_tpu.models.common import block_tap, spectral_iters, static_alpha_zero
+from saragan_tpu.models.common import abstract_init_forward, block_tap, spectral_iters, static_alpha_zero
 from saragan_tpu.models.registry import Architecture, register
 
 
@@ -287,12 +287,11 @@ def init(rng: jax.Array, *, phase: int, cfg) -> Params:
     params: Params = {}
     g_rng, d_rng = jax.random.split(rng)
     scope = Scope(params, init=True, rng=g_rng)
-    z = jnp.zeros((1, cfg.latent_dim), jnp.float32)
-    _generator(scope, z, 1.0, phase, cfg, cfg.leakiness)
+    z = jax.ShapeDtypeStruct((1, cfg.latent_dim), jnp.float32)
+    abstract_init_forward(lambda zz: _generator(scope, zz, 1.0, phase, cfg, cfg.leakiness), z)
     scope = Scope(params, init=True, rng=d_rng, spectral=spectral_iters(cfg))
-    img_shape = cfg.current_shape(phase, 1)
-    x = jnp.zeros(img_shape, jnp.float32)
-    _discriminator(scope, x, 1.0, phase, cfg, cfg.leakiness)
+    x = jax.ShapeDtypeStruct(cfg.current_shape(phase, 1), jnp.float32)
+    abstract_init_forward(lambda xx: _discriminator(scope, xx, 1.0, phase, cfg, cfg.leakiness), x)
     return params
 
 

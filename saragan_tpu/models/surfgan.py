@@ -24,7 +24,7 @@ import numpy as np
 
 from saragan_tpu import ops
 from saragan_tpu.core import Params, Scope, normal_initializer, zeros_initializer
-from saragan_tpu.models.common import adaptive_kernel, phase_filters, resolve_base_dim, spectral_iters, static_alpha_zero
+from saragan_tpu.models.common import abstract_init_forward, adaptive_kernel, phase_filters, resolve_base_dim, spectral_iters, static_alpha_zero
 from saragan_tpu.models.registry import Architecture, register
 from saragan_tpu.models import style_ops
 
@@ -310,9 +310,11 @@ def init(rng: jax.Array, *, phase: int, cfg) -> Params:
     cond = None
     if cfg.num_labels:
         cond = jnp.zeros((1, cfg.num_labels))
-    _generator(Scope(params, init=True, rng=g_rng), jnp.zeros((1, cfg.latent_dim)), 1.0, phase, cfg, cfg.leakiness, n_rng, True, cond)
+    z = jax.ShapeDtypeStruct((1, cfg.latent_dim), jnp.float32)
+    x = jax.ShapeDtypeStruct(cfg.current_shape(phase, 1), jnp.float32)
+    abstract_init_forward(lambda zz, kk: _generator(Scope(params, init=True, rng=g_rng), zz, 1.0, phase, cfg, cfg.leakiness, kk, True, cond), z, n_rng)
     # minibatch-stddev needs batch >= 1; group clamps to batch size
-    _discriminator(Scope(params, init=True, rng=d_rng, spectral=spectral_iters(cfg)), jnp.zeros(cfg.current_shape(phase, 1)), 1.0, phase, cfg, cfg.leakiness, cond)
+    abstract_init_forward(lambda xx: _discriminator(Scope(params, init=True, rng=d_rng, spectral=spectral_iters(cfg)), xx, 1.0, phase, cfg, cfg.leakiness, cond), x)
     return params
 
 

@@ -178,10 +178,20 @@ def _conv3d_shifted_gemm(x: jax.Array, w: jax.Array) -> jax.Array:
     """
     n, c, d, h, w_sp = x.shape
     kd, kh, kw, _, f = w.shape
+    t = d * h * w_sp
+    # The contraction runs in FLAT (n, c, t) space: XLA:TPU gives 5D
+    # conv-shaped dot operands/accumulators channels-minor layouts, and the
+    # 128-lane tile pads the skinny channel dim (C=8 at the finest phase-8
+    # blocks) 16x — a single f32 accumulator copy measured 32 GiB padded vs
+    # 2.15 GiB unpadded and OOM'd phase 8 alone (BASELINE.md round 3).  With
+    # t minor there is no padding; same contraction, same accumulation
+    # order, exact.
     if kd * kh * kw == 1:
-        return jnp.einsum(
-            "ncdhw,cf->nfdhw", x, w[0, 0, 0], preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        y = jnp.einsum(
+            "nct,cf->nft", x.reshape(n, c, t), w[0, 0, 0],
+            preferred_element_type=jnp.float32,
+        )
+        return y.reshape(n, f, d, h, w_sp).astype(x.dtype)
     pd, ph, pw = kd // 2, kh // 2, kw // 2
     xp = jnp.pad(x, ((0, 0), (0, 0), (pd, kd - 1 - pd), (ph, kh - 1 - ph), (pw, kw - 1 - pw)))
     offsets = _kernel_offsets(kd, kh, kw)
@@ -190,12 +200,14 @@ def _conv3d_shifted_gemm(x: jax.Array, w: jax.Array) -> jax.Array:
     def body(acc, ow):
         o, wk = ow
         xs = lax.dynamic_slice(xp, (0, 0, o[0], o[1], o[2]), (n, c, d, h, w_sp))
-        acc = acc + jnp.einsum("ncdhw,cf->nfdhw", xs, wk, preferred_element_type=jnp.float32)
+        acc = acc + jnp.einsum(
+            "nct,cf->nft", xs.reshape(n, c, t), wk, preferred_element_type=jnp.float32
+        )
         return acc, None
 
-    acc0 = jnp.zeros((n, f, d, h, w_sp), jnp.float32)
+    acc0 = jnp.zeros((n, f, t), jnp.float32)
     acc, _ = lax.scan(body, acc0, (offsets, w_flat))
-    return acc.astype(x.dtype)
+    return acc.reshape(n, f, d, h, w_sp).astype(x.dtype)
 
 
 def conv(

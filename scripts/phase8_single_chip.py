@@ -10,7 +10,14 @@ single block's working set.  The reference handled this scale with big-RAM
 CPU nodes (scripts/run_haswell.jb); this is the TPU-native single-chip
 equivalent, trading PCIe bandwidth for HBM.
 
-Usage: python scripts/phase8_single_chip.py [phase] [batch] [n_steps]
+Usage: python scripts/phase8_single_chip.py [phase] [batch] [n_steps] [fused_transitions]
+
+fused_transitions defaults to 1; pass 0 to replace the exact
+transposed-conv upscale+conv fusion with repeat-upscale + engine conv
+(the fusion's lhs-dilated lax.conv keeps an 8-channel full-res f32
+intermediate in a channels-on-lanes layout — 16x pad, 17.7 GB — that no
+conv-engine env var reaches).  Combine with SARAGAN_CONV3D=gemm to keep
+the finest activations in spatial-minor dot layouts.
 """
 
 from __future__ import annotations
@@ -30,15 +37,20 @@ def main():
     phase = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    fused_tr = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
 
     from saragan_tpu.config import Config
     from saragan_tpu.models import get_architecture
     from saragan_tpu.train import init_train_state, make_train_step
 
+    # the LIDC spec tops out at phase 7 under the reference's final-shape
+    # convention; phase 8 (128x512x512 volumes) needs the doubling extended
+    # one level (same as scripts/dress_rehearsal_512.lidc_cfg)
+    final = "(1, 128, 512, 512)" if phase <= 7 else "(1, 256, 1024, 1024)"
     cfg = Config(
         architecture="pgan",
         start_shape="(1, 1, 4, 4)",
-        final_shape="(1, 128, 512, 512)",
+        final_shape=final,
         latent_dim=256,
         base_batch_size=batch * (2 ** (phase - 1)),
         network_size="xs",
@@ -50,12 +62,16 @@ def main():
         g_lr=1e-3,
         d_lr=1e-3,
         compute_dtype="bfloat16",
-        fused_transitions=True,
+        fused_transitions=fused_tr,
         fused_grads=True,
         remat_offload=True,
     ).finalize()
     shape = tuple(cfg.current_shape(phase, batch))
-    print(f"phase {phase}: volume shape {shape}, remat_offload on", flush=True)
+    print(
+        f"phase {phase}: volume shape {shape}, remat_offload on, "
+        f"fused_transitions={fused_tr}, conv={os.environ.get('SARAGAN_CONV3D', 'direct')}",
+        flush=True,
+    )
 
     arch = get_architecture("pgan")
     state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)

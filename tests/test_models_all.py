@@ -244,3 +244,44 @@ def test_style_family_refresh_state_registered(arch_name):
     arch = get_architecture(arch_name)
     assert arch.refresh_state is not None
     assert get_architecture("pgan").refresh_state is None
+
+
+@pytest.mark.parametrize("arch_name", ["pgan", "stylegan"])
+def test_abstract_init_matches_eager_forward(arch_name):
+    """arch.init traces the init forward abstractly (models.common.
+    abstract_init_forward) so no activation is materialized — previously an
+    EAGER f32 full-resolution forward ran just to create params, which at
+    phase 8 (128x512x512) exceeded HBM by itself (BASELINE.md round 3).
+    Params must come out CONCRETE and bitwise-equal to the eager path
+    (Scope.get derives each param from fold_in(rng, crc32(name)), so the
+    surrounding trace must not change anything)."""
+    import importlib
+
+    from saragan_tpu.core import Scope
+    from saragan_tpu.models.common import spectral_iters
+
+    cfg = cfg_for(arch_name)
+    phase = 2
+    arch = get_architecture(arch_name)
+    rng = jax.random.PRNGKey(7)
+    new = arch.init(rng, phase=phase, cfg=cfg)
+    for k, v in new.items():
+        assert "Tracer" not in type(v).__name__, k
+
+    mod = importlib.import_module(f"saragan_tpu.models.{arch_name}")
+    params = {}
+    if arch_name == "pgan":
+        g_rng, d_rng = jax.random.split(rng)
+        mod._generator(Scope(params, init=True, rng=g_rng),
+                       jnp.zeros((1, cfg.latent_dim)), 1.0, phase, cfg, cfg.leakiness)
+        mod._discriminator(Scope(params, init=True, rng=d_rng, spectral=spectral_iters(cfg)),
+                           jnp.zeros(cfg.current_shape(phase, 1)), 1.0, phase, cfg, cfg.leakiness)
+    else:
+        g_rng, d_rng, n_rng = jax.random.split(rng, 3)
+        mod._generator(Scope(params, init=True, rng=g_rng),
+                       jnp.zeros((1, cfg.latent_dim)), 1.0, phase, cfg, cfg.leakiness, n_rng, True)
+        mod._discriminator(Scope(params, init=True, rng=d_rng, spectral=spectral_iters(cfg)),
+                           jnp.zeros(cfg.current_shape(phase, 1)), 1.0, phase, cfg, cfg.leakiness)
+    assert set(new) == set(params)
+    for k in new:
+        np.testing.assert_array_equal(np.asarray(new[k]), np.asarray(params[k]), err_msg=k)
