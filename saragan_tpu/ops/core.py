@@ -160,6 +160,18 @@ def _conv_dimension_numbers(spatial_rank: int) -> lax.ConvDimensionNumbers:
 # backward.
 CONV3D_ALGORITHM = os.environ.get("SARAGAN_CONV3D", "direct")
 
+# f32 accumulation for pixel_norm / avg_pool statistics (the default, and
+# jnp's implicit behavior for bf16 reductions).  SARAGAN_STATS_DTYPE=compute
+# keeps those reductions in the compute dtype — required to fit phase-8
+# (128x512x512) volumes on one chip, where the implicit full-res f32
+# converts materialize at remat boundaries in 16x-padded layouts.
+STATS_ACCUM_F32 = os.environ.get("SARAGAN_STATS_DTYPE", "f32") != "compute"
+
+# avg_pool formulation: 'reshape' (default; reshape + mean over the split
+# factor axes — fuses best at bench scales) or 'window' (lax.reduce_window;
+# keeps big-phase tensors in natural spatial-minor layouts).
+POOL_WINDOW = os.environ.get("SARAGAN_POOL", "reshape") == "window"
+
 
 def _kernel_offsets(kd: int, kh: int, kw: int) -> jnp.ndarray:
     return jnp.array(
@@ -187,11 +199,36 @@ def _conv3d_shifted_gemm(x: jax.Array, w: jax.Array) -> jax.Array:
     # t minor there is no padding; same contraction, same accumulation
     # order, exact.
     if kd * kh * kw == 1:
+        if c <= 32 and f <= 32:
+            # skinny 1x1 convs (to_rgb/from_rgb/fine-res residual skips) as
+            # an elementwise multiply + f32-accumulated channel sum: a dot
+            # with a sub-128 contraction forces channel-minor operand
+            # layouts whose 128-lane tile pads 16x at C=8 (one such f32
+            # reshape copy measured 32 GiB at phase 8, BASELINE.md round 3),
+            # and the MXU would idle 15/16 of its lanes anyway.  VPU
+            # mul-sum keeps every tensor in its natural spatial-minor
+            # layout; products round to bf16 once (same as a dot's output
+            # cast), accumulation stays f32.
+            if c == 1:
+                # from_rgb: a reduce over a size-1 axis still makes XLA
+                # treat the input as a dot-style operand (measured: the
+                # 1-channel stacked critic input drew a stack/channel-minor
+                # layout padded 128x to 16 GiB at phase 8) — a pure
+                # broadcast multiply has no layout demands at all
+                y = x.reshape(n, 1, t) * w[0, 0, 0].reshape(1, f, 1).astype(x.dtype)
+                return y.reshape(n, f, d, h, w_sp)
+            xf = x.reshape(n, c, 1, t)
+            wf = w[0, 0, 0].reshape(1, c, f, 1).astype(x.dtype)
+            # cast BEFORE the 5D reshape: a full-res f32 5D tensor draws a
+            # channel-minor remat copy (16x lane pad, 32 GiB measured)
+            acc_dt = jnp.float32 if STATS_ACCUM_F32 else x.dtype
+            y = jnp.sum(xf * wf, axis=1, dtype=acc_dt).astype(x.dtype)
+            return y.reshape(n, f, d, h, w_sp)
         y = jnp.einsum(
             "nct,cf->nft", x.reshape(n, c, t), w[0, 0, 0],
             preferred_element_type=jnp.float32,
         )
-        return y.reshape(n, f, d, h, w_sp).astype(x.dtype)
+        return y.astype(x.dtype).reshape(n, f, d, h, w_sp)
     pd, ph, pw = kd // 2, kh // 2, kw // 2
     xp = jnp.pad(x, ((0, 0), (0, 0), (pd, kd - 1 - pd), (ph, kh - 1 - ph), (pw, kw - 1 - pw)))
     offsets = _kernel_offsets(kd, kh, kw)
@@ -207,7 +244,7 @@ def _conv3d_shifted_gemm(x: jax.Array, w: jax.Array) -> jax.Array:
 
     acc0 = jnp.zeros((n, f, t), jnp.float32)
     acc, _ = lax.scan(body, acc0, (offsets, w_flat))
-    return acc.reshape(n, f, d, h, w_sp).astype(x.dtype)
+    return acc.astype(x.dtype).reshape(n, f, d, h, w_sp)
 
 
 def conv(
@@ -354,8 +391,30 @@ def _conv3d_C_bwd(res, dy):
 _conv3d_C.defvjp(_conv3d_C_fwd, _conv3d_C_bwd)
 
 
+def _wgrad_mulsum_1x1(x: jax.Array, dy: jax.Array) -> jax.Array:
+    """1x1 wgrad dw[c,f] = sum_{n,s} x[n,c,s] dy[n,f,s] as a broadcast
+    multiply + reduction: the native/einsum wgrad is a dot whose free dims
+    are the channels, so XLA demands channel-minor operand layouts — at
+    phase 8 the 128-lane tile pads the C=1/C=8 full-res operands 256x/32x
+    to 16 GiB each (measured, BASELINE.md round 3).  Elementwise+reduce has
+    no layout demands; only used for skinny channel counts where the MXU
+    had nothing to win anyway."""
+    n, c = x.shape[:2]
+    f = dy.shape[1]
+    t = 1
+    for s in x.shape[2:]:
+        t *= s
+    xf = x.reshape(n, c, 1, t)
+    dyf = dy.reshape(n, 1, f, t)
+    acc_dt = jnp.float32 if STATS_ACCUM_F32 else x.dtype
+    dw = jnp.sum(xf * dyf, axis=(0, 3), dtype=acc_dt)  # (c, f)
+    return dw.astype(x.dtype).reshape((1,) * (x.ndim - 2) + (c, f))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _conv3d_W(x: jax.Array, dy: jax.Array, kernel: Tuple[int, ...]) -> jax.Array:
+    if int(np.prod(kernel)) == 1 and x.shape[1] <= 32 and dy.shape[1] <= 32:
+        return _wgrad_mulsum_1x1(x, dy)
     if CONV3D_ALGORITHM == "pallas" and int(np.prod(kernel)) > 1:
         from saragan_tpu.ops.pallas_conv import conv3d_flat_wgrad
 
@@ -523,13 +582,28 @@ def avg_pool(x: jax.Array, factor: int = 2, gain: float = 1.0) -> jax.Array:
         return x
     spatial = x.shape[2:]
     assert all(s % factor == 0 for s in spatial), (x.shape, factor)
+    if POOL_WINDOW:
+        # reduce_window formulation: same computation, but the operand
+        # keeps its natural 5D spatial-minor layout — the reshape-split
+        # form's interleaved factor axes draw transposed layouts whose
+        # padding blows up at phase-8 sizes (SARAGAN_POOL=window;
+        # see STATS_ACCUM_F32 note)
+        dims = (1, 1) + (factor,) * len(spatial)
+        # init must be a LITERAL zero for jax to route to the transposable
+        # reduce-window-sum primitive (a traced init falls back to the
+        # generic reduce_window, which has no reverse-mode rule)
+        summed = lax.reduce_window(x, x.dtype.type(0), lax.add, dims, dims, "VALID")
+        return summed / jnp.asarray(factor ** len(spatial), x.dtype)
     new_shape: Tuple[int, ...] = x.shape[:2]
     reduce_axes = []
     for i, s in enumerate(spatial):
         new_shape = new_shape + (s // factor, factor)
         reduce_axes.append(2 + 2 * i + 1)
     x = x.reshape(new_shape)
-    return x.mean(axis=tuple(reduce_axes))
+    # dtype: see pixel_norm — jnp.mean's silent bf16->f32 upcast is a
+    # materialized full-res convert under remat at the big phases
+    kw = {} if STATS_ACCUM_F32 else {"dtype": x.dtype}
+    return x.mean(axis=tuple(reduce_axes), **kw)
 
 
 def upscale(x: jax.Array, factor: int = 2) -> jax.Array:
@@ -643,9 +717,18 @@ downscale3d = downscale
 
 
 def pixel_norm(x: jax.Array, epsilon: float = 1e-8) -> jax.Array:
-    """Per-voxel channel normalization (reference ops.py:308-310)."""
+    """Per-voxel channel normalization (reference ops.py:308-310).
+
+    jnp.mean silently upcasts bf16 inputs to f32 (a full-res f32
+    convert_element_type): fused away in the hot path, but remat boundaries
+    materialize it, and XLA gives it a channel-minor layout whose 128-lane
+    tile pads C=8 finest-phase tensors 16x (= the round-2 17.7 GB
+    convolution_select_fusion OOM at phase 8, BASELINE.md).
+    SARAGAN_STATS_DTYPE=compute keeps the reduction in x.dtype for the
+    big-volume path; default stays the f32-accumulated form."""
     eps = jnp.asarray(epsilon, x.dtype)
-    return x * lax.rsqrt(jnp.mean(jnp.square(x), axis=1, keepdims=True) + eps)
+    kw = {} if STATS_ACCUM_F32 else {"dtype": x.dtype}
+    return x * lax.rsqrt(jnp.mean(jnp.square(x), axis=1, keepdims=True, **kw) + eps)
 
 
 def minibatch_stddev_layer(x: jax.Array, group_size: int = 4) -> jax.Array:

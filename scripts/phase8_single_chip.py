@@ -26,6 +26,14 @@ import os
 import sys
 import time
 
+# big-volume memory knobs, set BEFORE saragan_tpu import (read at import):
+# keep pixel_norm/avg_pool statistics in compute dtype — their implicit
+# bf16->f32 upcasts materialize full-res 16x-padded converts under remat
+os.environ.setdefault("SARAGAN_STATS_DTYPE", "compute")
+# window pooling: the reshape-split form's interleaved factor axes draw
+# transposed layouts (8x padding measured at phase 8)
+os.environ.setdefault("SARAGAN_POOL", "window")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -64,6 +72,9 @@ def main():
         compute_dtype="bfloat16",
         fused_transitions=fused_tr,
         fused_grads=True,
+        # separate fake/real critic passes: the vmap-stacked 2N input pair
+        # drew a stack-minor layout padded 128x to 16 GiB at phase 8
+        batched_passes=False,
         remat_offload=True,
     ).finalize()
     shape = tuple(cfg.current_shape(phase, batch))
@@ -77,13 +88,28 @@ def main():
     state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
     # stabilizing-half step (static alpha): the leanest hot step; phase-8
     # feasibility is the question, transition blending adds nothing to it
-    step = jax.jit(
+    step_jit = jax.jit(
         make_train_step(arch, cfg, phase, g_opt, d_opt, static_alpha=0.0),
         donate_argnums=(0,),
     )
 
     real = jax.device_put(np.random.default_rng(0).normal(size=shape).astype(np.float32))
     rng = jax.random.PRNGKey(1)
+
+    # The Pallas flat-conv kernel's halo window at 512^2 planes needs more
+    # scoped VMEM than the 16 MB default (16.45 MB measured — v5e has
+    # 128 MB); xla_tpu_scoped_vmem_limit_kib is proto-backed, so it forwards
+    # per-compile even through the axon relay (whose terminal owns
+    # LIBTPU_INIT_ARGS).  SARAGAN_SCOPED_VMEM_KIB overrides; 0 disables.
+    vmem_kib = int(os.environ.get("SARAGAN_SCOPED_VMEM_KIB", "65536"))
+    if vmem_kib:
+        t0 = time.perf_counter()
+        step = step_jit.lower(state, real, rng, 0.0, 1e-3, 1e-3).compile(
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)}
+        )
+        print(f"AOT compile: {time.perf_counter() - t0:.1f}s", flush=True)
+    else:
+        step = step_jit
 
     t0 = time.perf_counter()
     state, metrics = step(state, real, rng, 0.0, 1e-3, 1e-3)
