@@ -399,3 +399,66 @@ class TestConvCustomVjp:
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(core._conv_direct(x, w)), rtol=2e-5, atol=2e-5
         )
+
+
+# ---------------------------------------------------------------------------
+# phase-8 recipe paths (BASELINE.md "Phase-8 on one chip — RUNS"): the
+# layout-safe formulations must be numerically faithful to the defaults
+# ---------------------------------------------------------------------------
+
+
+def test_wgrad_mulsum_1x1_matches_einsum_oracle(np_rng):
+    from saragan_tpu.ops import core as c
+
+    x = jnp.asarray(np_rng.normal(size=(2, 3, 4, 6, 5)).astype(np.float32))
+    dy = jnp.asarray(np_rng.normal(size=(2, 7, 4, 6, 5)).astype(np.float32))
+    dw = c._wgrad_mulsum_1x1(x, dy)
+    ref = jnp.einsum("ncdhw,nfdhw->cf", x, dy).reshape(1, 1, 1, 3, 7)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_conv1x1_mulsum_and_broadcast_match_direct(np_rng):
+    """The skinny-channel 1x1 branches (c==1 broadcast-mul; c,f<=32 mul-sum)
+    of _conv3d_shifted_gemm must match the direct conv."""
+    from saragan_tpu.ops import core as c
+
+    for cin in (1, 5):
+        x = jnp.asarray(np_rng.normal(size=(2, cin, 4, 6, 5)).astype(np.float32))
+        w = jnp.asarray(np_rng.normal(size=(1, 1, 1, cin, 7)).astype(np.float32))
+        got = c._conv3d_shifted_gemm(x, w)
+        ref = c._conv_direct(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_avg_pool_window_matches_reshape(monkeypatch, np_rng):
+    from saragan_tpu.ops import core as c
+
+    x = jnp.asarray(np_rng.normal(size=(2, 3, 4, 6, 8)).astype(np.float32))
+    base = c.avg_pool(x, 2)
+    monkeypatch.setattr(c, "POOL_WINDOW", True)
+    win = c.avg_pool(x, 2)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(base), rtol=1e-6, atol=1e-6)
+    # second-order differentiability (the GP path reaches downscale)
+    f = lambda y: jnp.sum(jnp.tanh(c.avg_pool(y, 2)))
+    g2 = jax.grad(lambda y: jnp.sum(jax.grad(f)(y) ** 2))(x)
+    monkeypatch.setattr(c, "POOL_WINDOW", False)
+    g2_ref = jax.grad(lambda y: jnp.sum(jax.grad(f)(y) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g2_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_pixel_norm_compute_dtype_stats(monkeypatch, np_rng):
+    from saragan_tpu.ops import core as c
+
+    x = jnp.asarray(np_rng.normal(size=(2, 16, 4, 4, 4)).astype(np.float32))
+    base = c.pixel_norm(x)
+    monkeypatch.setattr(c, "STATS_ACCUM_F32", False)
+    fast = c.pixel_norm(x)
+    # f32 inputs: identical math either way; bf16 inputs: close
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base), rtol=1e-6)
+    xb = x.astype(jnp.bfloat16)
+    fast_b = c.pixel_norm(xb)
+    monkeypatch.setattr(c, "STATS_ACCUM_F32", True)
+    base_b = c.pixel_norm(xb)
+    np.testing.assert_allclose(
+        np.asarray(fast_b, np.float32), np.asarray(base_b, np.float32), rtol=3e-2, atol=3e-2
+    )
