@@ -145,6 +145,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat_offload", default=False, action="store_true",
                    help="Remat with block activations offloaded to pinned host memory "
                         "instead of recomputed — single-chip path for 512^3-scale phases")
+    p.add_argument("--single_chip_big_volume", default=False, action="store_true",
+                   help="One-flag preset for volumes whose activations exceed one "
+                        "chip's HBM (e.g. 128x512x512 on 16 GB): host-offload remat + "
+                        "layout-safe op formulations + Pallas flat conv + raised "
+                        "scoped-VMEM limit; critic passes unstacked (BASELINE.md "
+                        "'Phase-8 on one chip')")
+    p.add_argument("--scoped_vmem_kib", default=0, type=int,
+                   help="Per-compile xla_tpu_scoped_vmem_limit_kib (proto-backed, so "
+                        "it reaches a relayed remote compiler); 0 = backend default")
     p.add_argument("--native_prefetch", dest="native_prefetch", default=True,
                    action="store_true",
                    help="C++ prefetch executor for the input pipeline (default on; "

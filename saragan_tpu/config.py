@@ -228,6 +228,22 @@ class Config:
     # ms static0 (+6.4% throughput) — default on, opt out with
     # --no_batched_passes.
     batched_passes: bool = True
+    # ONE-FLAG preset for training volumes whose activation footprint
+    # exceeds a single chip's HBM (phase 8 = 128x512x512 measured on a
+    # 16 GB v5e, BASELINE.md "Phase-8 on one chip"): turns on host-offload
+    # remat + the layout-safe op formulations (window pooling,
+    # compute-dtype statistics, Pallas flat conv — XLA:TPU's
+    # channels-on-lanes layouts pad C=8 full-res tensors 16-256x in the
+    # default forms), turns OFF the vmap-stacked critic pass (its 2N stack
+    # drew a 128x-padded layout at this scale), and raises the scoped-VMEM
+    # compile limit for the Pallas halo windows at 512^2 planes.  The
+    # reference could only run this scale on big-RAM CPU nodes
+    # (scripts/run_haswell.jb).  Explicit SARAGAN_* env vars still win.
+    single_chip_big_volume: bool = False
+    # per-compile scoped-VMEM limit (KiB) forwarded as the proto-backed
+    # xla_tpu_scoped_vmem_limit_kib option — the only form that reaches a
+    # relayed remote compiler; 0 = backend default (16 MB)
+    scoped_vmem_kib: int = 0
 
     # ------------------------------------------------------------------
     # Derived properties
@@ -346,4 +362,32 @@ class Config:
                 "stylegan2 does not support progressive growing; "
                 "starting_phase must equal ending_phase"
             )
+        if c.single_chip_big_volume:
+            c.remat_offload = True
+            c.batched_passes = False
+            if c.scoped_vmem_kib == 0:
+                c.scoped_vmem_kib = 65536
         return c
+
+    def apply_runtime_opts(self) -> None:
+        """Apply the config's op-formulation choices to the process-wide op
+        gates (saragan_tpu.ops.core module globals, read at trace time).
+
+        The single-chip big-volume preset selects the layout-safe
+        formulations measured necessary at phase 8 (BASELINE.md wall-by-wall
+        table).  Explicit SARAGAN_* environment variables keep precedence —
+        they are the documented low-level override surface.  Call before any
+        model trace (the Trainer does this in __init__).
+        """
+        if not self.single_chip_big_volume:
+            return
+        import os
+
+        from saragan_tpu.ops import core as ops_core
+
+        if "SARAGAN_POOL" not in os.environ:
+            ops_core.POOL_WINDOW = True
+        if "SARAGAN_STATS_DTYPE" not in os.environ:
+            ops_core.STATS_ACCUM_F32 = False
+        if "SARAGAN_CONV3D" not in os.environ:
+            ops_core.CONV3D_ALGORITHM = "pallas"

@@ -1,4 +1,5 @@
 from saragan_tpu.parallel.mesh import (  # noqa: F401
+    aot_with_options,
     batch_sharding,
     make_mesh,
     replicated_sharding,

@@ -74,12 +74,61 @@ def shard_global_batch(mesh: Mesh, batch: np.ndarray, space_axis: Optional[int] 
     return jax.device_put(batch, sharding)
 
 
+def aot_with_options(jitted, compiler_options: Optional[dict], static_argnums=()):
+    """Route a jitted function through `.lower(...).compile(compiler_options)`.
+
+    Proto-backed per-compile options are the ONLY way to reach the remote
+    XLA:TPU compiler behind the axon relay (env LIBTPU_INIT_ARGS/XLA_FLAGS
+    do not forward — the relay terminal's own environment wins; measured,
+    BASELINE.md "Phase-8 on one chip").  The single-chip big-volume path
+    needs `xla_tpu_scoped_vmem_limit_kib` raised for the Pallas flat-conv
+    halo windows at 512^2 planes (16.45 MB > the 16 MB default).
+
+    With compiler_options=None this is the identity.  Otherwise returns a
+    wrapper that lowers+compiles on first call per argument signature and
+    caches the executable.  Cache keys: arrays -> (shape, dtype); python
+    floats -> their type (floats are traced, so values don't recompile);
+    other leaves (ints/bools/strings — e.g. jit static args) -> their value.
+
+    `static_argnums` must mirror the jit's: a compiled executable is called
+    with the dynamic arguments only (the statics were baked at lower time).
+    """
+    if compiler_options is None:
+        return jitted
+    static_set = frozenset(static_argnums)
+
+    cache: dict = {}
+
+    def _leaf_key(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return ("arr", tuple(x.shape), str(x.dtype))
+        if isinstance(x, float):
+            return ("f", type(x).__name__)
+        return ("v", x)
+
+    def wrapper(*args):
+        key = tuple(
+            tuple(_leaf_key(leaf) for leaf in jax.tree_util.tree_leaves(a))
+            + (str(jax.tree_util.tree_structure(a)),)
+            for a in args
+        )
+        exe = cache.get(key)
+        if exe is None:
+            exe = jitted.lower(*args).compile(compiler_options=compiler_options)
+            cache[key] = exe
+        dynamic = [a for i, a in enumerate(args) if i not in static_set]
+        return exe(*dynamic)
+
+    return wrapper
+
+
 def jit_train_step(
     train_step,
     mesh: Optional[Mesh],
     batch_ndim: int,
     donate: bool = True,
     space_axis: Optional[int] = None,
+    compiler_options: Optional[dict] = None,
 ):
     """Compile a train step for the mesh: state replicated, batch sharded on
     'data' (and optionally one spatial axis on 'space' — GSPMD then inserts
@@ -88,15 +137,20 @@ def jit_train_step(
 
     Buffers for the state are donated so parameter/optimizer memory is
     updated in place across steps (HBM headroom matters at 512^3 phases).
+
+    `compiler_options` (e.g. the scoped-VMEM limit for the single-chip
+    big-volume path) routes the compile through `aot_with_options`.
     """
     donate_argnums = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=donate_argnums)
-    repl = replicated_sharding(mesh)
-    bshard = batch_sharding(mesh, batch_ndim, space_axis)
-    return jax.jit(
-        train_step,
-        in_shardings=(repl, bshard, repl, repl, repl, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=donate_argnums,
-    )
+        jitted = jax.jit(train_step, donate_argnums=donate_argnums)
+    else:
+        repl = replicated_sharding(mesh)
+        bshard = batch_sharding(mesh, batch_ndim, space_axis)
+        jitted = jax.jit(
+            train_step,
+            in_shardings=(repl, bshard, repl, repl, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=donate_argnums,
+        )
+    return aot_with_options(jitted, compiler_options)

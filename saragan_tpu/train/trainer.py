@@ -39,7 +39,7 @@ from saragan_tpu.data import NumpyPathDataset, Prefetcher, get_numpy_dataset, no
 from saragan_tpu.models import get_architecture
 from saragan_tpu.optim import lr_schedule, scale_lr
 from saragan_tpu.optim.ema import fold_ema
-from saragan_tpu.parallel import jit_train_step, replicated_sharding, shard_global_batch
+from saragan_tpu.parallel import aot_with_options, jit_train_step, replicated_sharding, shard_global_batch
 from saragan_tpu.train import checkpoint as ckpt
 from saragan_tpu.train import summaries as summ
 from saragan_tpu.train.step import TrainState, init_train_state, make_train_step, split_params
@@ -78,6 +78,17 @@ class Trainer:
             built-in harness and real Optuna satisfy this.
         """
         self.cfg = cfg
+        # op-formulation gates (single-chip big-volume preset) must be set
+        # before ANY trace — model init included
+        cfg.apply_runtime_opts()
+        # per-compile options reach a relayed remote compiler where env
+        # flags cannot (BASELINE.md); TPU-only flags would error on CPU
+        self._compiler_options = (
+            {"xla_tpu_scoped_vmem_limit_kib": str(cfg.scoped_vmem_kib)}
+            if cfg.scoped_vmem_kib > 0
+            and jax.devices()[0].platform in ("tpu", "axon")
+            else None
+        )
         self.arch = get_architecture(cfg.architecture)
         self.mesh = mesh
         self.dataset_factory = dataset_factory
@@ -207,7 +218,12 @@ class Trainer:
             z = jax.random.normal(k_z, (n, cfg.latent_dim), compute_dtype)
             return arch.generator(g_params, z, alpha, phase=phase, cfg=cfg, rng=k_g, train=False)
 
-        return jax.jit(eval_losses), jax.jit(sample, static_argnums=2)
+        return (
+            aot_with_options(jax.jit(eval_losses), self._compiler_options),
+            aot_with_options(
+                jax.jit(sample, static_argnums=2), self._compiler_options, static_argnums=(2,)
+            ),
+        )
 
     # ------------------------------------------------------------------
 
@@ -310,11 +326,11 @@ class Trainer:
             if (self.mesh is not None and self.mesh.shape.get("space", 1) > 1 and batch_ndim == 5)
             else None
         )
-        jit_mixing = jit_train_step(step_mixing, self.mesh, batch_ndim, donate=True, space_axis=space_axis)
-        jit_stab = jit_train_step(step_stab, self.mesh, batch_ndim, donate=True, space_axis=space_axis)
+        jit_mixing = jit_train_step(step_mixing, self.mesh, batch_ndim, donate=True, space_axis=space_axis, compiler_options=self._compiler_options)
+        jit_stab = jit_train_step(step_stab, self.mesh, batch_ndim, donate=True, space_axis=space_axis, compiler_options=self._compiler_options)
         if lazy_k > 1:
-            jit_mixing_nogp = jit_train_step(step_mixing_nogp, self.mesh, batch_ndim, donate=True, space_axis=space_axis)
-            jit_stab_nogp = jit_train_step(step_stab_nogp, self.mesh, batch_ndim, donate=True, space_axis=space_axis)
+            jit_mixing_nogp = jit_train_step(step_mixing_nogp, self.mesh, batch_ndim, donate=True, space_axis=space_axis, compiler_options=self._compiler_options)
+            jit_stab_nogp = jit_train_step(step_stab_nogp, self.mesh, batch_ndim, donate=True, space_axis=space_axis, compiler_options=self._compiler_options)
 
         # histogram-emitting step variants, compiled lazily and used ONLY on
         # summary steps — per-variable histograms in the hot step measured
@@ -332,7 +348,8 @@ class Trainer:
                     static_alpha=None if mixing else 0.0,
                 )
                 hist_steps[key] = jit_train_step(
-                    fn, self.mesh, batch_ndim, donate=True, space_axis=space_axis
+                    fn, self.mesh, batch_ndim, donate=True, space_axis=space_axis,
+                    compiler_options=self._compiler_options,
                 )
             return hist_steps[key]
 

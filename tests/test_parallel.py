@@ -105,3 +105,75 @@ def test_trainer_with_mesh(tmp_path):
     import os
 
     assert os.path.isfile(os.path.join(cfg.logdir, "model_2.npz"))
+
+
+def test_aot_with_options_matches_plain_jit_and_caches():
+    """aot_with_options routes through lower().compile(compiler_options) —
+    the only flag surface that reaches a relayed remote compiler
+    (BASELINE.md 'Phase-8 on one chip' wall #9).  Identity when options
+    are None; with options, per-signature executable caching: same-shape
+    calls reuse one executable, float values don't recompile (they're
+    traced), ints key by value (they may be jit-static)."""
+    from saragan_tpu.parallel import aot_with_options
+
+    calls = []
+
+    def f(x, scale, n):
+        return x * scale + n
+
+    jitted = jax.jit(f, static_argnums=2)
+
+    class CountingLower:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def lower(self, *args):
+            calls.append(tuple(np.shape(a) for a in args if hasattr(a, "shape")))
+            return self._inner.lower(*args)
+
+    assert aot_with_options(jitted, None) is jitted
+
+    wrapped = aot_with_options(CountingLower(jitted), {}, static_argnums=(2,))
+    x = jnp.arange(4.0)
+    out1 = wrapped(x, 2.0, 1)
+    out2 = wrapped(x, 3.0, 1)  # new float VALUE: no recompile
+    assert len(calls) == 1
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x) * 3.0 + 1)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(jitted(x, 2.0, 1)))
+    wrapped(x, 2.0, 5)  # new int value (static arg): separate executable
+    assert len(calls) == 2
+    wrapped(jnp.arange(8.0), 2.0, 1)  # new shape: separate executable
+    assert len(calls) == 3
+    wrapped(jnp.arange(8.0), 7.0, 1)  # cached again
+    assert len(calls) == 3
+
+
+def test_single_chip_big_volume_preset(monkeypatch):
+    """--single_chip_big_volume composes the measured phase-8 recipe
+    (BASELINE.md wall-by-wall table): offload remat + unstacked critic
+    passes + raised scoped VMEM in the config, layout-safe op gates in
+    ops.core — with explicit SARAGAN_* env vars keeping precedence."""
+    from saragan_tpu.ops import core as ops_core
+
+    cfg = tiny_cfg(single_chip_big_volume=True)
+    assert cfg.remat_offload and not cfg.batched_passes
+    assert cfg.scoped_vmem_kib == 65536
+
+    saved = (ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32, ops_core.CONV3D_ALGORITHM)
+    try:
+        monkeypatch.delenv("SARAGAN_POOL", raising=False)
+        monkeypatch.delenv("SARAGAN_STATS_DTYPE", raising=False)
+        monkeypatch.setenv("SARAGAN_CONV3D", "direct")  # explicit env wins
+        ops_core.POOL_WINDOW = False
+        ops_core.STATS_ACCUM_F32 = True
+        ops_core.CONV3D_ALGORITHM = "direct"
+        cfg.apply_runtime_opts()
+        assert ops_core.POOL_WINDOW is True
+        assert ops_core.STATS_ACCUM_F32 is False
+        assert ops_core.CONV3D_ALGORITHM == "direct"  # env precedence held
+        # non-preset configs must not touch the gates
+        ops_core.POOL_WINDOW = False
+        tiny_cfg().apply_runtime_opts()
+        assert ops_core.POOL_WINDOW is False
+    finally:
+        ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32, ops_core.CONV3D_ALGORITHM = saved

@@ -172,3 +172,36 @@ def test_trainer_dp_sp_mesh(tmp_path):
     tr = Trainer(cfg, mesh=mesh, verbose=False)
     tr.run()
     assert os.path.isfile(os.path.join(cfg.logdir, "model_2.npz"))
+
+
+def test_single_chip_big_volume_trainer_end_to_end(tmp_path):
+    """The --single_chip_big_volume preset must train end-to-end through the
+    plain Trainer: offload remat + unstacked critic passes + Pallas flat
+    conv (interpret mode on CPU) — the phase-8 recipe as a framework
+    feature, not just a script (BASELINE.md 'Phase-8 on one chip')."""
+    from saragan_tpu.ops import core as ops_core
+
+    make_pyramid(tmp_path / "data")
+    saved = (ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32, ops_core.CONV3D_ALGORITHM)
+    try:
+        cfg = tiny_cfg(
+            tmp_path,
+            single_chip_big_volume=True,
+            mixing_nimg=4,
+            stabilizing_nimg=4,
+            metrics_every_nsteps=10_000,
+            summary_small_every_nsteps=10_000,
+            summary_large_every_nsteps=10_000,
+            ending_phase=2,
+            starting_phase=2,
+        )
+        assert cfg.remat_offload and not cfg.batched_passes
+        tr = Trainer(cfg, verbose=False)
+        # CPU backend: the TPU-only scoped-vmem option must NOT be attached
+        assert tr._compiler_options is None
+        assert ops_core.CONV3D_ALGORITHM == "pallas"  # preset applied at init
+        tr.run()
+        for v in tr.state.g_params.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+    finally:
+        ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32, ops_core.CONV3D_ALGORITHM = saved
