@@ -91,3 +91,39 @@ def test_memory_summary_scalars():
     assert 0.0 < out["memory/host_rss_percent"] < 100.0
     for v in out.values():
         assert np.isfinite(v)
+
+
+def test_flagship_blob_pyramid_levels_are_consistent():
+    """The flagship convergence harness evaluates ONE analytic field per
+    seed at every resolution (scripts/convergence_run_flagship.py) — the
+    synthetic analog of the reference's per-resolution Lanczos pyramid
+    (data_scripts/process_lidc_idri_data.py:124-137).  Levels must be
+    deterministic per seed, anisotropic (depth = width/4), and mutually
+    consistent: box-downsampling the fine level approximates the coarse."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from convergence_run_flagship import make_blob_volume_aniso
+
+    a = make_blob_volume_aniso(123, 64)
+    b = make_blob_volume_aniso(123, 64)
+    np.testing.assert_array_equal(a, b)  # deterministic
+    assert a.shape == (16, 64, 64)
+
+    coarse = make_blob_volume_aniso(123, 32)
+    assert coarse.shape == (8, 32, 32)
+    fine_ds = a.reshape(8, 2, 32, 2, 32, 2).mean(axis=(1, 3, 5))
+    # same continuous field sampled at 2x: box-mean of the fine grid must
+    # track the coarse grid closely relative to the field's dynamic range
+    # (point-sampled grids have endpoint offsets, so the max sits at blob
+    # edges; the mean is the consistency signal)
+    rng_span = a.max() - a.min()
+    err = np.abs(fine_ds - coarse).mean() / rng_span
+    assert err < 0.03, err
+
+    other = make_blob_volume_aniso(124, 32)
+    other_err = np.abs(other - coarse).mean() / rng_span
+    assert other_err > 5 * err  # different seed, genuinely different field
