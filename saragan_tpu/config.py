@@ -378,16 +378,20 @@ class Config:
         table).  Explicit SARAGAN_* environment variables keep precedence —
         they are the documented low-level override surface.  Call before any
         model trace (the Trainer does this in __init__).
+
+        The gates are set BOTH ways: a non-preset config restores the
+        env-derived defaults, so sequential Trainers in one process (HPO
+        trials, phase-chaining drivers) don't inherit a previous preset's
+        op formulations.
         """
-        if not self.single_chip_big_volume:
-            return
         import os
 
         from saragan_tpu.ops import core as ops_core
 
-        if "SARAGAN_POOL" not in os.environ:
-            ops_core.POOL_WINDOW = True
-        if "SARAGAN_STATS_DTYPE" not in os.environ:
-            ops_core.STATS_ACCUM_F32 = False
-        if "SARAGAN_CONV3D" not in os.environ:
-            ops_core.CONV3D_ALGORITHM = "pallas"
+        preset = self.single_chip_big_volume
+        pool = os.environ.get("SARAGAN_POOL")
+        ops_core.POOL_WINDOW = (pool == "window") if pool is not None else preset
+        stats = os.environ.get("SARAGAN_STATS_DTYPE")
+        ops_core.STATS_ACCUM_F32 = (stats != "compute") if stats is not None else not preset
+        conv = os.environ.get("SARAGAN_CONV3D")
+        ops_core.CONV3D_ALGORITHM = conv if conv is not None else ("pallas" if preset else "direct")

@@ -23,6 +23,7 @@ import os
 import random
 import shutil
 import time
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Tuple
 
@@ -188,7 +189,17 @@ class ImagePipeline:
                                  self.channels, self._num_workers)
             if batch is not None:
                 return batch, labels
-            self._native = None  # e.g. a non-JPEG file: PIL from here on
+            # e.g. a non-JPEG/truncated file: PIL from here on.  Warn — a
+            # silent fallback would pay the thread-pool decode cost for the
+            # rest of a long run with zero diagnostic output.
+            warnings.warn(
+                "native JPEG batch decode failed (one of "
+                f"{[os.path.basename(self.files[i]) for i in idxs[:4]]}"
+                f"{'...' if len(idxs) > 4 else ''}); falling back to the "
+                "PIL thread pool for the rest of this run",
+                RuntimeWarning,
+            )
+            self._native = None
         imgs = list(self._pool.map(lambda i: _decode_resize(self.files[i], self.size, self.channels), idxs))
         return np.stack(imgs), labels
 

@@ -589,11 +589,15 @@ def avg_pool(x: jax.Array, factor: int = 2, gain: float = 1.0) -> jax.Array:
         # padding blows up at phase-8 sizes (SARAGAN_POOL=window;
         # see STATS_ACCUM_F32 note)
         dims = (1, 1) + (factor,) * len(spatial)
+        # accumulation dtype must match the reshape path below: the default
+        # mean (no dtype kw) sums bf16 inputs in f32
+        acc_dt = jnp.float32 if STATS_ACCUM_F32 else x.dtype
+        xa = x.astype(acc_dt)
         # init must be a LITERAL zero for jax to route to the transposable
         # reduce-window-sum primitive (a traced init falls back to the
         # generic reduce_window, which has no reverse-mode rule)
-        summed = lax.reduce_window(x, x.dtype.type(0), lax.add, dims, dims, "VALID")
-        return summed / jnp.asarray(factor ** len(spatial), x.dtype)
+        summed = lax.reduce_window(xa, xa.dtype.type(0), lax.add, dims, dims, "VALID")
+        return (summed / jnp.asarray(factor ** len(spatial), acc_dt)).astype(x.dtype)
     new_shape: Tuple[int, ...] = x.shape[:2]
     reduce_axes = []
     for i, s in enumerate(spatial):

@@ -86,9 +86,11 @@ def aot_with_options(jitted, compiler_options: Optional[dict], static_argnums=()
 
     With compiler_options=None this is the identity.  Otherwise returns a
     wrapper that lowers+compiles on first call per argument signature and
-    caches the executable.  Cache keys: arrays -> (shape, dtype); python
-    floats -> their type (floats are traced, so values don't recompile);
-    other leaves (ints/bools/strings — e.g. jit static args) -> their value.
+    caches the executable.  Cache keys: static argument positions -> their
+    VALUE (statics are baked into the executable at lower time, whatever
+    their type — a static float must not share an executable across values);
+    dynamic arrays -> (shape, dtype); dynamic python floats -> their type
+    (traced, so values don't recompile); other dynamic leaves -> their value.
 
     `static_argnums` must mirror the jit's: a compiled executable is called
     with the dynamic arguments only (the statics were baked at lower time).
@@ -108,9 +110,10 @@ def aot_with_options(jitted, compiler_options: Optional[dict], static_argnums=()
 
     def wrapper(*args):
         key = tuple(
+            ("static", a) if i in static_set else
             tuple(_leaf_key(leaf) for leaf in jax.tree_util.tree_leaves(a))
             + (str(jax.tree_util.tree_structure(a)),)
-            for a in args
+            for i, a in enumerate(args)
         )
         exe = cache.get(key)
         if exe is None:

@@ -99,7 +99,9 @@ def main():
     n_vols = 24 if smoke else 256
 
     print("Building anisotropic blob pyramid ...", flush=True)
-    for ph in range(1, min(ending_phase, 7) + 1):
+    # only the levels this leg trains on (a phase-7/8 leg in its own
+    # process must not regenerate the 4..256 levels it never reads)
+    for ph in range(starting_phase, min(ending_phase, 7) + 1):
         build_level(dataroot, 4 * 2 ** (ph - 1), n=n_vols)
     if ending_phase >= 8:
         build_level(dataroot, 512, n=12 if smoke else 48)

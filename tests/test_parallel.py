@@ -171,9 +171,14 @@ def test_single_chip_big_volume_preset(monkeypatch):
         assert ops_core.POOL_WINDOW is True
         assert ops_core.STATS_ACCUM_F32 is False
         assert ops_core.CONV3D_ALGORITHM == "direct"  # env precedence held
-        # non-preset configs must not touch the gates
-        ops_core.POOL_WINDOW = False
+        # non-preset configs RESTORE the env-derived defaults, so
+        # sequential Trainers in one process (HPO trials, phase-chaining
+        # drivers) don't inherit a previous preset's op formulations
+        ops_core.POOL_WINDOW = True
+        ops_core.STATS_ACCUM_F32 = False
         tiny_cfg().apply_runtime_opts()
         assert ops_core.POOL_WINDOW is False
+        assert ops_core.STATS_ACCUM_F32 is True
+        assert ops_core.CONV3D_ALGORITHM == "direct"  # env precedence held
     finally:
         ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32, ops_core.CONV3D_ALGORITHM = saved
