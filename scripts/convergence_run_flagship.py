@@ -148,8 +148,10 @@ def main():
         compute_FID=True,
         compute_swds=not phase8_leg,
         compute_mses=True,
-        num_metric_samples=8 if (phase8_leg or smoke) else 32,
-        metrics_batch_size=2 if phase8_leg else (8 if smoke else 32),
+        num_metric_samples=8 if (phase8_leg or smoke) else (16 if big_phase else 32),
+        # phase 7 samples at 64x256x256: a 32-batch sampler program needs
+        # 17.2 GB HBM (measured OOM) — keep the metric sampler small there
+        metrics_batch_size=2 if phase8_leg else (8 if smoke else (4 if big_phase else 32)),
         metrics_every_nsteps=(10**9 if phase8_leg
                               else (16 if smoke else (2048 if big_phase else 6144))),
         summary_small_every_nsteps=10**9 if big_phase else 2048,
