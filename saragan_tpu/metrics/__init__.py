@@ -10,4 +10,5 @@ from saragan_tpu.metrics.fid import (  # noqa: F401
     calculate_fid_given_batch_volumes,
     frechet_distance,
 )
+from saragan_tpu.metrics.kms import kolmogorov_smirnov_distance  # noqa: F401
 from saragan_tpu.metrics.save_metrics import save_metrics  # noqa: F401

@@ -1,0 +1,77 @@
+"""Kolmogorov-Smirnov intensity-distribution distance.
+
+Port of the PyTorch prototype's `kolmogorov_smirnov_distance`
+(reference `pgan_pytorch/metrics/kms.py:4-25`, called from
+`pgan_pytorch/train.py:13` as `kms(real, fake, -1024, (-1024, 2048))` —
+CT Hounsfield units).  The reference semantics, preserved exactly:
+
+- images map to integer HU via ``(x * intercept) + intercept`` and clip
+  to ``clip_range`` (reference ``:7-10``);
+- the channel axis (axis 1) is MEAN-reduced before histogramming
+  (``:12-13``);
+- one density histogram PER SAMPLE with ``clip_range[1]-clip_range[0]``
+  bins over each sample's own min..max (numpy's default range —
+  ``:18-19``), averaged over the batch (``:21-22``);
+- the returned scalar is ``max |real_dist - fake_dist|`` of the averaged
+  DENSITIES (``:24``) — the reference compares PDFs, not CDFs, so this
+  is a total-variation-flavored statistic it *calls* KS.  The textbook
+  KS statistic (max CDF gap) is available via ``cumulative=True``.
+
+Reference quirk kept: the fake batch is reshaped with the REAL batch
+size (``fake_images.reshape(real_images.shape[0], -1)`` — ``:16``), so
+mismatched batch sizes raise, exactly as upstream would.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def kolmogorov_smirnov_distance(
+    real_images: np.ndarray,
+    fake_images: np.ndarray,
+    intercept: float = -1024,
+    clip_range: Tuple[int, int] = (-1024, 2048),
+    cumulative: bool = False,
+) -> float:
+    """Max-abs difference of batch-averaged per-sample intensity
+    histograms (densities by default; CDFs when ``cumulative=True``).
+
+    Inputs are NC(D)HW arrays in the std-normal domain the trainers use;
+    ``intercept`` maps them back to integer HU as the reference does.
+    """
+    real = ((np.asarray(real_images) * intercept) + intercept).astype(int)
+    fake = ((np.asarray(fake_images) * intercept) + intercept).astype(int)
+    real = real.clip(*clip_range)
+    fake = fake.clip(*clip_range)
+
+    real = real.mean(1)
+    fake = fake.mean(1)
+
+    real = real.reshape(real.shape[0], -1)
+    fake = fake.reshape(real.shape[0], -1)  # reference quirk: real's batch
+
+    nbins = int(clip_range[1]) - int(clip_range[0])
+    real_hists = np.stack(
+        [np.histogram(real[i], bins=nbins, density=True)[0] for i in range(real.shape[0])]
+    )
+    fake_hists = np.stack(
+        [np.histogram(fake[i], bins=nbins, density=True)[0] for i in range(fake.shape[0])]
+    )
+
+    real_dist = real_hists.mean(0)
+    fake_dist = fake_hists.mean(0)
+
+    if cumulative:
+        # textbook KS: max gap between the averaged CDFs.  Each sample's
+        # density integrates to 1 over its own support, so normalize the
+        # cumulative sums to end at 1 before differencing.
+        real_cdf = np.cumsum(real_dist)
+        fake_cdf = np.cumsum(fake_dist)
+        real_cdf = real_cdf / real_cdf[-1] if real_cdf[-1] > 0 else real_cdf
+        fake_cdf = fake_cdf / fake_cdf[-1] if fake_cdf[-1] > 0 else fake_cdf
+        return float(np.abs(real_cdf - fake_cdf).max())
+
+    return float(np.abs(real_dist - fake_dist).max())

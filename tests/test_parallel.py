@@ -147,6 +147,18 @@ def test_aot_with_options_matches_plain_jit_and_caches():
     wrapped(jnp.arange(8.0), 7.0, 1)  # cached again
     assert len(calls) == 3
 
+    # a static FLOAT is baked into the executable at lower time — it must
+    # key by VALUE, not by type (review fix: a type-keyed cache would
+    # silently reuse n=0.5's executable for n=0.25)
+    jitted_f = jax.jit(f, static_argnums=2)
+    wrapped_f = aot_with_options(CountingLower(jitted_f), {}, static_argnums=(2,))
+    base = len(calls)
+    r1 = wrapped_f(x, 2.0, 0.5)
+    r2 = wrapped_f(x, 2.0, 0.25)
+    assert len(calls) == base + 2
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(x) * 2.0 + 0.5)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(x) * 2.0 + 0.25)
+
 
 def test_single_chip_big_volume_preset(monkeypatch):
     """--single_chip_big_volume composes the measured phase-8 recipe
