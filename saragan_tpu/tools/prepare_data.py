@@ -7,11 +7,11 @@ Lanczos-3 block-reduce pyramid {512, 256, ..., 4} -> per-resolution
 `{S}x{S}/NNNN.npy` files (+ optional HDF5 packing,
 reference SURFGAN_3D/scripts/convert_npy_to_hdf5.py).
 
-Environment gating: SimpleITK/pydicom are not in this image, so DICOM
-ingestion is optional (`read_dicom_series` raises with instructions when
-neither is importable); every other stage is pure numpy/scipy and fully
-usable on .npy/.nrrd inputs.  A minimal NRRD reader replaces the reference's
-nrrd dependency (convert_nrrd_to_numpy_pgan.py).
+Zero external deps: DICOM ingestion uses SimpleITK/pydicom when installed
+and otherwise the built-in pure-Python reader (saragan_tpu.tools.dicom —
+uncompressed little-endian syntaxes, i.e. LIDC-IDRI CT); every other stage
+is pure numpy/scipy on .npy/.nrrd inputs.  A minimal NRRD reader replaces
+the reference's nrrd dependency (convert_nrrd_to_numpy_pgan.py).
 """
 
 from __future__ import annotations
@@ -154,7 +154,11 @@ def build_pyramid(array: np.ndarray, num_levels: int = 8, method: str = "lanczos
 def read_dicom_series(path: str) -> Tuple[np.ndarray, Tuple[float, float, float]]:
     """DICOM series -> ((D, H, W) HU array, (z, y, x) spacing).
 
-    Requires SimpleITK or pydicom (not in this image); raises otherwise."""
+    Prefers SimpleITK / pydicom when installed (full-format coverage,
+    matching the reference's sitk.ImageSeriesReader path,
+    process_lidc_idri_data.py:48-119); otherwise falls back to the
+    built-in pure-Python reader (saragan_tpu.tools.dicom) which covers the
+    uncompressed little-endian syntaxes LIDC-IDRI CT actually uses."""
     try:
         import SimpleITK as sitk  # noqa
 
@@ -177,10 +181,10 @@ def read_dicom_series(path: str) -> Tuple[np.ndarray, Tuple[float, float, float]
         dy, dx = (float(v) for v in slices[0].PixelSpacing)
         return arr, (dz, dy, dx)
     except ImportError:
-        raise ImportError(
-            "DICOM ingestion needs SimpleITK or pydicom (neither is in this image). "
-            "Convert series to .npy/.nrrd offline, or install one of them."
-        )
+        pass
+    from saragan_tpu.tools import dicom
+
+    return dicom.read_series(path)
 
 
 def read_nrrd(path: str) -> Tuple[np.ndarray, dict]:
@@ -528,8 +532,8 @@ def get_dcm_paths(root: str) -> Iterable[str]:
 
 def extract_metadata(root: str, csv_path: str, num_workers: int = 1) -> int:
     """Walk `root` for DICOM series (or loose .npy volumes), extract per-volume
-    stats, write a metadata CSV (reference extract_metadata.py; DICOM ingestion
-    gated on SimpleITK/pydicom like the rest of this module)."""
+    stats, write a metadata CSV (reference extract_metadata.py; DICOM read
+    via sitk/pydicom when installed, else the built-in pure-Python reader)."""
     import csv
 
     rows = []

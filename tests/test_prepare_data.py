@@ -115,11 +115,15 @@ def test_nrrd_reader(tmp_path):
     assert hdr["type"] == "short"
 
 
-def test_dicom_gated():
+def test_dicom_builtin_fallback_reports_empty_dir(tmp_path):
+    """With sitk/pydicom absent, read_dicom_series falls through to the
+    built-in pure-Python reader (tools/dicom.py), which raises a clear
+    DicomError on a directory with no readable slices."""
+    from saragan_tpu.tools.dicom import DicomError
     from saragan_tpu.tools.prepare_data import read_dicom_series
 
-    with pytest.raises(ImportError, match="SimpleITK or pydicom"):
-        read_dicom_series("/nonexistent")
+    with pytest.raises(DicomError, match="no readable DICOM slices"):
+        read_dicom_series(str(tmp_path))
 
 
 # ---------------------------------------------------------------------------
