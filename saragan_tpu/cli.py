@@ -105,7 +105,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise_stddev", default=None, type=float, required=True)
     # LAMB/RAdam/AdamW are the reference 2D path's hand-written TF1
     # optimizers (SURFGAN_2D/optim.py, lamb.py, rectified_adam.py)
-    _optim_choices = [None, "Adam", "SGD", "Momentum", "Adadelta", "LAMB", "RAdam", "AdamW"]
+    _optim_choices = [None, "Adam", "SGD", "Momentum", "Adadelta", "LAMB", "RAdam", "AdamW",
+                      "LARS"]
     p.add_argument("--optimizer", type=none_or_str, choices=_optim_choices, default="Adam")
     p.add_argument("--d_use_different_optimizer", default=False, action="store_true")
     p.add_argument("--d_optimizer", type=none_or_str, choices=_optim_choices, default="Adam")
@@ -140,6 +141,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Gradient-penalty parameter-gradient algebra in the fused-grads "
                         "step: reverse-over-reverse (default; measured faster on v5e, "
                         "BASELINE.md) or reverse-over-forward (exact either way)")
+    p.add_argument("--lazy_gp", default=1, type=int,
+                   help="Apply the gradient penalty every k-th step with k-scaled weight "
+                        "(StyleGAN2 lazy regularization; 1 = reference-exact every-step "
+                        "GP; 4 measured +28%% step throughput, BASELINE.md — NOT "
+                        "numerically equivalent to the reference recipe)")
     p.add_argument("--remat", default=False, action="store_true",
                    help="Rematerialize G/D forwards in the backward (HBM for FLOPs)")
     p.add_argument("--remat_offload", default=False, action="store_true",

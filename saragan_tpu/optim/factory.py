@@ -68,6 +68,15 @@ def _scale_transform(
             optax.add_decayed_weights(weight_decay, mask=_decay_mask),
             optax.scale_by_trust_ratio(),
         )
+    if name == "LARS":
+        # reference SURFGAN_2D/main.py:21,140-141: tf.contrib LARSOptimizer
+        # experiment (momentum=0, weight_decay=0 there; both configurable
+        # here).  tf.contrib's eeta (trust coefficient) default is 0.001.
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=_decay_mask),
+            optax.scale_by_trust_ratio(trust_coefficient=0.001),
+            optax.trace(decay=momentum) if momentum else optax.identity(),
+        )
     if name == "AdamW":
         # reference SURFGAN_2D/optim.py:191-293 (AdamWeightDecayOptimizer)
         return optax.chain(

@@ -94,7 +94,7 @@ def test_spectral_norm_train_step_runs_and_u_frozen():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("name", ["LAMB", "RAdam", "AdamW"])
+@pytest.mark.parametrize("name", ["LAMB", "RAdam", "AdamW", "LARS"])
 def test_extra_optimizers_reachable_from_config(name):
     cfg = tiny_cfg(optimizer="Adam", d_use_different_optimizer=True, d_optimizer=name,
                    weight_decay=0.001)
