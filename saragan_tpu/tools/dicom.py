@@ -292,16 +292,20 @@ def read_series(path: str) -> Tuple[np.ndarray, Tuple[float, float, float]]:
             p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p)
         )
     slices = []
+    errors: List[DicomError] = []
     for p in files:
         try:
             s = read_file(p)
-        except DicomError:
-            raise
+        except DicomError as e:
+            errors.append(e)  # junk file in a good series: skip, remember
+            continue
         except Exception:
             continue  # non-DICOM file in the directory
         if TAG_PIXEL_DATA in s.elements:
             slices.append(s)
     if not slices:
+        if errors:
+            raise errors[0]  # e.g. every slice is a compressed syntax
         raise DicomError(f"no readable DICOM slices under {path}")
     by_series: Dict[str, List[SliceFile]] = {}
     for s in slices:

@@ -95,6 +95,22 @@ def test_largest_series_wins(tmp_path):
     assert vol.shape == (3, 2, 2)
 
 
+def test_junk_file_in_series_is_skipped(tmp_path):
+    """A corrupt .dcm alongside good slices must not abort series assembly
+    (LIDC directories carry stray files); but a directory where NOTHING is
+    readable surfaces the parse error."""
+    _make_series(str(tmp_path), n=3)
+    (tmp_path / "zz.dcm").write_bytes(b"\x00" * 200)  # unparseable
+    vol, _ = read_series(str(tmp_path))
+    assert vol.shape[0] == 3
+
+    bad = tmp_path / "allbad"
+    bad.mkdir()
+    (bad / "x.dcm").write_bytes(b"\x00" * 200)
+    with pytest.raises(DicomError):
+        read_series(str(bad))
+
+
 def test_compressed_transfer_syntax_rejected(tmp_path):
     p = str(tmp_path / "a.dcm")
     write_ct_slice(p, np.zeros((2, 2), np.uint16))
