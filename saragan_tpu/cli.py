@@ -155,8 +155,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="One-flag preset for volumes whose activations exceed one "
                         "chip's HBM (e.g. 128x512x512 on 16 GB): host-offload remat + "
                         "layout-safe op formulations + Pallas flat conv + raised "
-                        "scoped-VMEM limit; critic passes unstacked (BASELINE.md "
-                        "'Phase-8 on one chip')")
+                        "scoped-VMEM limit; critic passes unstacked and transition "
+                        "fusion off — both draw 16-128x-padded layouts at this scale "
+                        "(BASELINE.md 'Phase-8 on one chip')")
     p.add_argument("--scoped_vmem_kib", default=0, type=int,
                    help="Per-compile xla_tpu_scoped_vmem_limit_kib (proto-backed, so "
                         "it reaches a relayed remote compiler); 0 = backend default")

@@ -365,6 +365,11 @@ class Config:
         if c.single_chip_big_volume:
             c.remat_offload = True
             c.batched_passes = False
+            # the exact upscale+conv fusion's lhs-dilated conv keeps an
+            # 8-channel full-res intermediate in a channels-on-lanes layout
+            # (16x pad -> 17.4 GB at phase 8, measured) that no conv-engine
+            # option reaches — the preset recipe runs unfused transitions
+            c.fused_transitions = False
             if c.scoped_vmem_kib == 0:
                 c.scoped_vmem_kib = 65536
         return c

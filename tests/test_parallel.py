@@ -169,6 +169,9 @@ def test_single_chip_big_volume_preset(monkeypatch):
 
     cfg = tiny_cfg(single_chip_big_volume=True)
     assert cfg.remat_offload and not cfg.batched_passes
+    # fused transitions' lhs-dilated conv draws a 16x-padded full-res
+    # intermediate at phase-8 scale (measured 17.4 GB) — preset turns it off
+    assert not cfg.fused_transitions
     assert cfg.scoped_vmem_kib == 65536
 
     saved = (ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32, ops_core.CONV3D_ALGORITHM)
