@@ -24,10 +24,13 @@ mutually consistent the way the reference's Lanczos pyramid is
 (data_scripts/process_lidc_idri_data.py:124-137).
 
 Run:  python scripts/convergence_run_flagship.py <outdir> [ending_phase=6]
-          [starting_phase=1] [phase8_nimg=512]
+          [starting_phase=1] [phase8_nimg=512] [continue_from]
 e.g.  ... out 6      -> phases 1..6
       ... out 7 7    -> phase 7 leg (chained from model_6)
       ... out 8 8    -> phase-8 training leg (chained from model_7)
+      ... out 8 8 512 <logs>/model_8 -> phase-8 CONTINUATION leg
+          (mid-phase resume: name-intersection restore of a same-phase
+          checkpoint is a full restore, reference optuna_objective.py:340-354)
 """
 
 from __future__ import annotations
@@ -92,6 +95,7 @@ def main():
     ending_phase = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     starting_phase = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     phase8_nimg = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+    continue_from = sys.argv[5] if len(sys.argv) > 5 else None
     dataroot = os.path.join(outdir, "data")
     os.makedirs(outdir, exist_ok=True)
     # FLAGSHIP_SMOKE=1: tiny budgets/dataset for a CPU wiring check
@@ -122,8 +126,9 @@ def main():
         final_shape="(1, 256, 1024, 1024)",
         starting_phase=starting_phase,
         ending_phase=ending_phase,
-        continue_path=(os.path.join(outdir, "logs", f"model_{starting_phase - 1}")
-                       if starting_phase > 1 else None),
+        continue_path=continue_from or (
+            os.path.join(outdir, "logs", f"model_{starting_phase - 1}")
+            if starting_phase > 1 else None),
         latent_dim=64,
         network_size="xs",
         base_batch_size=64,
@@ -189,7 +194,7 @@ def main():
     trainer.run()
     wall = time.time() - t0
 
-    tag = f"p{starting_phase}-{ending_phase}"
+    tag = f"p{starting_phase}-{ending_phase}" + ("-cont" if continue_from else "")
     with open(os.path.join(outdir, f"trajectory_{tag}.json"), "w") as f:
         json.dump({"trajectory": trajectory, "wall_s": wall}, f, indent=1)
 
@@ -210,7 +215,8 @@ def main():
         # flagship resolution TRAINS end-to-end through the framework on
         # one chip: finite, moving losses + a recorded metric reading
         assert per_phase_last_ema.get(8) is not None and np.isfinite(per_phase_last_ema[8])
-        print(f"PHASE8 LEG OK: {phase8_nimg} imgs, val proxy-FID "
+        kind = "CONTINUATION " if continue_from else ""
+        print(f"PHASE8 {kind}LEG OK: {phase8_nimg} imgs, val proxy-FID "
               f"{per_phase_last_ema[8]:.2f}, wall {wall:.0f}s")
         return
 
