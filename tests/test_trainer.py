@@ -98,6 +98,48 @@ def test_phase_chaining_restores_prev_weights(tmp_path):
     np.testing.assert_array_equal(captured["w"], p1["generator/generator_in/dense/weight"])
 
 
+def test_same_phase_continuation_is_full_restore(tmp_path):
+    """Mid-phase continuation: --continue_path at the SAME phase restores
+    every weight (the name intersection is total) and reseeds the EMA from
+    them — the flagship phase-8 continuation-leg semantics (reference
+    optuna_objective.py:340-354 restores by intersection regardless of the
+    checkpoint's phase)."""
+    make_pyramid(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path, ending_phase=1)
+    Trainer(cfg, verbose=False).run()
+    saved, _, meta = ckpt.load_params(os.path.join(cfg.logdir, "model_1"))
+    assert meta["phase"] == 1
+
+    cfg2 = tiny_cfg(tmp_path, ending_phase=1,
+                    continue_path=os.path.join(cfg.logdir, "model_1"),
+                    logdir=str(tmp_path / "logs2"))
+    tr2 = Trainer(cfg2, verbose=False)
+    captured = {}
+    orig = tr2._restore_for_phase
+
+    def capture(phase, state):
+        state = orig(phase, state)
+        # snapshot now — the state buffers get donated once training starts
+        captured["live"] = {k: np.asarray(v).copy()
+                            for k, v in {**state.g_params, **state.d_params}.items()}
+        captured["ema"] = {k: np.asarray(v).copy() for k, v in state.ema.items()}
+        return state
+
+    tr2._restore_for_phase = capture
+    tr2.run()
+    assert set(captured["live"]) == set(saved), "same-phase restore must be total"
+    for k, v in saved.items():
+        np.testing.assert_array_equal(captured["live"][k], v)
+        np.testing.assert_array_equal(captured["ema"][k], v)
+    # the continuation trained on from the restored weights and wrote its own
+    # final checkpoint without clobbering the source
+    assert os.path.isfile(os.path.join(cfg2.logdir, "model_1.npz"))
+    p_src, _, _ = ckpt.load_params(os.path.join(cfg.logdir, "model_1"))
+    np.testing.assert_array_equal(
+        p_src["generator/generator_in/dense/weight"],
+        saved["generator/generator_in/dense/weight"])
+
+
 def test_metrics_and_pruning_hooks(tmp_path):
     make_pyramid(tmp_path / "data")
     calls = []
