@@ -15,7 +15,9 @@ CT Hounsfield units).  The reference semantics, preserved exactly:
 - the returned scalar is ``max |real_dist - fake_dist|`` of the averaged
   DENSITIES (``:24``) — the reference compares PDFs, not CDFs, so this
   is a total-variation-flavored statistic it *calls* KS.  The textbook
-  KS statistic (max CDF gap) is available via ``cumulative=True``.
+  KS statistic (max CDF gap, histogrammed over the FIXED ``clip_range``
+  support so scale/location shifts register) is available via
+  ``cumulative=True``.
 
 Reference quirk kept: the fake batch is reshaped with the REAL batch
 size (``fake_images.reshape(real_images.shape[0], -1)`` — ``:16``), so
@@ -54,6 +56,24 @@ def kolmogorov_smirnov_distance(
     fake = fake.reshape(real.shape[0], -1)  # reference quirk: real's batch
 
     nbins = int(clip_range[1]) - int(clip_range[0])
+
+    if cumulative:
+        # textbook KS needs a COMMON support: the reference's per-sample-
+        # range bins (below) are scale/location invariant and can read ~0
+        # for grossly different distributions.  Histogram every sample over
+        # the fixed clip_range, weight samples equally, and take the max
+        # gap between the averaged CDFs.
+        rng = (int(clip_range[0]), int(clip_range[1]))
+
+        def cdf(batch: np.ndarray) -> np.ndarray:
+            counts = np.stack(
+                [np.histogram(batch[i], bins=nbins, range=rng)[0] for i in range(batch.shape[0])]
+            ).astype(np.float64)
+            counts /= counts.sum(axis=1, keepdims=True)  # each sample sums to 1
+            return np.cumsum(counts.mean(0))
+
+        return float(np.abs(cdf(real) - cdf(fake)).max())
+
     real_hists = np.stack(
         [np.histogram(real[i], bins=nbins, density=True)[0] for i in range(real.shape[0])]
     )
@@ -63,15 +83,5 @@ def kolmogorov_smirnov_distance(
 
     real_dist = real_hists.mean(0)
     fake_dist = fake_hists.mean(0)
-
-    if cumulative:
-        # textbook KS: max gap between the averaged CDFs.  Each sample's
-        # density integrates to 1 over its own support, so normalize the
-        # cumulative sums to end at 1 before differencing.
-        real_cdf = np.cumsum(real_dist)
-        fake_cdf = np.cumsum(fake_dist)
-        real_cdf = real_cdf / real_cdf[-1] if real_cdf[-1] > 0 else real_cdf
-        fake_cdf = fake_cdf / fake_cdf[-1] if fake_cdf[-1] > 0 else fake_cdf
-        return float(np.abs(real_cdf - fake_cdf).max())
 
     return float(np.abs(real_dist - fake_dist).max())

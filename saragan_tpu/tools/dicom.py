@@ -99,7 +99,10 @@ def _skip_sequence(buf: bytes, pos: int, explicit: bool) -> int:
     """Skip an SQ/UN value of undefined length starting at `pos`; returns
     the offset just past the sequence delimitation item (PS3.5 §7.5).
     Item datasets are parsed with full VR awareness so nested sequences
-    and explicit-VR long headers cannot desynchronize the walk."""
+    and explicit-VR long headers cannot desynchronize the walk.  The
+    caller passes ``explicit=False`` for UN values: PS3.5 §6.2.2 (CP-246)
+    mandates that undefined-length UN contents are always Implicit VR,
+    even inside an Explicit VR dataset."""
     n = len(buf)
     while pos + 8 <= n:
         tag, _, length, vpos = _element_header(buf, pos, explicit)
@@ -113,11 +116,14 @@ def _skip_sequence(buf: bytes, pos: int, explicit: bool) -> int:
         # undefined-length item: walk its dataset until item delimitation
         pos = vpos
         while pos + 8 <= n:
-            itag, _, ilen, ivpos = _element_header(buf, pos, explicit)
+            itag, ivr, ilen, ivpos = _element_header(buf, pos, explicit)
             if itag == (0xFFFE, 0xE00D):  # item delimitation
                 pos = ivpos
                 break
-            pos = _skip_sequence(buf, ivpos, explicit) if ilen == _UNDEFINED else ivpos + ilen
+            if ilen == _UNDEFINED:
+                pos = _skip_sequence(buf, ivpos, explicit and ivr != b"UN")
+            else:
+                pos = ivpos + ilen
         else:
             raise DicomError("unterminated item (no FFFE,E00D delimiter)")
     raise DicomError("unterminated sequence (no FFFE,E0DD delimiter)")
@@ -141,7 +147,8 @@ def _parse_dataset(buf: bytes, explicit: bool,
                     "Implicit/Explicit VR Little Endian is supported; "
                     "transcode the series offline (e.g. dcmdjpeg/gdcmconv)"
                 )
-            pos = _skip_sequence(buf, pos, explicit)
+            # CP-246: undefined-length UN contents are Implicit VR always
+            pos = _skip_sequence(buf, pos, explicit and vr != b"UN")
             out[tag] = (vr, b"")
             continue
         if vr == b"SQ":
@@ -275,7 +282,12 @@ def read_file(path: str) -> SliceFile:
             f"{path}: compressed transfer syntax {ts} — transcode to "
             "Implicit/Explicit VR Little Endian offline"
         )
-    return SliceFile(path, _parse_dataset(body, explicit=(ts == EXPLICIT_VR_LE)))
+    try:
+        return SliceFile(path, _parse_dataset(body, explicit=(ts == EXPLICIT_VR_LE)))
+    except struct.error as e:
+        # truncated mid-header: a real (partial) DICOM file, not junk —
+        # surface it as a DicomError so read_series can report the drop
+        raise DicomError(f"{path}: truncated dataset ({e})") from e
 
 
 def read_series(path: str) -> Tuple[np.ndarray, Tuple[float, float, float]]:
@@ -307,6 +319,18 @@ def read_series(path: str) -> Tuple[np.ndarray, Tuple[float, float, float]]:
         if errors:
             raise errors[0]  # e.g. every slice is a compressed syntax
         raise DicomError(f"no readable DICOM slices under {path}")
+    if errors:
+        # partially corrupt series: DO NOT fail (a junk file next to good
+        # slices is common), but never drop slices silently — a missing
+        # mid-stack slice trains on anatomically discontinuous data
+        import warnings
+
+        warnings.warn(
+            f"{len(errors)} unreadable DICOM file(s) skipped under {path} "
+            f"({len(slices)} slices kept); first error: {errors[0]}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     by_series: Dict[str, List[SliceFile]] = {}
     for s in slices:
         by_series.setdefault(s.series_uid, []).append(s)
@@ -358,11 +382,18 @@ def write_ct_slice(
     rescale_intercept: float = -1024.0,
     explicit: bool = True,
     extra_sequence: bool = False,
+    sequence_vr: bytes = b"SQ",
+    undefined_item: bool = False,
+    include_position: bool = True,
 ) -> str:
     """Write one valid single-frame CT slice (part-10, LE).  `pixels` is
     (Rows, Cols) int16/uint16/int8/uint8 *stored* values.  When
-    `extra_sequence` is set, an undefined-length SQ with a nested item is
-    embedded before PixelData to exercise the reader's sequence walking."""
+    `extra_sequence` is set, an undefined-length sequence with a nested
+    item is embedded before PixelData to exercise the reader's sequence
+    walking; `sequence_vr=b"UN"` writes it as an anonymizer-style UN
+    private element whose contents are Implicit VR per PS3.5 §6.2.2
+    (CP-246).  `include_position=False` omits ImagePositionPatient so the
+    InstanceNumber sort fallback can be exercised."""
     pixels = np.ascontiguousarray(pixels)
     assert pixels.ndim == 2 and pixels.dtype in (np.int16, np.uint16, np.int8, np.uint8)
     bits = pixels.dtype.itemsize * 8
@@ -378,15 +409,25 @@ def write_ct_slice(
     body += e(TAG_SLICE_THICKNESS, b"DS", ds(slice_thickness))
     body += e(TAG_SERIES_UID, b"UI", series_uid.encode())
     body += e(TAG_INSTANCE_NUMBER, b"IS", str(instance_number).encode())
-    body += e(TAG_IMAGE_POSITION, b"DS", b"0\\0\\" + ds(z_position))
+    if include_position:
+        body += e(TAG_IMAGE_POSITION, b"DS", b"0\\0\\" + ds(z_position))
     if extra_sequence:
-        # (0008,1140) ReferencedImageSequence, undefined length, one item
-        inner = _encode_element((0x0008, 0x1150), b"UI", b"1.2.3", explicit)
-        item = struct.pack("<HHI", 0xFFFE, 0xE000, len(inner)) + inner
+        # (0008,1140) ReferencedImageSequence, undefined length, one item.
+        # CP-246: a UN sequence's contents are Implicit VR regardless of
+        # the file's transfer syntax.
+        inner_explicit = explicit and sequence_vr != b"UN"
+        inner = _encode_element((0x0008, 0x1150), b"UI", b"1.2.3", inner_explicit)
+        if undefined_item:
+            # undefined-length item: contents walked element-by-element,
+            # terminated by an item delimitation tag (PS3.5 §7.5.1)
+            item = (struct.pack("<HHI", 0xFFFE, 0xE000, _UNDEFINED) + inner
+                    + struct.pack("<HHI", 0xFFFE, 0xE00D, 0))
+        else:
+            item = struct.pack("<HHI", 0xFFFE, 0xE000, len(inner)) + inner
         seq_val = item + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
         head = struct.pack("<HH", 0x0008, 0x1140)
         if explicit:
-            head += b"SQ\x00\x00" + struct.pack("<I", _UNDEFINED)
+            head += sequence_vr + b"\x00\x00" + struct.pack("<I", _UNDEFINED)
         else:
             head += struct.pack("<I", _UNDEFINED)
         body += head + seq_val

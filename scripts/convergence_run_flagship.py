@@ -165,10 +165,10 @@ def main():
         checkpoint_every_nsteps=10**9,
         compute_dtype="bfloat16",
         transfer_dtype="float16",
-        # the phase-8 preset forces fused_transitions off (its lhs-dilated
-        # conv keeps a 16x-padded 17.4 GB full-res intermediate — measured
-        # when this leg first ran with the fusion on)
-        fused_transitions=not phase8_leg,
+        # the single_chip_big_volume preset itself forces fused_transitions
+        # off in Config.finalize (its lhs-dilated conv keeps a 16x-padded
+        # 17.4 GB full-res intermediate — measured when this leg first ran
+        # with the fusion on); keep the recipe in ONE place (config.py)
         single_chip_big_volume=phase8_leg,
         logdir=os.path.join(outdir, "logs"),
     ).finalize()

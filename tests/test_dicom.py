@@ -69,18 +69,33 @@ def test_undefined_length_sequence_is_skipped(tmp_path, explicit):
     assert s.modality == "CT"
 
 
+@pytest.mark.parametrize("explicit", [True, False], ids=["explicitVR", "implicitVR"])
+def test_un_sequence_contents_are_implicit_vr(tmp_path, explicit):
+    """PS3.5 §6.2.2 (CP-246): an undefined-length UN element's contents are
+    Implicit VR even inside an Explicit VR dataset.  Anonymizers commonly
+    rewrite private sequences as UN, so a reader that walks them with the
+    file's VR mode desynchronizes and rejects valid series."""
+    px = np.full((3, 3), 5, dtype=np.uint16)
+    write_ct_slice(str(tmp_path / "a.dcm"), px, explicit=explicit,
+                   extra_sequence=True, sequence_vr=b"UN", undefined_item=True)
+    s = read_file(str(tmp_path / "a.dcm"))
+    np.testing.assert_array_equal(s.pixel_array(), px)
+    assert s.modality == "CT"
+
+
 def test_sort_falls_back_to_instance_number(tmp_path):
-    """Slices without ImagePositionPatient sort by InstanceNumber
-    (reference pydicom path sorts by z; sitk uses position too)."""
-    # write, then strip the position tag by rewriting without it: easiest is
-    # monkey-patching via raw bytes — instead write slices whose z is
-    # constant and instance numbers reversed vs filenames
+    """Slices WITHOUT ImagePositionPatient sort by InstanceNumber
+    (reference pydicom path sorts by z; sitk uses position too).  The
+    position tag is genuinely absent so the fallback branch runs — file
+    names are shuffled against instance order to prove the sort did it."""
     for i, inst in enumerate([3, 1, 2]):
         px = np.full((2, 2), inst * 100, dtype=np.uint16)
         write_ct_slice(str(tmp_path / f"f{i}.dcm"), px, instance_number=inst,
-                       z_position=float(inst))  # z matches instance order
-    vol, _ = read_series(str(tmp_path))
+                       include_position=False)
+    vol, spacing = read_series(str(tmp_path))
     assert [int(v) for v in vol[:, 0, 0] + 1024] == [100, 200, 300]
+    # no z positions at all -> SliceThickness fallback for dz
+    assert spacing[0] == 1.0
 
 
 def test_largest_series_wins(tmp_path):
@@ -109,6 +124,18 @@ def test_junk_file_in_series_is_skipped(tmp_path):
     (bad / "x.dcm").write_bytes(b"\x00" * 200)
     with pytest.raises(DicomError):
         read_series(str(bad))
+
+
+def test_partially_corrupt_series_warns(tmp_path):
+    """A truncated slice amid good ones is skipped but NEVER silently: the
+    volume would be anatomically discontinuous, so read_series warns with
+    the drop count and first parse error."""
+    _make_series(str(tmp_path), n=3)
+    good = (tmp_path / "s00.dcm").read_bytes()
+    (tmp_path / "trunc.dcm").write_bytes(good[: len(good) - 40])  # cut PixelData
+    with pytest.warns(RuntimeWarning, match="1 unreadable"):
+        vol, _ = read_series(str(tmp_path))
+    assert vol.shape[0] == 3
 
 
 def test_compressed_transfer_syntax_rejected(tmp_path):

@@ -77,3 +77,23 @@ def test_2d_nchw_inputs_work():
     fake = rng.normal(0.5, 1.0, size=(4, 3, 16, 16)).astype(np.float32)
     d = kolmogorov_smirnov_distance(real, fake, INTERCEPT, CLIP)
     assert np.isfinite(d) and d > 0
+
+
+def test_cumulative_detects_scale_difference():
+    """Uniform HU on [0,500) vs [0,1000): the true two-sample KS is 0.5.
+    The PDF branch's per-sample-range histograms are scale/location
+    invariant (documented reference quirk) and read ~0 here; the
+    cumulative variant histograms over the FIXED clip_range support and
+    must resolve it."""
+    rng = np.random.default_rng(4)
+
+    def to_x(hu):  # invert hu = (x * intercept) + intercept
+        return ((hu - INTERCEPT) / INTERCEPT).astype(np.float32)
+
+    real = to_x(rng.uniform(0, 500, (4, 1, 8, 8, 8)))
+    fake = to_x(rng.uniform(0, 1000, (4, 1, 8, 8, 8)))
+    same = to_x(rng.uniform(0, 500, (4, 1, 8, 8, 8)))
+    d = kolmogorov_smirnov_distance(real, fake, INTERCEPT, CLIP, cumulative=True)
+    d0 = kolmogorov_smirnov_distance(real, same, INTERCEPT, CLIP, cumulative=True)
+    assert d == pytest.approx(0.5, abs=0.06)
+    assert d0 < 0.08 < d
