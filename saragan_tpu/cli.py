@@ -237,7 +237,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host->device input batch dtype (float16 halves the per-step "
                         "transfer; the step casts to compute_dtype on device)")
     p.add_argument("--num_data_shards", default=None, type=none_or_int)
-    p.add_argument("--num_space_shards", default=1, type=int)
+    p.add_argument("--num_space_shards", default=1, type=int,
+                   help="shard the volume depth (D) axis over the 'space' mesh axis")
+    p.add_argument("--num_space2_shards", default=1, type=int,
+                   help="additionally shard the height (H) axis over a 'space2' "
+                        "mesh axis (pod-scale 2D halo decomposition)")
     p.add_argument("--profile_dir", default=None, type=str)
     return p
 

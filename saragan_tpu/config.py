@@ -188,6 +188,10 @@ class Config:
     transfer_dtype: str = "float32"
     num_data_shards: Optional[int] = None  # mesh 'data' axis; None = all devices
     num_space_shards: int = 1  # spatial halo sharding for huge phases (SURVEY §5.7)
+    # second spatial axis (H) shards for pod-scale meshes (>8 chips or depth
+    # too shallow to shard further): 'space' shards D, 'space2' shards H —
+    # both are GSPMD annotations, XLA inserts the 2D halo exchanges
+    num_space2_shards: int = 1
     profile_dir: Optional[str] = None
     use_pallas_fusion: bool = False  # fused bias+lrelu+pixelnorm Pallas kernels
     remat: bool = False  # jax.checkpoint G/D forwards: recompute activations in backward (HBM for FLOPs)
@@ -361,6 +365,17 @@ class Config:
             assert c.starting_phase == c.ending_phase, (
                 "stylegan2 does not support progressive growing; "
                 "starting_phase must equal ending_phase"
+            )
+        if c.starting_phase > c.num_phases:
+            # without this the phase loop `range(starting_phase, num_phases+1)`
+            # is empty and a run exits 0 having trained nothing (observed:
+            # --starting_phase 2 with final==2*start silently no-ops)
+            raise ValueError(
+                f"starting_phase={c.starting_phase} exceeds num_phases="
+                f"{c.num_phases} (= log2(final/start) from start_shape="
+                f"{c.start_shape}, final_shape={c.final_shape}); the run "
+                f"would train nothing. Grow final_shape or lower "
+                f"starting_phase."
             )
         if c.single_chip_big_volume:
             c.remat_offload = True

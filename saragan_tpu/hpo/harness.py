@@ -183,7 +183,8 @@ def default_objective(trial, cfg: Config):
     if cfg.horovod:
         import jax
 
-        mesh = make_mesh(num_data=cfg.num_data_shards, num_space=cfg.num_space_shards)
+        mesh = make_mesh(num_data=cfg.num_data_shards, num_space=cfg.num_space_shards,
+                         num_space2=getattr(cfg, "num_space2_shards", 1))
     metrics_cb = make_metrics_callback(cfg) if cfg.calc_metrics else None
 
     start = time.time()

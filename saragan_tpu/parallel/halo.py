@@ -26,17 +26,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def volume_sharding(mesh: Mesh, ndim: int = 5, depth_axis: int = 2) -> NamedSharding:
-    """Batch on 'data', depth on 'space'."""
+    """Batch on 'data', depth on 'space' (and H on 'space2' when the mesh
+    carries that axis — the 2D halo decomposition for pod-scale meshes)."""
     spec = [None] * ndim
     spec[0] = "data"
     if mesh.shape.get("space", 1) > 1:
         spec[depth_axis] = "space"
+    if mesh.shape.get("space2", 1) > 1 and depth_axis + 1 < ndim:
+        spec[depth_axis + 1] = "space2"
     return NamedSharding(mesh, P(*spec))
 
 
 def with_spatial_sharding(mesh: Optional[Mesh], x: jax.Array, depth_axis: int = 2) -> jax.Array:
     """Constrain an activation to the volume sharding inside jit."""
-    if mesh is None or mesh.shape.get("space", 1) <= 1:
+    if mesh is None or (mesh.shape.get("space", 1) <= 1
+                        and mesh.shape.get("space2", 1) <= 1):
         return x
     return lax.with_sharding_constraint(x, volume_sharding(mesh, x.ndim, depth_axis))
 

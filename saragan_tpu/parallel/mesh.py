@@ -28,31 +28,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     num_data: Optional[int] = None,
     num_space: int = 1,
+    num_space2: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
+    """Mesh over ('data', 'space'[, 'space2']).
+
+    'space' shards the volume depth (D) axis, 'space2' — added only when
+    num_space2 > 1, so existing 2-axis callers are untouched — shards the
+    height (H) axis too: the 2D halo decomposition for pod-scale meshes
+    where D alone is too shallow (e.g. 512x512x128 over 32 chips = 8 space
+    x 4 space2 leaves 16-deep x 128-tall local slabs).  Both are GSPMD
+    sharding annotations; XLA inserts the halo exchanges (SURVEY §5.7)."""
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
-        num_data = len(devices) // num_space
+        num_data = len(devices) // (num_space * num_space2)
     if num_data < 1:
         raise ValueError(
-            f"num_space={num_space} exceeds the {len(devices)} available "
-            f"devices (would give a 0-wide data axis)"
+            f"num_space={num_space} x num_space2={num_space2} exceeds the "
+            f"{len(devices)} available devices (would give a 0-wide data axis)"
         )
-    used = num_data * num_space
-    assert used <= len(devices), (num_data, num_space, len(devices))
+    used = num_data * num_space * num_space2
+    assert used <= len(devices), (num_data, num_space, num_space2, len(devices))
     if used < len(devices):
         print(f"make_mesh: using {used} of {len(devices)} devices "
-              f"({num_data} data x {num_space} space)")
+              f"({num_data} data x {num_space} space x {num_space2} space2)")
+    if num_space2 > 1:
+        arr = np.array(devices[:used]).reshape(num_data, num_space, num_space2)
+        return Mesh(arr, ("data", "space", "space2"))
     arr = np.array(devices[:used]).reshape(num_data, num_space)
     return Mesh(arr, ("data", "space"))
 
 
 def batch_sharding(mesh: Mesh, ndim: int, space_axis: Optional[int] = None) -> NamedSharding:
-    """Batch axis on 'data'; optionally one spatial axis on 'space'."""
+    """Batch axis on 'data'; optionally the depth axis on 'space' (and, when
+    the mesh carries a 'space2' axis, the next axis — H — on 'space2')."""
     spec = [None] * ndim
     spec[0] = "data"
     if space_axis is not None and mesh.shape["space"] > 1:
         spec[space_axis] = "space"
+    if (space_axis is not None and mesh.shape.get("space2", 1) > 1
+            and space_axis + 1 < ndim):
+        spec[space_axis + 1] = "space2"
     return NamedSharding(mesh, P(*spec))
 
 

@@ -320,10 +320,13 @@ class Trainer:
             )
         batch_ndim = len(cfg.current_shape(phase, batch_size))
         step_count = 0
-        # spatial (halo) sharding of the depth axis for huge phases (§5.7)
+        # spatial (halo) sharding of the depth axis — and H on 'space2' when
+        # the mesh carries that axis — for huge phases (§5.7)
         space_axis = (
             2
-            if (self.mesh is not None and self.mesh.shape.get("space", 1) > 1 and batch_ndim == 5)
+            if (self.mesh is not None and batch_ndim == 5
+                and (self.mesh.shape.get("space", 1) > 1
+                     or self.mesh.shape.get("space2", 1) > 1))
             else None
         )
         jit_mixing = jit_train_step(step_mixing, self.mesh, batch_ndim, donate=True, space_axis=space_axis, compiler_options=self._compiler_options)

@@ -199,3 +199,18 @@ def test_export_generator_unbaked_params(tmp_path):
     out = np.asarray(gen(dict(params), z))
     assert out.shape == (2, 1, 8, 8, 8)
     assert np.all(np.isfinite(out))
+
+
+def test_starting_phase_beyond_num_phases_fails_fast():
+    """A run whose phase loop would be empty must fail loudly, not exit 0
+    having trained nothing (num_phases = log2(final/start), reference
+    utils.py:211-217)."""
+    with pytest.raises(ValueError, match="starting_phase"):
+        Config(
+            architecture="pgan",
+            start_shape="(1, 4, 4, 4)",
+            final_shape="(1, 8, 8, 8)",  # num_phases == 1
+            starting_phase=2,
+            ending_phase=2,
+            latent_dim=8,
+        ).finalize()

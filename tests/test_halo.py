@@ -82,6 +82,50 @@ def test_spatially_sharded_train_step_matches_single_device():
         )
 
 
+def test_2d_spatial_decomposition_matches_single_device():
+    """data=2 x space=2 x space2=2 mesh (the pod-scale 2D halo layout:
+    depth on 'space', height on 'space2'): the full WGAN-GP train step must
+    match the single-device step — GSPMD inserts halo exchanges on BOTH
+    sharded spatial axes, through the double-backward."""
+    cfg = tiny_cfg()
+    arch = get_architecture("pgan")
+    batch = np.random.default_rng(0).normal(size=(4, 1, 8, 8, 8)).astype(np.float32)
+    step_rng = jax.random.PRNGKey(42)
+
+    state1, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+    step1 = jit_train_step(make_train_step(arch, cfg, 2, g_opt, d_opt), None, 5, donate=False)
+    out1, m1 = step1(state1, jnp.asarray(batch), step_rng, 0.5, 1e-3, 1e-3)
+
+    mesh = make_mesh(num_data=2, num_space=2, num_space2=2)
+    assert mesh.axis_names == ("data", "space", "space2")
+    stateN, _ = init_train_state(arch, jax.random.PRNGKey(0), phase=2, cfg=cfg)
+    stateN = jax.device_put(stateN, replicated_sharding(mesh))
+    stepN = jit_train_step(
+        make_train_step(arch, cfg, 2, g_opt, d_opt), mesh, 5, donate=False, space_axis=2
+    )
+    sharded = jax.device_put(batch, volume_sharding(mesh))
+    # the input really is sharded on D and H
+    spec = sharded.sharding.spec
+    assert spec[2] == "space" and spec[3] == "space2", spec
+    outN, mN = stepN(stateN, sharded, step_rng, 0.5, 1e-3, 1e-3)
+
+    np.testing.assert_allclose(float(m1.disc_loss), float(mN.disc_loss), rtol=1e-4)
+    for k in out1.g_params:
+        np.testing.assert_allclose(
+            np.asarray(out1.g_params[k]), np.asarray(outN.g_params[k]), rtol=1e-3, atol=1e-5
+        )
+    # D params carry Adam's sign-boundary amplification: the first update is
+    # exactly lr*sign(g), so a bitwise reassociation difference in a
+    # near-zero gradient becomes a 2*lr (=2e-3) jump (same float chaos
+    # documented for batched_passes in __graft_entry__).  The bound below is
+    # loose enough for that, tight enough to catch a real halo error (which
+    # would corrupt whole gradient slabs, not isolated sign boundaries).
+    for k in out1.d_params:
+        np.testing.assert_allclose(
+            np.asarray(out1.d_params[k]), np.asarray(outN.d_params[k]), rtol=1e-2, atol=2.5e-3
+        )
+
+
 def test_with_spatial_sharding_noop_without_space():
     mesh = make_mesh(num_data=8, num_space=1)
     x = jnp.zeros((2, 1, 4, 4, 4))
