@@ -12,12 +12,19 @@ does (main.py:44,139-143) and report the Pareto front.  Single-objective
 runs assert the sampler's best beats the median; multi-objective runs
 assert a non-vacuous front containing the best-FID trial.
 
-Run (real chip): python scripts/hpo_chip_demo.py [outdir] [ntrials] [sampler]
+Run (real chip): python scripts/hpo_chip_demo.py [outdir] [ntrials] [sampler] [mode]
+mode "nas": architecture search instead of LR search — kernel_spec/
+filter_spec carry None entries, so the trial samples per-layer kernel
+shapes (odd 1-7, cubic via optuna_square_kernels) and filter counts
+(powers of two, per-phase caps) exactly as the reference's NAS space
+(optuna_suggestions.py:235-276); learning rates are pinned so the sweep
+isolates the architectural axis.  Every trial compiles its own network.
 CPU wiring check: HPO_DEMO_SMOKE=1 ... (toy budgets, assertions relaxed)
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 import time
@@ -37,6 +44,7 @@ def main():
     ntrials = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     sampler = sys.argv[3] if len(sys.argv) > 3 else "TPE"  # "CMA" = the
     # round-3 full CMA-ES (CSA step-size, evolution paths, IPOP) on hardware
+    mode = sys.argv[4] if len(sys.argv) > 4 else "lr"
     dataroot = os.path.join(outdir, "data")
     os.makedirs(outdir, exist_ok=True)
     # HPO_DEMO_SMOKE=1: toy budgets for a CPU wiring check of the harness
@@ -88,6 +96,29 @@ def main():
         logdir=os.path.join(outdir, "logs"),
     )
 
+    if mode == "nas":
+        # architecture search: None entries in the specs are what triggers
+        # the NAS suggestions (reference optuna_suggestions.py:247-276);
+        # LRs pinned to the TPE sweep's best so only architecture varies.
+        cfg = dataclasses.replace(
+            cfg,
+            g_lr=0.0545,
+            d_lr=0.0141,
+            # pin the LR schedules flat too (setting the niters alone stops
+            # pick_schedule from sampling; kind None = no ramp) — the sweep
+            # then varies ONLY the architecture
+            g_lr_rise_niter=1, g_lr_decay_niter=1,
+            d_lr_rise_niter=1, d_lr_decay_niter=1,
+            optuna_square_kernels=True,  # cubic kernels: one knob per conv
+            kernel_spec=[
+                [[], [None, None, None]],
+                [[None, None, None], [None, None, None]],
+                [[None, None, None], [None, None, None]],
+            ],
+            filter_spec=[[None, None], [None, None], [None, None]],
+            optuna_study_name="chip_demo_nas",
+        )
+
     t0 = time.time()
     study = harness.run(cfg)
     wall = time.time() - t0
@@ -124,9 +155,18 @@ def main():
           f"worst {values[-1]:.3f}")
     print(f"best params: {best.params}")
     assert len(done) >= ntrials - 1, "trials failed"
+    if mode == "nas":
+        # every trial must have sampled the architectural knobs, and the
+        # study must contain >1 distinct architecture
+        archs = set()
+        for t in done:
+            nas_keys = [k for k in t.params if k.startswith(("Kernel_size_", "Filter_count_"))]
+            assert nas_keys, f"trial {t.number} sampled no NAS parameters"
+            archs.add(tuple(sorted((k, t.params[k]) for k in nas_keys)))
+        assert len(archs) > 1, "NAS sweep explored a single architecture"
     if not smoke:
         assert values[0] < np.median(values), "sampler found nothing better than median"
-    print("HPO DEMO OK")
+    print("HPO NAS DEMO OK" if mode == "nas" else "HPO DEMO OK")
 
 
 if __name__ == "__main__":
