@@ -184,7 +184,7 @@ def default_objective(trial, cfg: Config):
         import jax
 
         mesh = make_mesh(num_data=cfg.num_data_shards, num_space=cfg.num_space_shards,
-                         num_space2=getattr(cfg, "num_space2_shards", 1))
+                         num_space2=cfg.num_space2_shards)
     metrics_cb = make_metrics_callback(cfg) if cfg.calc_metrics else None
 
     start = time.time()

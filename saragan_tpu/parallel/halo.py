@@ -27,14 +27,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def volume_sharding(mesh: Mesh, ndim: int = 5, depth_axis: int = 2) -> NamedSharding:
     """Batch on 'data', depth on 'space' (and H on 'space2' when the mesh
-    carries that axis — the 2D halo decomposition for pod-scale meshes)."""
-    spec = [None] * ndim
-    spec[0] = "data"
-    if mesh.shape.get("space", 1) > 1:
-        spec[depth_axis] = "space"
-    if mesh.shape.get("space2", 1) > 1 and depth_axis + 1 < ndim:
-        spec[depth_axis + 1] = "space2"
-    return NamedSharding(mesh, P(*spec))
+    carries that axis — the 2D halo decomposition for pod-scale meshes).
+    One implementation: delegates to mesh.batch_sharding so the production
+    and halo/test paths cannot diverge."""
+    from saragan_tpu.parallel.mesh import batch_sharding
+
+    return batch_sharding(mesh, ndim, space_axis=depth_axis)
 
 
 def with_spatial_sharding(mesh: Optional[Mesh], x: jax.Array, depth_axis: int = 2) -> jax.Array:

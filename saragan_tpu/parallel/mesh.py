@@ -64,7 +64,7 @@ def batch_sharding(mesh: Mesh, ndim: int, space_axis: Optional[int] = None) -> N
     the mesh carries a 'space2' axis, the next axis — H — on 'space2')."""
     spec = [None] * ndim
     spec[0] = "data"
-    if space_axis is not None and mesh.shape["space"] > 1:
+    if space_axis is not None and mesh.shape.get("space", 1) > 1:
         spec[space_axis] = "space"
     if (space_axis is not None and mesh.shape.get("space2", 1) > 1
             and space_axis + 1 < ndim):
