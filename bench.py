@@ -61,12 +61,19 @@ def measure_step(arch, cfg, phase: int, batch: int, shape, static_alpha, n_steps
     """ms/step for one jitted variant, donated-state chained, one scalar
     fetch as the completion barrier (the relay returns early from
     block_until_ready — CLAUDE.md hardware rules)."""
+    from saragan_tpu.parallel.mesh import aot_with_options, resolve_compiler_options
     from saragan_tpu.train import init_train_state, make_train_step
 
     state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
-    step = jax.jit(
-        make_train_step(arch, cfg, phase, g_opt, d_opt, static_alpha=static_alpha),
-        donate_argnums=(0,),
+    # the trainer's default per-compile options (auto scoped-VMEM, ~+6.5%
+    # measured — Config.scoped_vmem_kib docs); bench measures what the
+    # trainer actually runs
+    step = aot_with_options(
+        jax.jit(
+            make_train_step(arch, cfg, phase, g_opt, d_opt, static_alpha=static_alpha),
+            donate_argnums=(0,),
+        ),
+        resolve_compiler_options(cfg.scoped_vmem_kib),
     )
     real = jax.device_put(
         np.random.default_rng(0).normal(size=(batch, 1) + shape).astype(np.float32)

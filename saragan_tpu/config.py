@@ -246,8 +246,13 @@ class Config:
     single_chip_big_volume: bool = False
     # per-compile scoped-VMEM limit (KiB) forwarded as the proto-backed
     # xla_tpu_scoped_vmem_limit_kib option — the only form that reaches a
-    # relayed remote compiler; 0 = backend default (16 MB)
-    scoped_vmem_kib: int = 0
+    # relayed remote compiler.  -1 (default) = auto: 32768 on TPU backends
+    # (interleaved A/B: 322->303 ms at phase 6, 564->530 ms at phase 7 —
+    # ~+6.5% exact, with 40960/49152 measurably worse, scripts/
+    # ab_compiler_opts.py), nothing elsewhere; 0 = backend default (16 MB);
+    # >0 = explicit.  Compiles that reject the option fall back to the
+    # backend default (parallel/mesh.py::aot_with_options).
+    scoped_vmem_kib: int = -1
 
     # ------------------------------------------------------------------
     # Derived properties
@@ -385,7 +390,7 @@ class Config:
             # (16x pad -> 17.4 GB at phase 8, measured) that no conv-engine
             # option reaches — the preset recipe runs unfused transitions
             c.fused_transitions = False
-            if c.scoped_vmem_kib == 0:
+            if c.scoped_vmem_kib <= 0:
                 c.scoped_vmem_kib = 65536
         return c
 

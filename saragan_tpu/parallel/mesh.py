@@ -90,6 +90,26 @@ def shard_global_batch(mesh: Mesh, batch: np.ndarray, space_axis: Optional[int] 
     return jax.device_put(batch, sharding)
 
 
+AUTO_SCOPED_VMEM_KIB = 32768  # measured optimum (BASELINE.md round-3 cont.)
+
+
+def resolve_compiler_options(scoped_vmem_kib: int) -> Optional[dict]:
+    """Config.scoped_vmem_kib -> per-compile compiler_options dict.
+
+    -1 = auto: the measured-optimal 32 MB scoped-VMEM limit on TPU-class
+    backends (interleaved A/B: ~+6.5% full-step throughput at both bench
+    phases; 40960/49152 measurably worse — scripts/ab_compiler_opts.py),
+    nothing on CPU/GPU where the TPU option would be rejected.
+    0 = backend default (no options).  >0 = explicit KiB value."""
+    if scoped_vmem_kib == 0:
+        return None
+    if scoped_vmem_kib < 0:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+        scoped_vmem_kib = AUTO_SCOPED_VMEM_KIB
+    return {"xla_tpu_scoped_vmem_limit_kib": str(scoped_vmem_kib)}
+
+
 def aot_with_options(jitted, compiler_options: Optional[dict], static_argnums=()):
     """Route a jitted function through `.lower(...).compile(compiler_options)`.
 
@@ -133,7 +153,18 @@ def aot_with_options(jitted, compiler_options: Optional[dict], static_argnums=()
         )
         exe = cache.get(key)
         if exe is None:
-            exe = jitted.lower(*args).compile(compiler_options=compiler_options)
+            lowered = jitted.lower(*args)
+            try:
+                exe = lowered.compile(compiler_options=compiler_options)
+            except Exception as e:  # noqa: BLE001 — option-rejecting compile
+                # e.g. a backend that doesn't know the option, or a program
+                # whose AOT compile OOMs under a raised scoped-VMEM budget
+                # (measured: >=64 MB SIGKILLs the relay's compile helper at
+                # the phase-6 program).  Fall back to the backend default
+                # rather than failing the run over a tuning knob.
+                print(f"aot_with_options: compile with {compiler_options} failed "
+                      f"({type(e).__name__}); retrying with backend defaults")
+                exe = lowered.compile()
             cache[key] = exe
         dynamic = [a for i, a in enumerate(args) if i not in static_set]
         return exe(*dynamic)

@@ -83,10 +83,11 @@ class Trainer:
         cfg.apply_runtime_opts()
         # per-compile options reach a relayed remote compiler where env
         # flags cannot (BASELINE.md); TPU-only flags would error on CPU
+        from saragan_tpu.parallel.mesh import resolve_compiler_options
+
         self._compiler_options = (
-            {"xla_tpu_scoped_vmem_limit_kib": str(cfg.scoped_vmem_kib)}
-            if cfg.scoped_vmem_kib > 0
-            and jax.devices()[0].platform in ("tpu", "axon")
+            resolve_compiler_options(cfg.scoped_vmem_kib)
+            if jax.devices()[0].platform in ("tpu", "axon")
             else None
         )
         self.arch = get_architecture(cfg.architecture)

@@ -54,7 +54,11 @@ def main():
 
     phase = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else (8 if phase == 6 else 1)
-    limits = [None, 32768, 65536, 131072]  # KiB; None = backend default (16 MB)
+    # KiB; None = backend default (16 MB).  >=64 MB SIGKILLs the relay's AOT
+    # compile-helper subprocess at the phase-6 program (host-side compiler
+    # OOM, not HBM) — measured; override via argv[3:].
+    limits = ([None] + [int(x) for x in sys.argv[3:]]) if len(sys.argv) > 3 else [
+        None, 32768, 65536, 131072]
 
     cfg = make_cfg(phase, batch)
     arch = get_architecture("pgan")

@@ -197,3 +197,33 @@ def test_single_chip_big_volume_preset(monkeypatch):
         assert ops_core.CONV3D_ALGORITHM == "direct"  # env precedence held
     finally:
         ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32, ops_core.CONV3D_ALGORITHM = saved
+
+
+def test_resolve_compiler_options_semantics():
+    """-1 = auto (TPU-only; None on this CPU backend), 0 = backend default,
+    >0 = explicit xla_tpu_scoped_vmem_limit_kib."""
+    from saragan_tpu.parallel.mesh import resolve_compiler_options
+
+    assert resolve_compiler_options(0) is None
+    assert resolve_compiler_options(-1) is None  # CPU backend under tests
+    assert resolve_compiler_options(12345) == {
+        "xla_tpu_scoped_vmem_limit_kib": "12345"
+    }
+
+
+def test_aot_with_options_falls_back_on_rejected_option(capsys):
+    """A compile that rejects its options retries with backend defaults
+    instead of failing the run (e.g. the >=64 MB scoped-VMEM settings that
+    SIGKILL the relay's compile helper, BASELINE.md round-3 cont.)."""
+    import jax
+    import jax.numpy as jnp
+
+    from saragan_tpu.parallel.mesh import aot_with_options
+
+    fn = aot_with_options(
+        jax.jit(lambda x: x * 2.0),
+        {"definitely_not_an_xla_option": "1"},
+    )
+    out = fn(jnp.ones((4,)))
+    assert float(out.sum()) == 8.0
+    assert "retrying with backend defaults" in capsys.readouterr().out
