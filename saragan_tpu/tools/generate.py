@@ -53,7 +53,12 @@ def make_volume_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: flo
         z = jax.random.normal(k_z, (batch_size, cfg.latent_dim))
         return arch.generator(params, z, alpha, phase=phase, cfg=cfg, rng=k_g, train=False)
 
-    return gen
+    # same per-compile options as the trainer (auto scoped-VMEM: serving
+    # measured 40.3 -> 39.5 ms/batch-8 at phase 6; falls back on rejection)
+    from saragan_tpu.parallel.mesh import aot_with_options, resolve_compiler_options
+
+    return aot_with_options(gen, resolve_compiler_options(
+        getattr(cfg, "scoped_vmem_kib", -1)))
 
 
 def sample_volumes(cfg: Config, phase: int, g_params, num_samples: int, seed: int = 0,
