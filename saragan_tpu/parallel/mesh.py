@@ -100,17 +100,27 @@ def resolve_compiler_options(scoped_vmem_kib: int) -> Optional[dict]:
     backends (interleaved A/B: ~+6.5% full-step throughput at both bench
     phases; 40960/49152 measurably worse — scripts/ab_compiler_opts.py),
     nothing on CPU/GPU where the TPU option would be rejected.
-    0 = backend default (no options).  >0 = explicit KiB value."""
+    0 = backend default (no options).  >0 = explicit KiB value.
+
+    The option is TPU-only, so on non-TPU backends this returns None for
+    every value (explicit values warn) — one gate for all call sites
+    (trainer, bench, serving sampler) instead of per-caller platform
+    checks."""
     if scoped_vmem_kib == 0:
         return None
+    if jax.default_backend() not in ("tpu", "axon"):
+        if scoped_vmem_kib > 0:
+            print(f"resolve_compiler_options: dropping scoped_vmem_kib="
+                  f"{scoped_vmem_kib} — xla_tpu_scoped_vmem_limit_kib is "
+                  f"TPU-only and the backend is {jax.default_backend()}")
+        return None
     if scoped_vmem_kib < 0:
-        if jax.default_backend() not in ("tpu", "axon"):
-            return None
         scoped_vmem_kib = AUTO_SCOPED_VMEM_KIB
     return {"xla_tpu_scoped_vmem_limit_kib": str(scoped_vmem_kib)}
 
 
-def aot_with_options(jitted, compiler_options: Optional[dict], static_argnums=()):
+def aot_with_options(jitted, compiler_options: Optional[dict], static_argnums=(),
+                     on_fail: str = "fallback"):
     """Route a jitted function through `.lower(...).compile(compiler_options)`.
 
     Proto-backed per-compile options are the ONLY way to reach the remote
@@ -130,6 +140,14 @@ def aot_with_options(jitted, compiler_options: Optional[dict], static_argnums=()
 
     `static_argnums` must mirror the jit's: a compiled executable is called
     with the dynamic arguments only (the statics were baked at lower time).
+
+    `on_fail`: what to do when the compile WITH options fails —
+    "fallback" (default) retries with backend defaults so a tuning knob
+    can't kill a run (the retry itself raises on a genuine program-compile
+    failure, just after one wasted compile); "raise" propagates the first
+    error — required by A/B sweeps (scripts/ab_compiler_opts.py), where a
+    silent fallback would report the backend default's timing under the
+    rejected option's name.
     """
     if compiler_options is None:
         return jitted
@@ -162,8 +180,10 @@ def aot_with_options(jitted, compiler_options: Optional[dict], static_argnums=()
                 # (measured: >=64 MB SIGKILLs the relay's compile helper at
                 # the phase-6 program).  Fall back to the backend default
                 # rather than failing the run over a tuning knob.
+                if on_fail == "raise":
+                    raise
                 print(f"aot_with_options: compile with {compiler_options} failed "
-                      f"({type(e).__name__}); retrying with backend defaults")
+                      f"({type(e).__name__}: {e}); retrying with backend defaults")
                 exe = lowered.compile()
             cache[key] = exe
         dynamic = [a for i, a in enumerate(args) if i not in static_set]

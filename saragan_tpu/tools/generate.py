@@ -57,8 +57,7 @@ def make_volume_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: flo
     # measured 40.3 -> 39.5 ms/batch-8 at phase 6; falls back on rejection)
     from saragan_tpu.parallel.mesh import aot_with_options, resolve_compiler_options
 
-    return aot_with_options(gen, resolve_compiler_options(
-        getattr(cfg, "scoped_vmem_kib", -1)))
+    return aot_with_options(gen, resolve_compiler_options(cfg.scoped_vmem_kib))
 
 
 def sample_volumes(cfg: Config, phase: int, g_params, num_samples: int, seed: int = 0,
@@ -109,9 +108,9 @@ def generate_minimal(
 def _save_png(path: str, grid: np.ndarray):
     import imageio
 
-    lo, hi = grid.min(), grid.max()
-    img = np.zeros_like(grid) if hi == lo else (grid - lo) / (hi - lo)
-    imageio.imwrite(path, (img * 255).astype(np.uint8))
+    from saragan_tpu.train.summaries import grid_to_uint8
+
+    imageio.imwrite(path, grid_to_uint8(grid))
 
 
 def generate(

@@ -21,6 +21,8 @@ Endpoints:
   GET  /info       -> model/config JSON (shape, batch size, param count)
   POST /generate   -> JSON body {"num_samples": N, "seed": S,
                       "format": "npy"|"png", "unnormalize": bool}
+                      (N capped by --max_samples, default 1024; client
+                      errors are 400, server faults 500)
        npy (default): one .npy blob, float32 (N, C, ...) volumes
        png: a mosaic of the centre z-slices (3D) or the images (2D)
 
@@ -45,14 +47,23 @@ from saragan_tpu.config import Config
 class GeneratorService:
     """Holds one compiled sampler + its parameters; thread-safe sampling."""
 
+    # cap on num_samples per request: bounds both chip-lock hold time and
+    # the host-side volume accumulation (each phase-6 batch-8 f32 batch is
+    # ~17 MB; an unbounded request would hold the chip for days and OOM the
+    # host).  Overridable via --max_samples.
+    DEFAULT_MAX_SAMPLES = 1024
+
     def __init__(self, sample_batch, batch_size: int, info: dict,
                  data_mean: Optional[float] = None,
-                 data_stddev: Optional[float] = None):
-        self._sample_batch = sample_batch  # (seed:int) -> (batch, C, ...) np.float32
+                 data_stddev: Optional[float] = None,
+                 max_samples: Optional[int] = None):
+        # sample_batch(seed:int, batch_index:int) -> (batch, C, ...) np.float32
+        self._sample_batch = sample_batch
         self.batch_size = int(batch_size)
         self.info = dict(info)
         self.data_mean = data_mean
         self.data_stddev = data_stddev
+        self.max_samples = int(max_samples or self.DEFAULT_MAX_SAMPLES)
         self._lock = threading.Lock()
 
     # -- constructors ----------------------------------------------------
@@ -60,7 +71,7 @@ class GeneratorService:
     @classmethod
     def from_checkpoint(cls, architecture: str, model_path: str, *, cfg: Config,
                         phase: int, batch_size: int = 8, alpha: float = 0.0,
-                        use_ema: bool = True):
+                        use_ema: bool = True, max_samples: Optional[int] = None):
         import jax
 
         from saragan_tpu.tools.generate import _load_generator_params, make_volume_sampler
@@ -69,8 +80,12 @@ class GeneratorService:
         sampler = make_volume_sampler(cfg, phase, batch_size, alpha)
         params_dev = jax.device_put(g_params)
 
-        def sample_batch(seed: int) -> np.ndarray:
-            return np.asarray(sampler(params_dev, jax.random.PRNGKey(seed)), np.float32)
+        def sample_batch(seed: int, i: int) -> np.ndarray:
+            # fold_in (not seed+i): batch i of request seed S must not equal
+            # batch 0 of request seed S+i — streams of different seeds would
+            # otherwise overlap sample-for-sample
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+            return np.asarray(sampler(params_dev, key), np.float32)
 
         info = {
             "source": "checkpoint",
@@ -83,12 +98,13 @@ class GeneratorService:
             "num_params": int(sum(int(np.size(v)) for v in g_params.values())),
         }
         return cls(sample_batch, batch_size, info,
-                   cfg.data_mean, cfg.data_stddev)
+                   cfg.data_mean, cfg.data_stddev, max_samples=max_samples)
 
     @classmethod
     def from_artifact(cls, path: str, latent_dim: Optional[int] = None,
                       data_mean: Optional[float] = None,
-                      data_stddev: Optional[float] = None):
+                      data_stddev: Optional[float] = None,
+                      max_samples: Optional[int] = None):
         """Serve a params-baked StableHLO artifact (tools.export_model)."""
         from jax import export as jexport
 
@@ -101,8 +117,8 @@ class GeneratorService:
         if latent_dim is not None and latent_dim != art_latent:
             raise ValueError(f"--latent_dim {latent_dim} != artifact's {art_latent}")
 
-        def sample_batch(seed: int) -> np.ndarray:
-            z = np.random.default_rng(seed).normal(
+        def sample_batch(seed: int, i: int) -> np.ndarray:
+            z = np.random.default_rng([seed, i]).normal(
                 size=(batch_size, art_latent)).astype(np.float32)
             return np.asarray(gen(z), np.float32)
 
@@ -112,7 +128,8 @@ class GeneratorService:
             "batch_size": batch_size,
             "latent_dim": art_latent,
         }
-        return cls(sample_batch, batch_size, info, data_mean, data_stddev)
+        return cls(sample_batch, batch_size, info, data_mean, data_stddev,
+                   max_samples=max_samples)
 
     # -- sampling ---------------------------------------------------------
 
@@ -120,10 +137,14 @@ class GeneratorService:
                  unnormalize: Optional[bool] = None) -> np.ndarray:
         if num_samples < 1:
             raise ValueError("num_samples must be >= 1")
+        if num_samples > self.max_samples:
+            raise ValueError(
+                f"num_samples {num_samples} > max_samples {self.max_samples} "
+                f"(server cap; raise with --max_samples)")
         out = []
         with self._lock:  # one chip program at a time
             for i in range((num_samples + self.batch_size - 1) // self.batch_size):
-                out.append(self._sample_batch(seed + i))
+                out.append(self._sample_batch(seed, i))
         vols = np.concatenate(out)[:num_samples]
         do_unnorm = (self.data_mean is not None and self.data_stddev is not None
                      if unnormalize is None else bool(unnormalize))
@@ -137,15 +158,12 @@ class GeneratorService:
 
 
 def _png_bytes(vols: np.ndarray) -> bytes:
-    from saragan_tpu.train.summaries import image_grid
-
-    grid = image_grid(vols)
-    lo, hi = grid.min(), grid.max()
-    img = np.zeros_like(grid) if hi == lo else (grid - lo) / (hi - lo)
     import imageio
 
+    from saragan_tpu.train.summaries import grid_to_uint8, image_grid
+
     buf = io.BytesIO()
-    imageio.imwrite(buf, (img * 255).astype(np.uint8), format="png")
+    imageio.imwrite(buf, grid_to_uint8(image_grid(vols)), format="png")
     return buf.getvalue()
 
 
@@ -184,20 +202,30 @@ def make_server(service: GeneratorService, port: int = 8753,
                 self._send_json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                num = int(req.get("num_samples", service.batch_size))
-                seed = int(req.get("seed", 0))
-                fmt = req.get("format", "npy")
-                vols = service.generate(num, seed, req.get("unnormalize"))
+                # request parsing + validation: failures here are the
+                # CLIENT's (malformed JSON, bad types, out-of-range values)
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    num = int(req.get("num_samples", service.batch_size))
+                    seed = int(req.get("seed", 0))
+                    fmt = req.get("format", "npy")
+                    if fmt not in ("npy", "png"):
+                        raise ValueError(f"unknown format {fmt!r}")
+                except (ValueError, TypeError, json.JSONDecodeError) as e:
+                    self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                try:
+                    vols = service.generate(num, seed, req.get("unnormalize"))
+                except ValueError as e:  # num_samples/unnormalize validation
+                    self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
                 if fmt == "npy":
                     self._send(200, _npy_bytes(vols), "application/octet-stream")
-                elif fmt == "png":
-                    self._send(200, _png_bytes(vols), "image/png")
                 else:
-                    self._send_json(400, {"error": f"unknown format {fmt!r}"})
-            except Exception as e:  # client gets the reason, server stays up
-                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                    self._send(200, _png_bytes(vols), "image/png")
+            except Exception as e:  # server-side fault: 5xx, server stays up
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -221,11 +249,15 @@ def main(argv: Optional[list] = None):
     p.add_argument("--data_stddev", type=float, default=None)
     p.add_argument("--port", type=int, default=8753)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--max_samples", type=int, default=None,
+                   help="per-request num_samples cap (default "
+                        f"{GeneratorService.DEFAULT_MAX_SAMPLES})")
     args = p.parse_args(argv)
 
     if args.artifact:
         service = GeneratorService.from_artifact(
-            args.artifact, data_mean=args.data_mean, data_stddev=args.data_stddev)
+            args.artifact, data_mean=args.data_mean, data_stddev=args.data_stddev,
+            max_samples=args.max_samples)
     else:
         if not (args.architecture and args.model_path and args.phase):
             p.error("either --artifact, or <architecture> --model_path --phase")
@@ -242,7 +274,8 @@ def main(argv: Optional[list] = None):
         ).finalize()
         service = GeneratorService.from_checkpoint(
             args.architecture, args.model_path, cfg=cfg, phase=args.phase,
-            batch_size=args.batch_size, alpha=args.alpha, use_ema=not args.no_ema)
+            batch_size=args.batch_size, alpha=args.alpha, use_ema=not args.no_ema,
+            max_samples=args.max_samples)
 
     # compile before accepting traffic so the first request isn't a
     # multi-minute cold compile

@@ -194,6 +194,14 @@ def image_grid(batch: np.ndarray, grid_cols: int = 4, pad_value: float = 0.0) ->
     return grid
 
 
+def grid_to_uint8(grid: np.ndarray) -> np.ndarray:
+    """Min-max normalize an image_grid mosaic to uint8 for PNG writers
+    (shared by tools.generate and tools.serve; flat grids map to zeros)."""
+    lo, hi = grid.min(), grid.max()
+    img = np.zeros_like(grid, dtype=np.float64) if hi == lo else (grid - lo) / (hi - lo)
+    return (img * 255).astype(np.uint8)
+
+
 def print_summary_to_stdout(
     global_step, in_phase_step, img_s, local_img_s, d_loss, g_loss, d_lr_val, g_lr_val, alpha
 ):

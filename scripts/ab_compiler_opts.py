@@ -76,7 +76,9 @@ def main():
             donate_argnums=(0,),
         )
         opts = {"xla_tpu_scoped_vmem_limit_kib": str(lim)} if lim else None
-        steps[name] = aot_with_options(jitted, opts)
+        # on_fail="raise": a rejected limit must DROP the row (the except
+        # below), not silently benchmark the backend default under its name
+        steps[name] = aot_with_options(jitted, opts, on_fail="raise")
 
     real = jax.device_put(
         np.random.default_rng(0).normal(size=(batch,) + shape).astype(np.float32)

@@ -199,16 +199,36 @@ def test_single_chip_big_volume_preset(monkeypatch):
         ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32, ops_core.CONV3D_ALGORITHM = saved
 
 
-def test_resolve_compiler_options_semantics():
-    """-1 = auto (TPU-only; None on this CPU backend), 0 = backend default,
-    >0 = explicit xla_tpu_scoped_vmem_limit_kib."""
+def test_resolve_compiler_options_semantics(capsys):
+    """-1 = auto, 0 = backend default, >0 = explicit KiB — and the option is
+    TPU-only, so on this CPU backend EVERY value resolves to None (explicit
+    values warn instead of shipping a doomed compile; the one gate serves
+    trainer, bench, and the serving sampler alike)."""
     from saragan_tpu.parallel.mesh import resolve_compiler_options
 
     assert resolve_compiler_options(0) is None
     assert resolve_compiler_options(-1) is None  # CPU backend under tests
-    assert resolve_compiler_options(12345) == {
-        "xla_tpu_scoped_vmem_limit_kib": "12345"
-    }
+    assert resolve_compiler_options(12345) is None
+    assert "dropping scoped_vmem_kib=12345" in capsys.readouterr().out
+
+
+def test_aot_with_options_on_fail_raise():
+    """on_fail='raise' propagates the with-options compile failure — A/B
+    sweeps must drop a rejected row, not time the backend default under the
+    rejected option's name (scripts/ab_compiler_opts.py)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from saragan_tpu.parallel.mesh import aot_with_options
+
+    fn = aot_with_options(
+        jax.jit(lambda x: x * 2.0),
+        {"definitely_not_an_xla_option": "1"},
+        on_fail="raise",
+    )
+    with pytest.raises(Exception):
+        fn(jnp.ones((4,)))
 
 
 def test_aot_with_options_falls_back_on_rejected_option(capsys):

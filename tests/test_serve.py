@@ -115,6 +115,46 @@ def test_generate_bad_request(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server + "/generate", {"num_samples": 0})
     assert e.value.code == 400
+    # over the per-request cap -> 400 with the remedy in the message
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/generate", {"num_samples": 10**9})
+    assert e.value.code == 400
+    assert "max_samples" in json.loads(e.value.read())["error"]
+    # non-integer num_samples -> 400 (parse error is the client's)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/generate", {"num_samples": "many"})
+    assert e.value.code == 400
+
+
+def test_server_fault_is_500(checkpoint_path):
+    """An exception inside the sampler (server's fault) maps to HTTP 500,
+    not 400 — monitoring keyed on 5xx must see chip/relay faults."""
+    def broken_sample(seed, i):
+        raise RuntimeError("relay wedged")
+
+    service = GeneratorService(broken_sample, 2, {"source": "test"})
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url + "/generate", {"num_samples": 1})
+        assert e.value.code == 500
+        assert "relay wedged" in json.loads(e.value.read())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_seed_streams_do_not_overlap(server):
+    """Batch 1 of request seed=7 must differ from batch 0 of seed=8 —
+    per-batch keys are fold_in-derived, not seed+i."""
+    _, _, a = _post(server + "/generate",
+                    {"num_samples": 4, "seed": 7, "unnormalize": False})
+    _, _, b = _post(server + "/generate",
+                    {"num_samples": 2, "seed": 8, "unnormalize": False})
+    a_v, b_v = np.load(io.BytesIO(a)), np.load(io.BytesIO(b))
+    assert not np.allclose(a_v[2:4], b_v)
 
 
 def test_artifact_service(tmp_path, checkpoint_path):
