@@ -133,6 +133,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "2N-batched D forward/backward (exact; fused-grads WGAN "
                         "path only; default on — measured +6.4%% on v5e)")
     p.add_argument("--no_batched_passes", dest="batched_passes", action="store_false")
+    p.add_argument("--no_graceful_shutdown", dest="graceful_shutdown",
+                   default=True, action="store_false",
+                   help="disable the SIGTERM/SIGINT checkpoint-and-exit(75) handler")
     p.add_argument("--gp_full_reduction", default=False, action="store_true",
                    help="Reduce the GP norm over ALL non-batch axes in the simultaneous "
                         "loss instead of the reference's literal (1,2,3) axes quirk "
@@ -265,8 +268,15 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     from saragan_tpu.hpo import harness
+    from saragan_tpu.train.trainer import TrainingInterrupted
 
-    return harness.run(cfg)
+    try:
+        return harness.run(cfg)
+    except TrainingInterrupted as e:
+        # graceful preemption (SIGTERM/SIGINT): the exact-resume checkpoint
+        # is on disk; exit 75 (EX_TEMPFAIL) so wrappers can requeue.
+        print(f"INTERRUPTED: {e}", flush=True)
+        raise SystemExit(75)
 
 
 if __name__ == "__main__":

@@ -208,6 +208,13 @@ class Config:
     # loss.py:140 drops the last spatial axis for 3D volumes)
     gp_full_reduction: bool = False
     full_state_checkpoints: bool = False  # periodic checkpoints also save the full TrainState (optimizer slots) for exact mid-phase resume
+    # graceful preemption: on SIGTERM/SIGINT finish the in-flight step, write
+    # an exact-resume full-state checkpoint (<logdir>/model_<p>_step_<n>_interrupt.pkl),
+    # and exit with code 75 (EX_TEMPFAIL) + a --continue_path resume hint —
+    # the TPU-native analog of surviving the reference's SLURM preemption
+    # signals (scripts/*.jb jobs are requeueable).  Opt out with
+    # --no_graceful_shutdown.
+    graceful_shutdown: bool = True
     # compute conv-after-upscale as one transposed conv — exact (oracle +
     # gradient tested), +5.6% train / +25% inference measured on v5e; default
     # on, opt out with --no_fused_transitions

@@ -49,6 +49,25 @@ class TrialPruned(Exception):
     """Raised to prune an HPO trial (mirrors optuna.TrialPruned)."""
 
 
+class TrainingInterrupted(Exception):
+    """A SIGTERM/SIGINT arrived; the in-flight step finished and an
+    exact-resume full-state checkpoint was written (cfg.graceful_shutdown).
+    Carries the `.pkl` path to pass back as --continue_path.  The TPU-native
+    analog of surviving SLURM preemption: the reference's requeueable .jb
+    jobs lose all mid-phase progress (tf.train.Saver ran only on cadence);
+    here no step is lost and optimizer slots survive."""
+
+    def __init__(self, resume_path: str, phase: int, global_step: int):
+        super().__init__(
+            f"training interrupted at phase {phase} step {global_step}; "
+            f"resume with --continue_path {resume_path} "
+            f"--starting_phase {phase}"
+        )
+        self.resume_path = resume_path
+        self.phase = phase
+        self.global_step = global_step
+
+
 @dataclass
 class PhaseResult:
     phase: int
@@ -82,14 +101,11 @@ class Trainer:
         # before ANY trace — model init included
         cfg.apply_runtime_opts()
         # per-compile options reach a relayed remote compiler where env
-        # flags cannot (BASELINE.md); TPU-only flags would error on CPU
+        # flags cannot (BASELINE.md); resolve_compiler_options owns the
+        # TPU-only gating, same as bench.py and the serving sampler
         from saragan_tpu.parallel.mesh import resolve_compiler_options
 
-        self._compiler_options = (
-            resolve_compiler_options(cfg.scoped_vmem_kib)
-            if jax.devices()[0].platform in ("tpu", "axon")
-            else None
-        )
+        self._compiler_options = resolve_compiler_options(cfg.scoped_vmem_kib)
         self.arch = get_architecture(cfg.architecture)
         self.mesh = mesh
         self.dataset_factory = dataset_factory
@@ -105,6 +121,7 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.phase: Optional[int] = None
         self._eval_step = None
+        self._interrupt: Optional[int] = None  # signal number, set by the handler
 
     # ------------------------------------------------------------------
 
@@ -233,16 +250,43 @@ class Trainer:
         start_train = time.time()
         global_step = 0
 
-        for phase in range(cfg.starting_phase, cfg.num_phases + 1):
-            self.phase = phase
-            result = self._run_phase(phase, global_step)
-            global_step = result.global_step
-            if cfg.ending_phase and phase == cfg.ending_phase:
-                self._log("Reached final phase, breaking.")
-                break
+        # graceful preemption (config.graceful_shutdown): catch SIGTERM/
+        # SIGINT, let the in-flight step finish, checkpoint, raise
+        # TrainingInterrupted.  Handlers are process-global so install only
+        # from the main thread (HPO worker threads keep the default), and
+        # restore the previous handlers on the way out.
+        import signal
+        import threading
+
+        installed = {}
+        if getattr(cfg, "graceful_shutdown", True) and (
+            threading.current_thread() is threading.main_thread()
+        ):
+            def _on_signal(signum, frame):
+                self._interrupt = signum
+                print(
+                    f"Received signal {signum}: finishing the in-flight step, "
+                    f"then writing an exact-resume checkpoint and exiting",
+                    flush=True,
+                )
+
+            for s in (signal.SIGTERM, signal.SIGINT):
+                installed[s] = signal.signal(s, _on_signal)
+
+        try:
+            for phase in range(cfg.starting_phase, cfg.num_phases + 1):
+                self.phase = phase
+                result = self._run_phase(phase, global_step)
+                global_step = result.global_step
+                if cfg.ending_phase and phase == cfg.ending_phase:
+                    self._log("Reached final phase, breaking.")
+                    break
+        finally:
+            for s, prev in installed.items():
+                signal.signal(s, prev)
+            self.writer.flush()
 
         self.train_time = time.time() - start_train
-        self.writer.flush()
         return self.last_fid
 
     # ------------------------------------------------------------------
@@ -575,6 +619,26 @@ class Trainer:
 
                 if mixing_bool:
                     assert alpha >= 0
+
+                # graceful preemption: the step above completed, counters are
+                # advanced — save exactly what a loop-top periodic full-state
+                # checkpoint would see next iteration, then unwind.  The .pkl
+                # restores optimizer slots + counters via --continue_path.
+                if self._interrupt is not None:
+                    resume_path = ckpt.save_full_state(
+                        ckpt.phase_checkpoint_path(self.logdir, phase, global_step)
+                        + "_interrupt",
+                        state,
+                        {"global_step": global_step, "in_phase_step": in_phase_step,
+                         "local_step": local_step, "alpha": alpha,
+                         "mixing": mixing_bool, "phase": phase},
+                    )
+                    self._save_phase_checkpoint(phase, state, global_step,
+                                                step=global_step)
+                    self.state = state
+                    exc = TrainingInterrupted(resume_path, phase, global_step)
+                    self._log(str(exc))
+                    raise exc
 
                 # phase exit (optuna_objective.py:576)
                 if global_step >= (phase - cfg.starting_phase + 1) * (

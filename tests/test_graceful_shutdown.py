@@ -1,0 +1,151 @@
+"""Graceful preemption (cfg.graceful_shutdown): SIGTERM/SIGINT finish the
+in-flight step, write an exact-resume full-state checkpoint, and exit 75.
+
+The reference's SLURM .jb jobs are requeueable but lose all progress since
+the last cadence checkpoint (tf.train.Saver every checkpoint_every_nsteps,
+optuna_objective.py:409-419, optimizer slots never saved); here preemption
+loses zero steps and the resume carries optimizer slots + counters.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from saragan_tpu.config import Config
+from saragan_tpu.train.trainer import Trainer, TrainingInterrupted
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_data(root, n=12, size=4):
+    rng = np.random.default_rng(0)
+    d = os.path.join(root, f"{size}x{size}")
+    os.makedirs(d, exist_ok=True)
+    for i in range(n):
+        np.save(os.path.join(d, f"{i:04d}.npy"),
+                rng.normal(size=(size,) * 3).astype(np.float32))
+
+
+def tiny_cfg(tmp_path, **kw):
+    defaults = dict(
+        architecture="pgan",
+        dataset_path=str(tmp_path / "data"),
+        start_shape="(1, 4, 4, 4)",
+        final_shape="(1, 8, 8, 8)",
+        starting_phase=1,
+        ending_phase=1,
+        latent_dim=16,
+        base_batch_size=4,
+        mixing_nimg=16,
+        stabilizing_nimg=16,
+        checkpoint_every_nsteps=10_000,
+        summary_small_every_nsteps=1_000,
+        summary_large_every_nsteps=1_000,
+        metrics_every_nsteps=1_000,
+        kernel_spec=[[[], [3, 3, 3]]],
+        filter_spec=[[8, 8]],
+        loss_fn="wgan",
+        noise_stddev=0.0,
+        g_lr=1e-3,
+        d_lr=1e-3,
+        logdir=str(tmp_path / "logs"),
+        validation_fraction=0.2,
+        test_fraction=0.2,
+    )
+    defaults.update(kw)
+    return Config(**defaults).finalize()
+
+
+def test_interrupt_writes_resume_checkpoint_and_resumes(tmp_path, capsys):
+    """Flag set before the loop -> step 1 completes, TrainingInterrupted is
+    raised with a .pkl that a fresh process resumes from mid-phase."""
+    make_data(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path)
+    tr = Trainer(cfg, verbose=False)
+    tr._interrupt = signal.SIGTERM  # as if the handler fired mid-step
+    with pytest.raises(TrainingInterrupted) as e:
+        tr.run()
+    exc = e.value
+    # exactly one completed step (global batch 4) before unwinding
+    assert exc.phase == 1 and exc.global_step == 4
+    assert exc.resume_path.endswith(".pkl") and os.path.isfile(exc.resume_path)
+    assert "--continue_path" in str(exc)
+    # a params .npz checkpoint rides along for inference tools
+    assert os.path.isfile(
+        exc.resume_path.replace("_interrupt.pkl", "") + ".npz")
+    # state survives on the trainer, finite
+    for v in tr.state.g_params.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+
+    # resume: full-state continue_path restores counters + optimizer slots
+    # and completes the phase in the remaining budget
+    cfg2 = tiny_cfg(tmp_path, continue_path=exc.resume_path,
+                    logdir=str(tmp_path / "logs2"))
+    tr2 = Trainer(cfg2, verbose=True)
+    tr2.run()
+    out = capsys.readouterr().out
+    assert "Resumed counters: step 4" in out
+    assert os.path.isfile(os.path.join(cfg2.logdir, "model_1.npz"))
+
+
+def test_handlers_restored_after_run(tmp_path):
+    """run() must leave the process's SIGTERM/SIGINT handlers as it found
+    them (HPO harnesses and test runners own them otherwise)."""
+    make_data(tmp_path / "data")
+    prev_term = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
+    cfg = tiny_cfg(tmp_path, mixing_nimg=8, stabilizing_nimg=8)
+    Trainer(cfg, verbose=False).run()
+    assert signal.getsignal(signal.SIGTERM) is prev_term
+    assert signal.getsignal(signal.SIGINT) is prev_int
+
+
+def test_real_sigterm_at_the_cli_exits_75(tmp_path):
+    """Full stack: a real SIGTERM to a running `python -m saragan_tpu`
+    process produces exit code 75, the INTERRUPTED line, and the .pkl."""
+    make_data(tmp_path / "data")
+    logdir = str(tmp_path / "logs_sig")
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # never touch the real chip from tests
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-m", "saragan_tpu", "pgan", str(tmp_path / "data"),
+         "--start_shape", "(1, 4, 4, 4)", "--final_shape", "(1, 8, 8, 8)",
+         "--starting_phase", "1", "--ending_phase", "1",
+         "--latent_dim", "16", "--network_size", "xs",
+         "--base_batch_size", "4",
+         # budget far beyond the test's lifetime: the signal is the only exit
+         "--mixing_nimg", "40000000", "--stabilizing_nimg", "8",
+         "--noise_stddev", "0.0", "--g_lr", "1e-3", "--d_lr", "1e-3",
+         "--summary_small_every_nsteps", "64",
+         "--logdir", logdir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        # wait for the first training step to have completed (post-compile)
+        deadline = time.time() + 600
+        lines = []
+        for line in p.stdout:
+            lines.append(line)
+            if "\tStep " in line or line.startswith("Step") or "img/s" in line:
+                break
+            if time.time() > deadline:
+                pytest.fail("no training step within 600s:\n" + "".join(lines)[-4000:])
+        p.send_signal(signal.SIGTERM)
+        out_rest = p.stdout.read()
+        rc = p.wait(timeout=300)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    out = "".join(lines) + out_rest
+    assert rc == 75, f"exit {rc}; output:\n{out[-4000:]}"
+    assert "INTERRUPTED" in out and "--continue_path" in out
+    pkls = [f for f in os.listdir(logdir) if f.endswith("_interrupt.pkl")]
+    assert len(pkls) == 1, os.listdir(logdir)
