@@ -136,6 +136,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_graceful_shutdown", dest="graceful_shutdown",
                    default=True, action="store_false",
                    help="disable the SIGTERM/SIGINT checkpoint-and-exit(75) handler")
+    p.add_argument("--abort_on_nonfinite", default=False, action="store_true",
+                   help="fail fast (with a rewind hint) when summary losses go NaN/inf")
     p.add_argument("--gp_full_reduction", default=False, action="store_true",
                    help="Reduce the GP norm over ALL non-batch axes in the simultaneous "
                         "loss instead of the reference's literal (1,2,3) axes quirk "

@@ -215,6 +215,11 @@ class Config:
     # signals (scripts/*.jb jobs are requeueable).  Opt out with
     # --no_graceful_shutdown.
     graceful_shutdown: bool = True
+    # fail fast when a summary-step loss fetch is non-finite (raise
+    # TrainingDiverged naming the last checkpoint) instead of the
+    # reference's behavior of training on through NaN — opt-in because the
+    # parity default must match the reference
+    abort_on_nonfinite: bool = False
     # compute conv-after-upscale as one transposed conv — exact (oracle +
     # gradient tested), +5.6% train / +25% inference measured on v5e; default
     # on, opt out with --no_fused_transitions

@@ -49,6 +49,26 @@ class TrialPruned(Exception):
     """Raised to prune an HPO trial (mirrors optuna.TrialPruned)."""
 
 
+class TrainingDiverged(Exception):
+    """A summary-step loss fetch came back non-finite and
+    cfg.abort_on_nonfinite is set.  Fail fast instead of burning the rest
+    of a multi-day big-volume run on NaN parameters; the message names the
+    last written checkpoint as the rewind point.  (Reference parity note:
+    the reference trains on regardless — this guard is opt-in.)"""
+
+    def __init__(self, phase: int, global_step: int, d_loss, g_loss,
+                 last_checkpoint: Optional[str]):
+        hint = (f"rewind with --continue_path {last_checkpoint}"
+                if last_checkpoint else "no checkpoint written yet")
+        super().__init__(
+            f"non-finite losses at phase {phase} step {global_step} "
+            f"(d_loss={d_loss}, g_loss={g_loss}); {hint}"
+        )
+        self.phase = phase
+        self.global_step = global_step
+        self.last_checkpoint = last_checkpoint
+
+
 class TrainingInterrupted(Exception):
     """A SIGTERM/SIGINT arrived; the in-flight step finished and an
     exact-resume full-state checkpoint was written (cfg.graceful_shutdown).
@@ -122,6 +142,7 @@ class Trainer:
         self.phase: Optional[int] = None
         self._eval_step = None
         self._interrupt: Optional[int] = None  # signal number, set by the handler
+        self._last_checkpoint: Optional[str] = None
 
     # ------------------------------------------------------------------
 
@@ -211,6 +232,7 @@ class Trainer:
         params = {**state.g_params, **state.d_params}
         path = ckpt.phase_checkpoint_path(self.logdir, phase, step)
         ckpt.save_params(path, params, ema=state.ema, meta={"global_step": global_step, "phase": phase})
+        self._last_checkpoint = path + ".npz"
         self._log(f"Writing checkpoint file: {os.path.basename(path)}")
 
     # ------------------------------------------------------------------
@@ -566,6 +588,11 @@ class Trainer:
                     d_loss = float(metrics.disc_loss)
                     g_loss = float(metrics.gen_loss)
                     gp_loss = float(metrics.gp_loss)
+                    if getattr(cfg, "abort_on_nonfinite", False) and not (
+                        np.isfinite(d_loss) and np.isfinite(g_loss)
+                    ):
+                        raise TrainingDiverged(phase, global_step, d_loss,
+                                               g_loss, self._last_checkpoint)
                     now = time.time()
                     # window_imgs == 0 on a step-0 summary (the post-compile
                     # reset above just zeroed it): keep the previous reading

@@ -105,6 +105,33 @@ def test_handlers_restored_after_run(tmp_path):
     assert signal.getsignal(signal.SIGINT) is prev_int
 
 
+def test_abort_on_nonfinite_fails_fast_with_rewind_hint(tmp_path):
+    """NaN training data -> NaN losses at the first summary step; with
+    --abort_on_nonfinite the run raises TrainingDiverged instead of
+    training on (the reference's behavior, which stays the default)."""
+    from saragan_tpu.train.trainer import TrainingDiverged
+
+    make_data(tmp_path / "data")
+    # poison the dataset: one-in-three volumes carries NaN voxels
+    d = tmp_path / "data" / "4x4"
+    for i in range(0, 12, 3):
+        v = np.load(d / f"{i:04d}.npy")
+        v[0, 0, 0] = np.nan
+        np.save(d / f"{i:04d}.npy", v)
+    cfg = tiny_cfg(tmp_path, abort_on_nonfinite=True,
+                   summary_small_every_nsteps=4)
+    with pytest.raises(TrainingDiverged) as e:
+        Trainer(cfg, verbose=False).run()
+    assert "non-finite losses" in str(e.value)
+    assert "no checkpoint written yet" in str(e.value)  # diverged at step 1
+
+    # default (reference parity): the same poisoned run trains through NaN
+    cfg2 = tiny_cfg(tmp_path, summary_small_every_nsteps=4,
+                    logdir=str(tmp_path / "logs_nan"))
+    Trainer(cfg2, verbose=False).run()
+    assert os.path.isfile(os.path.join(cfg2.logdir, "model_1.npz"))
+
+
 def test_real_sigterm_at_the_cli_exits_75(tmp_path):
     """Full stack: a real SIGTERM to a running `python -m saragan_tpu`
     process produces exit code 75, the INTERRUPTED line, and the .pkl."""
