@@ -54,19 +54,31 @@ def main():
 
     phase = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else (8 if phase == 6 else 1)
-    # KiB; None = backend default (16 MB).  >=64 MB SIGKILLs the relay's AOT
-    # compile-helper subprocess at the phase-6 program (host-side compiler
-    # OOM, not HBM) — measured; override via argv[3:].
-    limits = ([None] + [int(x) for x in sys.argv[3:]]) if len(sys.argv) > 3 else [
-        None, 32768, 65536, 131072]
+    # argv[3:] variants, each either a bare KiB int (scoped-VMEM limit) or a
+    # general `name:key=val;key=val` proto-backed option set (any DebugOptions
+    # field the remote compiler knows; unknown keys reject the row).
+    # Default sweep: backend 16 MB vs the historical limits.  >=64 MB
+    # SIGKILLs the relay's AOT compile-helper subprocess at the phase-6
+    # program (host-side compiler OOM, not HBM) — measured.
+    def parse_variant(tok: str):
+        if ":" not in tok:
+            lim = int(tok)
+            return f"vmem_{lim}", {"xla_tpu_scoped_vmem_limit_kib": str(lim)}
+        name, spec = tok.split(":", 1)
+        opts = dict(kv.split("=", 1) for kv in spec.split(";") if kv)
+        return name, (opts or None)
+
+    variants = [("vmem_default", None)] + (
+        [parse_variant(t) for t in sys.argv[3:]] if len(sys.argv) > 3 else
+        [parse_variant(str(l)) for l in (32768, 65536, 131072)]
+    )
 
     cfg = make_cfg(phase, batch)
     arch = get_architecture("pgan")
     shape = tuple(cfg.current_shape(phase, 1))[1:]
 
     states, steps = {}, {}
-    for lim in limits:
-        name = f"vmem_{lim or 'default'}"
+    for name, opts in variants:
         state, (g_opt, d_opt) = init_train_state(
             arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg
         )
@@ -75,8 +87,7 @@ def main():
             make_train_step(arch, cfg, phase, g_opt, d_opt, static_alpha=0.0),
             donate_argnums=(0,),
         )
-        opts = {"xla_tpu_scoped_vmem_limit_kib": str(lim)} if lim else None
-        # on_fail="raise": a rejected limit must DROP the row (the except
+        # on_fail="raise": a rejected option set must DROP the row (the except
         # below), not silently benchmark the backend default under its name
         steps[name] = aot_with_options(jitted, opts, on_fail="raise")
 
