@@ -60,6 +60,37 @@ def make_volume_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: flo
     return aot_with_options(gen, resolve_compiler_options(cfg.scoped_vmem_kib))
 
 
+def make_keyed_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: float = 0.0,
+                       fast_inference: bool = True):
+    """ONE jitted per-sample-keyed sampler
+    `gen(g_params, seeds (B,) int32, idxs (B,) int32) -> (B, C, ...)`.
+
+    Output row j depends ONLY on (seeds[j], idxs[j]) — the whole generator
+    (latent draw AND StyleGAN noise layers) is vmapped over a per-sample key
+    `fold_in(PRNGKey(seeds[j]), idxs[j])`, so a sample is bit-identical
+    whether its request is served alone or micro-batched with other
+    requests' samples (tools/serve.py coalescing).  All key math stays on
+    device: the host hands over two int32 vectors, one dispatch per batch."""
+    if fast_inference:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_transitions=True, use_pallas_fusion=True)
+    arch = get_architecture(cfg.architecture)
+
+    @jax.jit
+    def gen(params, seeds, idxs):
+        def one(s, j):
+            k_z, k_g = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(s), j))
+            z = jax.random.normal(k_z, (1, cfg.latent_dim))
+            return arch.generator(params, z, alpha, phase=phase, cfg=cfg,
+                                  rng=k_g, train=False)[0]
+        return jax.vmap(one)(seeds, idxs)
+
+    from saragan_tpu.parallel.mesh import aot_with_options, resolve_compiler_options
+
+    return aot_with_options(gen, resolve_compiler_options(cfg.scoped_vmem_kib))
+
+
 def sample_volumes(cfg: Config, phase: int, g_params, num_samples: int, seed: int = 0,
                    batch_size: int = 4, alpha: float = 0.0,
                    fast_inference: bool = True, _sampler=None) -> np.ndarray:

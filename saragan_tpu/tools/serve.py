@@ -2,11 +2,20 @@
 
 A TPU-native production-serving surface beyond the reference's tooling
 (the reference's closest analog is offline batch inference,
-generate_minimal.py:13-64).  One process owns the chip; requests are
-serialized through a lock (the hardware rule: one chip program at a time)
-and served from a single pre-compiled sampler, so steady-state latency is
-one sampler invocation (~34 ms/batch-8 at 128x128x32 on v5e, BASELINE.md
-serving A/B).
+generate_minimal.py:13-64).  One process owns the chip; one pre-compiled
+fixed-shape sampler serves every request (no recompiles), so steady-state
+latency is one sampler invocation (~34 ms/batch-8 at 128x128x32 on v5e,
+BASELINE.md serving A/B).
+
+Concurrent requests are MICRO-BATCHED: a worker thread drains per-sample
+slots from all pending requests into one fixed-size device batch —
+splitting large requests across dispatches and packing small concurrent
+ones together — so a burst of batch-1 clients rides the chip at full
+batch occupancy instead of each burning a whole batch.  Sample j of
+request seed S is derived from `fold_in(PRNGKey(S), j)` *per sample*
+inside the sampler (tools/generate.py::make_keyed_sampler), so responses
+are bit-identical whether a request is served alone or coalesced.
+GET /stats reports the coalescing/padding counters.
 
     python -m saragan_tpu.tools.serve pgan --model_path runs/model_6.npz \
         --phase 6 --latent_dim 256 --start_shape "(1, 1, 4, 4)" \
@@ -19,6 +28,8 @@ or from a portable StableHLO artifact (no checkpoint / model code needed):
 Endpoints:
   GET  /healthz    -> {"status": "ok"}
   GET  /info       -> model/config JSON (shape, batch size, param count)
+  GET  /stats      -> micro-batching counters (requests, samples, batches,
+                      padded_slots, max_requests_coalesced)
   POST /generate   -> JSON body {"num_samples": N, "seed": S,
                       "format": "npy"|"png", "unnormalize": bool}
                       (N capped by --max_samples, default 1024; client
@@ -33,6 +44,7 @@ inverts the training normalization so clients receive HU-scale volumes
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import threading
@@ -44,27 +56,157 @@ import numpy as np
 from saragan_tpu.config import Config
 
 
-class GeneratorService:
-    """Holds one compiled sampler + its parameters; thread-safe sampling."""
+class _Ticket:
+    """One request's pending samples inside the MicroBatcher."""
 
-    # cap on num_samples per request: bounds both chip-lock hold time and
-    # the host-side volume accumulation (each phase-6 batch-8 f32 batch is
+    __slots__ = ("seed", "num", "out", "remaining", "event", "error")
+
+    def __init__(self, seed: int, num: int):
+        self.seed = int(seed)
+        self.num = int(num)
+        self.out = [None] * num
+        self.remaining = num
+        self.event = threading.Event()
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent sample requests into fixed-size device batches.
+
+    Submitters enqueue one slot per sample and block; the worker thread
+    drains up to `batch_size` slots per dispatch — across request
+    boundaries — and runs them through `run_slots(seeds, idxs)`, which must
+    make output row k depend ONLY on (seeds[k], idxs[k]) (the keyed-sampler
+    contract, tools/generate.py::make_keyed_sampler).  A short batch is
+    padded by repeating slot 0 (padding rows are discarded).  No batching
+    timer: the natural coalescing window is the in-flight device dispatch —
+    requests arriving while the chip is busy pile up and ship together
+    (continuous batching).  One worker thread == the one-chip-program-at-a-
+    time hardware rule.
+
+    A dispatch failure fails every request with a sample in that batch and
+    any still-queued slots of those requests are skipped; other requests
+    and the worker survive (the server maps the error to HTTP 500).
+    """
+
+    def __init__(self, run_slots, batch_size: int, start: bool = True):
+        # run_slots(seeds (B,) np.int32, idxs (B,) np.int32) -> (B, ...) f32
+        self._run = run_slots
+        self.batch_size = int(batch_size)
+        self._q = collections.deque()  # (_Ticket, sample_index)
+        self._cv = threading.Condition()
+        self._closed = False
+        self.stats = {
+            "requests": 0,
+            "samples": 0,
+            "batches": 0,
+            "padded_slots": 0,
+            "max_requests_coalesced": 0,
+        }
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="serve-microbatcher")
+        if start:
+            self._thread.start()
+
+    def start(self):
+        if not self._thread.is_alive():
+            self._thread.start()
+
+    def submit(self, seed: int, num: int) -> "np.ndarray":
+        """Block until all `num` samples of request (seed) are generated."""
+        ticket = _Ticket(seed, num)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self.stats["requests"] += 1
+            self.stats["samples"] += num
+            for j in range(num):
+                self._q.append((ticket, j))
+            self._cv.notify()
+        ticket.event.wait()
+        if ticket.error is not None:
+            raise ticket.error
+        return np.stack(ticket.out)
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        if self._thread.is_alive():
+            self._thread.join(timeout=30)
+
+    # -- worker -----------------------------------------------------------
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._q and not self._closed:
+                    self._cv.wait()
+                entries = []
+                while self._q and len(entries) < self.batch_size:
+                    t, j = self._q.popleft()
+                    if t.error is None:  # skip slots of already-failed requests
+                        entries.append((t, j))
+                if self._closed and not entries and not self._q:
+                    return
+            if entries:
+                self._dispatch(entries)
+
+    def _dispatch(self, entries):
+        pad = self.batch_size - len(entries)
+        seeds = np.asarray([t.seed for t, _ in entries]
+                           + [entries[0][0].seed] * pad, np.int32)
+        idxs = np.asarray([j for _, j in entries]
+                          + [entries[0][1]] * pad, np.int32)
+        error = None
+        try:
+            out = np.asarray(self._run(seeds, idxs), np.float32)
+            if out.shape[0] != self.batch_size:
+                raise ValueError(
+                    f"run_slots returned {out.shape[0]} rows, expected "
+                    f"{self.batch_size}")
+        except BaseException as e:  # noqa: BLE001 — forwarded to submitters
+            error = e
+        done = {}
+        for k, (t, j) in enumerate(entries):
+            if error is not None:
+                t.error = error
+            else:
+                t.out[j] = out[k]
+                t.remaining -= 1
+            done[id(t)] = t
+        with self._cv:
+            self.stats["batches"] += 1
+            self.stats["padded_slots"] += pad
+            self.stats["max_requests_coalesced"] = max(
+                self.stats["max_requests_coalesced"], len(done))
+        for t in done.values():
+            if t.error is not None or t.remaining == 0:
+                t.event.set()
+
+
+class GeneratorService:
+    """Holds one compiled keyed sampler + its parameters; concurrent
+    requests are micro-batched through one worker thread."""
+
+    # cap on num_samples per request: bounds both chip hold time and the
+    # host-side volume accumulation (each phase-6 batch-8 f32 batch is
     # ~17 MB; an unbounded request would hold the chip for days and OOM the
     # host).  Overridable via --max_samples.
     DEFAULT_MAX_SAMPLES = 1024
 
-    def __init__(self, sample_batch, batch_size: int, info: dict,
+    def __init__(self, run_slots, batch_size: int, info: dict,
                  data_mean: Optional[float] = None,
                  data_stddev: Optional[float] = None,
                  max_samples: Optional[int] = None):
-        # sample_batch(seed:int, batch_index:int) -> (batch, C, ...) np.float32
-        self._sample_batch = sample_batch
+        # run_slots(seeds (B,) i32, idxs (B,) i32) -> (B, C, ...) np.float32;
+        # row k must depend only on (seeds[k], idxs[k])
         self.batch_size = int(batch_size)
         self.info = dict(info)
         self.data_mean = data_mean
         self.data_stddev = data_stddev
         self.max_samples = int(max_samples or self.DEFAULT_MAX_SAMPLES)
-        self._lock = threading.Lock()
+        self._batcher = MicroBatcher(run_slots, self.batch_size)
 
     # -- constructors ----------------------------------------------------
 
@@ -73,19 +215,22 @@ class GeneratorService:
                         phase: int, batch_size: int = 8, alpha: float = 0.0,
                         use_ema: bool = True, max_samples: Optional[int] = None):
         import jax
+        import jax.numpy as jnp
 
-        from saragan_tpu.tools.generate import _load_generator_params, make_volume_sampler
+        from saragan_tpu.tools.generate import _load_generator_params, make_keyed_sampler
 
         g_params, meta = _load_generator_params(model_path, use_ema=use_ema)
-        sampler = make_volume_sampler(cfg, phase, batch_size, alpha)
+        # per-sample keys (fold_in(PRNGKey(seed), j) on device): sample j of
+        # request seed S is the same volume whether served alone or packed
+        # into a batch with other requests' samples, and streams of
+        # different seeds never overlap sample-for-sample
+        sampler = make_keyed_sampler(cfg, phase, batch_size, alpha)
         params_dev = jax.device_put(g_params)
 
-        def sample_batch(seed: int, i: int) -> np.ndarray:
-            # fold_in (not seed+i): batch i of request seed S must not equal
-            # batch 0 of request seed S+i — streams of different seeds would
-            # otherwise overlap sample-for-sample
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-            return np.asarray(sampler(params_dev, key), np.float32)
+        def run_slots(seeds: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+            return np.asarray(
+                sampler(params_dev, jnp.asarray(seeds), jnp.asarray(idxs)),
+                np.float32)
 
         info = {
             "source": "checkpoint",
@@ -97,7 +242,7 @@ class GeneratorService:
             "ema": bool(use_ema),
             "num_params": int(sum(int(np.size(v)) for v in g_params.values())),
         }
-        return cls(sample_batch, batch_size, info,
+        return cls(run_slots, batch_size, info,
                    cfg.data_mean, cfg.data_stddev, max_samples=max_samples)
 
     @classmethod
@@ -117,9 +262,15 @@ class GeneratorService:
         if latent_dim is not None and latent_dim != art_latent:
             raise ValueError(f"--latent_dim {latent_dim} != artifact's {art_latent}")
 
-        def sample_batch(seed: int, i: int) -> np.ndarray:
-            z = np.random.default_rng([seed, i]).normal(
-                size=(batch_size, art_latent)).astype(np.float32)
+        def run_slots(seeds: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+            # the artifact's input signature is the latent batch, so the
+            # per-sample derivation happens host-side: z row k from
+            # rng([seeds[k], idxs[k]]) — the same coalescing-invariance
+            # contract as the checkpoint path's device-side fold_in
+            z = np.stack([
+                np.random.default_rng([int(s), int(j)]).normal(size=art_latent)
+                for s, j in zip(seeds, idxs)
+            ]).astype(np.float32)
             return np.asarray(gen(z), np.float32)
 
         info = {
@@ -128,7 +279,7 @@ class GeneratorService:
             "batch_size": batch_size,
             "latent_dim": art_latent,
         }
-        return cls(sample_batch, batch_size, info, data_mean, data_stddev,
+        return cls(run_slots, batch_size, info, data_mean, data_stddev,
                    max_samples=max_samples)
 
     # -- sampling ---------------------------------------------------------
@@ -141,11 +292,7 @@ class GeneratorService:
             raise ValueError(
                 f"num_samples {num_samples} > max_samples {self.max_samples} "
                 f"(server cap; raise with --max_samples)")
-        out = []
-        with self._lock:  # one chip program at a time
-            for i in range((num_samples + self.batch_size - 1) // self.batch_size):
-                out.append(self._sample_batch(seed, i))
-        vols = np.concatenate(out)[:num_samples]
+        vols = self._batcher.submit(seed, num_samples)
         do_unnorm = (self.data_mean is not None and self.data_stddev is not None
                      if unnormalize is None else bool(unnormalize))
         if do_unnorm:
@@ -155,6 +302,16 @@ class GeneratorService:
 
             vols = invert_normalize_numpy(vols, self.data_mean, self.data_stddev)
         return vols
+
+    @property
+    def stats(self) -> dict:
+        """Coalescing counters (GET /stats): batches < ceil-sum of per-request
+        batches means cross-request packing happened; padded_slots / samples
+        is the occupancy lost to short batches."""
+        return {"batch_size": self.batch_size, **self._batcher.stats}
+
+    def close(self):
+        self._batcher.close()
 
 
 def _png_bytes(vols: np.ndarray) -> bytes:
@@ -194,6 +351,8 @@ def make_server(service: GeneratorService, port: int = 8753,
                 self._send_json(200, {"status": "ok"})
             elif self.path == "/info":
                 self._send_json(200, service.info)
+            elif self.path == "/stats":
+                self._send_json(200, service.stats)
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
 

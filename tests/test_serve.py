@@ -129,10 +129,10 @@ def test_generate_bad_request(server):
 def test_server_fault_is_500(checkpoint_path):
     """An exception inside the sampler (server's fault) maps to HTTP 500,
     not 400 — monitoring keyed on 5xx must see chip/relay faults."""
-    def broken_sample(seed, i):
+    def broken_run_slots(seeds, idxs):
         raise RuntimeError("relay wedged")
 
-    service = GeneratorService(broken_sample, 2, {"source": "test"})
+    service = GeneratorService(broken_run_slots, 2, {"source": "test"})
     srv = make_server(service, port=0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -155,6 +155,158 @@ def test_seed_streams_do_not_overlap(server):
                     {"num_samples": 2, "seed": 8, "unnormalize": False})
     a_v, b_v = np.load(io.BytesIO(a)), np.load(io.BytesIO(b))
     assert not np.allclose(a_v[2:4], b_v)
+
+
+# ---------------------------------------------------------------------------
+# Micro-batching (MicroBatcher + coalescing-invariant responses)
+# ---------------------------------------------------------------------------
+
+def _slot_oracle(seeds, idxs):
+    """Deterministic per-slot payload: row k depends only on (seeds[k],
+    idxs[k]) — the keyed-sampler contract, checkable to the bit."""
+    vals = np.asarray(seeds, np.float32) * 1000 + np.asarray(idxs, np.float32)
+    return np.tile(vals[:, None, None, None, None], (1, 1, 2, 2, 2))
+
+
+def _expected(seed, num):
+    return _slot_oracle(np.full(num, seed, np.int32),
+                        np.arange(num, dtype=np.int32))
+
+
+def test_microbatcher_coalesces_concurrent_requests():
+    """Two pending 2-sample requests with batch_size=4 ship as ONE batch,
+    each caller getting its own rows."""
+    from saragan_tpu.tools.serve import MicroBatcher
+
+    calls = []
+
+    def run(seeds, idxs):
+        calls.append((list(seeds), list(idxs)))
+        return _slot_oracle(seeds, idxs)
+
+    mb = MicroBatcher(run, batch_size=4, start=False)
+    results = {}
+
+    def client(seed):
+        results[seed] = mb.submit(seed, 2)
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in (1, 2)]
+    for t in threads:
+        t.start()
+    # both requests are queued before the worker exists -> one 4-slot batch
+    deadline = 100
+    while len(mb._q) < 4 and deadline:
+        deadline -= 1
+        import time
+        time.sleep(0.01)
+    assert len(mb._q) == 4
+    mb.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert len(calls) == 1
+    np.testing.assert_array_equal(results[1], _expected(1, 2))
+    np.testing.assert_array_equal(results[2], _expected(2, 2))
+    assert mb.stats["batches"] == 1
+    assert mb.stats["padded_slots"] == 0
+    assert mb.stats["max_requests_coalesced"] == 2
+    mb.close()
+
+
+def test_microbatcher_pads_and_splits():
+    from saragan_tpu.tools.serve import MicroBatcher
+
+    sizes = []
+
+    def run(seeds, idxs):
+        sizes.append(len(seeds))
+        return _slot_oracle(seeds, idxs)
+
+    mb = MicroBatcher(run, batch_size=2)
+    # 1 sample with B=2 -> 1 padded slot
+    np.testing.assert_array_equal(mb.submit(5, 1), _expected(5, 1))
+    # 5 samples with B=2 -> 3 batches, 1 more padded slot
+    np.testing.assert_array_equal(mb.submit(6, 5), _expected(6, 5))
+    assert all(s == 2 for s in sizes)
+    assert mb.stats["batches"] == 4
+    assert mb.stats["padded_slots"] == 2
+    mb.close()
+
+
+def test_microbatcher_error_fails_batch_but_survives():
+    """A dispatch fault fails every request in that batch (and skips their
+    queued slots) but the worker keeps serving later requests."""
+    from saragan_tpu.tools.serve import MicroBatcher
+
+    state = {"fail": True}
+
+    def run(seeds, idxs):
+        if state["fail"]:
+            raise RuntimeError("relay wedged")
+        return _slot_oracle(seeds, idxs)
+
+    mb = MicroBatcher(run, batch_size=4, start=False)
+    errors = {}
+
+    def client(seed, num):
+        try:
+            mb.submit(seed, num)
+        except RuntimeError as e:
+            errors[seed] = str(e)
+
+    # seed 1 spans two batches (6 slots, B=4): the first dispatch fails both
+    # coalesced requests; seed 1's remaining 2 slots must be skipped, not
+    # dispatched as a half-dead batch
+    threads = [threading.Thread(target=client, args=(1, 6)),
+               threading.Thread(target=client, args=(2, 2))]
+    for t in threads:
+        t.start()
+    import time
+    for _ in range(100):
+        if len(mb._q) == 8:
+            break
+        time.sleep(0.01)
+    mb.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert errors == {1: "relay wedged", 2: "relay wedged"}
+    state["fail"] = False
+    np.testing.assert_array_equal(mb.submit(3, 3), _expected(3, 3))
+    mb.close()
+
+
+def test_service_responses_invariant_under_coalescing(server):
+    """The same request returns byte-identical payloads served solo vs
+    fired concurrently with other seeds — per-sample key derivation makes
+    micro-batching invisible to clients."""
+    solo = {}
+    for seed in (7, 8, 9, 10):
+        _, _, solo[seed] = _post(server + "/generate",
+                                 {"num_samples": 3, "seed": seed,
+                                  "unnormalize": False})
+    concurrent = {}
+
+    def client(seed):
+        _, _, concurrent[seed] = _post(server + "/generate",
+                                       {"num_samples": 3, "seed": seed,
+                                        "unnormalize": False})
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in (7, 8, 9, 10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert concurrent == solo
+
+
+def test_stats_endpoint(server):
+    with urllib.request.urlopen(server + "/stats") as r:
+        stats = json.loads(r.read())
+    assert stats["batch_size"] == 2
+    assert stats["requests"] >= 1
+    assert stats["samples"] >= 1
+    assert stats["batches"] >= 1
+    # padding is bounded by one short batch per dispatch
+    assert 0 <= stats["padded_slots"] < stats["batches"] * stats["batch_size"]
 
 
 def test_artifact_service(tmp_path, checkpoint_path):
