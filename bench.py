@@ -94,26 +94,28 @@ def measure_step(arch, cfg, phase: int, batch: int, shape, static_alpha, n_steps
 
 def measure_sampling(cfg, phase: int, batch: int, shape, n_iters: int):
     """ms/batch for the serving path: EMA generator sampling through
-    tools/generate.make_volume_sampler (fused transitions + Pallas
-    elementwise kernels — the fast_inference default)."""
+    tools/generate.make_keyed_sampler — the per-sample-keyed formulation
+    tools/serve.py compiles (fused transitions + Pallas elementwise; also
+    measured +8% over per-batch keys, scripts/ab_keyed_sampler.py)."""
+    import jax.numpy as jnp
+
     from saragan_tpu.models import get_architecture
-    from saragan_tpu.tools.generate import make_volume_sampler
+    from saragan_tpu.tools.generate import make_keyed_sampler
     from saragan_tpu.train import init_train_state
     from saragan_tpu.train.step import split_params
 
     arch = get_architecture(cfg.architecture)
     state, _ = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
     g_ema, _ = split_params(state.ema)
-    gen = make_volume_sampler(cfg, phase, batch_size=batch, alpha=0.0)
+    gen = make_keyed_sampler(cfg, phase, batch_size=batch, alpha=0.0)
 
-    rng = jax.random.PRNGKey(2)
-    out = gen(g_ema, rng)
+    idxs = jnp.arange(batch, dtype=jnp.int32)
+    out = gen(g_ema, jnp.full((batch,), 0, jnp.int32), idxs)
     _ = float(out.ravel()[0])  # compile + warmup barrier (relay rules)
 
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        rng, k = jax.random.split(rng)
-        out = gen(g_ema, k)
+    for i in range(n_iters):
+        out = gen(g_ema, jnp.full((batch,), i + 1, jnp.int32), idxs)
     _ = float(out.ravel()[0])  # in-order execution: last ready => all done
     return (time.perf_counter() - t0) / n_iters * 1e3
 
