@@ -17,6 +17,11 @@ inside the sampler (tools/generate.py::make_keyed_sampler), so responses
 are bit-identical whether a request is served alone or coalesced.
 GET /stats reports the coalescing/padding counters.
 
+With `--batch_sizes 8,32` the server compiles one sampler per size and
+each dispatch runs the SMALLEST bucket that fits the pending queue —
+solo requests keep batch-8 latency while bursts/bulk requests ride the
+batch-32 bulk optimum (+54% measured, docs/PERFORMANCE.md batch curve).
+
     python -m saragan_tpu.tools.serve pgan --model_path runs/model_6.npz \
         --phase 6 --latent_dim 256 --start_shape "(1, 1, 4, 4)" \
         --final_shape "(1, 128, 512, 512)" --port 8753
@@ -87,12 +92,27 @@ class MicroBatcher:
     A dispatch failure fails every request with a sample in that batch and
     any still-queued slots of those requests are skipped; other requests
     and the worker survive (the server maps the error to HTTP 500).
+
+    BUCKETED batching: `run_slots` may be a dict {batch_size: fn} of
+    samplers compiled at several batch sizes.  Each dispatch drains up to
+    max(sizes) slots and runs the SMALLEST bucket that fits them — solo
+    batch-1 requests ride the small bucket's latency while deep queues ride
+    the large bucket's throughput (the measured serving batch curve:
+    batch 8 is the latency knee, batch 32 is +54% bulk throughput,
+    BASELINE.md / docs/PERFORMANCE.md).
     """
 
-    def __init__(self, run_slots, batch_size: int, start: bool = True):
-        # run_slots(seeds (B,) np.int32, idxs (B,) np.int32) -> (B, ...) f32
-        self._run = run_slots
-        self.batch_size = int(batch_size)
+    def __init__(self, run_slots, batch_size: Optional[int] = None,
+                 start: bool = True):
+        # run_slots(seeds (B,) np.int32, idxs (B,) np.int32) -> (B, ...) f32,
+        # or {B: run_slots_B} for bucketed dispatch
+        if callable(run_slots):
+            if batch_size is None:
+                raise ValueError("batch_size required with a single run_slots")
+            run_slots = {int(batch_size): run_slots}
+        self._runs = {int(b): fn for b, fn in run_slots.items()}
+        self.batch_sizes = sorted(self._runs)
+        self.batch_size = self.batch_sizes[-1]  # drain cap per dispatch
         self._q = collections.deque()  # (_Ticket, sample_index)
         self._cv = threading.Condition()
         self._closed = False
@@ -102,6 +122,7 @@ class MicroBatcher:
             "batches": 0,
             "padded_slots": 0,
             "max_requests_coalesced": 0,
+            "dispatch_sizes": {b: 0 for b in self.batch_sizes},
         }
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name="serve-microbatcher")
@@ -114,6 +135,8 @@ class MicroBatcher:
 
     def submit(self, seed: int, num: int) -> "np.ndarray":
         """Block until all `num` samples of request (seed) are generated."""
+        if num < 1:  # zero slots would never be dispatched -> eternal wait
+            raise ValueError(f"num must be >= 1, got {num}")
         ticket = _Ticket(seed, num)
         with self._cv:
             if self._closed:
@@ -153,18 +176,21 @@ class MicroBatcher:
                 self._dispatch(entries)
 
     def _dispatch(self, entries):
-        pad = self.batch_size - len(entries)
+        # smallest compiled bucket that fits the drained slots (drain is
+        # capped at the largest bucket, so one always fits)
+        bucket = next(b for b in self.batch_sizes if b >= len(entries))
+        pad = bucket - len(entries)
         seeds = np.asarray([t.seed for t, _ in entries]
                            + [entries[0][0].seed] * pad, np.int32)
         idxs = np.asarray([j for _, j in entries]
                           + [entries[0][1]] * pad, np.int32)
         error = None
         try:
-            out = np.asarray(self._run(seeds, idxs), np.float32)
-            if out.shape[0] != self.batch_size:
+            out = np.asarray(self._runs[bucket](seeds, idxs), np.float32)
+            if out.shape[0] != bucket:
                 raise ValueError(
                     f"run_slots returned {out.shape[0]} rows, expected "
-                    f"{self.batch_size}")
+                    f"{bucket}")
         except BaseException as e:  # noqa: BLE001 — forwarded to submitters
             error = e
         done = {}
@@ -178,6 +204,7 @@ class MicroBatcher:
         with self._cv:
             self.stats["batches"] += 1
             self.stats["padded_slots"] += pad
+            self.stats["dispatch_sizes"][bucket] += 1
             self.stats["max_requests_coalesced"] = max(
                 self.stats["max_requests_coalesced"], len(done))
         for t in done.values():
@@ -195,54 +222,67 @@ class GeneratorService:
     # host).  Overridable via --max_samples.
     DEFAULT_MAX_SAMPLES = 1024
 
-    def __init__(self, run_slots, batch_size: int, info: dict,
+    def __init__(self, run_slots, batch_size: Optional[int] = None,
+                 info: Optional[dict] = None,
                  data_mean: Optional[float] = None,
                  data_stddev: Optional[float] = None,
                  max_samples: Optional[int] = None):
         # run_slots(seeds (B,) i32, idxs (B,) i32) -> (B, C, ...) np.float32;
-        # row k must depend only on (seeds[k], idxs[k])
-        self.batch_size = int(batch_size)
-        self.info = dict(info)
+        # row k must depend only on (seeds[k], idxs[k]).  May be a dict
+        # {B: fn} of samplers compiled at several batch sizes (bucketed
+        # dispatch, see MicroBatcher).
+        self.info = dict(info or {})
         self.data_mean = data_mean
         self.data_stddev = data_stddev
         self.max_samples = int(max_samples or self.DEFAULT_MAX_SAMPLES)
-        self._batcher = MicroBatcher(run_slots, self.batch_size)
+        self._batcher = MicroBatcher(run_slots, batch_size)
+        self.batch_size = self._batcher.batch_size
 
     # -- constructors ----------------------------------------------------
 
     @classmethod
     def from_checkpoint(cls, architecture: str, model_path: str, *, cfg: Config,
                         phase: int, batch_size: int = 8, alpha: float = 0.0,
-                        use_ema: bool = True, max_samples: Optional[int] = None):
+                        use_ema: bool = True, max_samples: Optional[int] = None,
+                        batch_sizes: Optional[list] = None):
         import jax
         import jax.numpy as jnp
 
         from saragan_tpu.tools.generate import _load_generator_params, make_keyed_sampler
 
         g_params, meta = _load_generator_params(model_path, use_ema=use_ema)
+        params_dev = jax.device_put(g_params)
+        sizes = sorted({int(b) for b in (batch_sizes or [batch_size])})
+
         # per-sample keys (fold_in(PRNGKey(seed), j) on device): sample j of
         # request seed S is the same volume whether served alone or packed
-        # into a batch with other requests' samples, and streams of
-        # different seeds never overlap sample-for-sample
-        sampler = make_keyed_sampler(cfg, phase, batch_size, alpha)
-        params_dev = jax.device_put(g_params)
+        # into a batch with other requests' samples, whichever bucket it
+        # ships in, and streams of different seeds never overlap
+        # sample-for-sample
+        def make_run(size: int):
+            sampler = make_keyed_sampler(cfg, phase, size, alpha)
 
-        def run_slots(seeds: np.ndarray, idxs: np.ndarray) -> np.ndarray:
-            return np.asarray(
-                sampler(params_dev, jnp.asarray(seeds), jnp.asarray(idxs)),
-                np.float32)
+            def run_slots(seeds: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+                return np.asarray(
+                    sampler(params_dev, jnp.asarray(seeds), jnp.asarray(idxs)),
+                    np.float32)
+
+            return run_slots
+
+        runs = {size: make_run(size) for size in sizes}
 
         info = {
             "source": "checkpoint",
             "architecture": architecture,
             "phase": phase,
-            "batch_size": batch_size,
+            "batch_size": sizes[-1],
+            "batch_sizes": sizes,
             "latent_dim": cfg.latent_dim,
             "volume_shape": list(cfg.current_shape(phase, 1))[1:],
             "ema": bool(use_ema),
             "num_params": int(sum(int(np.size(v)) for v in g_params.values())),
         }
-        return cls(run_slots, batch_size, info,
+        return cls(runs, None, info,
                    cfg.data_mean, cfg.data_stddev, max_samples=max_samples)
 
     @classmethod
@@ -307,8 +347,11 @@ class GeneratorService:
     def stats(self) -> dict:
         """Coalescing counters (GET /stats): batches < ceil-sum of per-request
         batches means cross-request packing happened; padded_slots / samples
-        is the occupancy lost to short batches."""
-        return {"batch_size": self.batch_size, **self._batcher.stats}
+        is the occupancy lost to short batches; dispatch_sizes shows the
+        bucket mix (deep queues should ride the largest bucket)."""
+        return {"batch_size": self.batch_size,
+                "batch_sizes": self._batcher.batch_sizes,
+                **self._batcher.stats}
 
     def close(self):
         self._batcher.close()
@@ -398,6 +441,13 @@ def main(argv: Optional[list] = None):
     p.add_argument("--artifact", default=None, help="params-baked .stablehlo artifact")
     p.add_argument("--phase", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_sizes", default=None,
+                   help="comma list of bucket batch sizes to compile, e.g. "
+                        "'8,32' — the dispatcher runs the smallest bucket "
+                        "that fits the pending queue (8 is the measured "
+                        "latency knee, 32 the bulk-throughput optimum at "
+                        "phase 6 on v5e: +54%%, docs/PERFORMANCE.md); "
+                        "overrides --batch_size (checkpoint serving only)")
     p.add_argument("--latent_dim", type=int, default=256)
     p.add_argument("--start_shape", default="(1, 1, 4, 4)")
     p.add_argument("--final_shape", default="(1, 128, 512, 512)")
@@ -431,14 +481,18 @@ def main(argv: Optional[list] = None):
             data_mean=args.data_mean,
             data_stddev=args.data_stddev,
         ).finalize()
+        sizes = ([int(s) for s in args.batch_sizes.split(",")]
+                 if args.batch_sizes else None)
         service = GeneratorService.from_checkpoint(
             args.architecture, args.model_path, cfg=cfg, phase=args.phase,
-            batch_size=args.batch_size, alpha=args.alpha, use_ema=not args.no_ema,
-            max_samples=args.max_samples)
+            batch_size=args.batch_size, batch_sizes=sizes, alpha=args.alpha,
+            use_ema=not args.no_ema, max_samples=args.max_samples)
 
     # compile before accepting traffic so the first request isn't a
-    # multi-minute cold compile
-    service.generate(1, seed=0, unnormalize=False)
+    # multi-minute cold compile; warm EVERY bucket (a deep queue must not
+    # hit the large bucket's cold compile mid-traffic)
+    for b in service._batcher.batch_sizes:
+        service.generate(b, seed=0, unnormalize=False)
     srv = make_server(service, port=args.port, host=args.host)
     print(f"serving {service.info} on http://{args.host}:{srv.server_address[1]}", flush=True)
     try:

@@ -309,6 +309,63 @@ def test_stats_endpoint(server):
     assert 0 <= stats["padded_slots"] < stats["batches"] * stats["batch_size"]
 
 
+def test_microbatcher_rejects_nonpositive_num():
+    """num<1 enqueues no slots and would wait forever — must raise."""
+    from saragan_tpu.tools.serve import MicroBatcher
+
+    mb = MicroBatcher(_slot_oracle, batch_size=2)
+    with pytest.raises(ValueError):
+        mb.submit(1, 0)
+    with pytest.raises(ValueError):
+        mb.submit(1, -3)
+    mb.close()
+
+
+def test_microbatcher_bucketed_dispatch():
+    """{2: fn, 4: fn} buckets: a 1-slot queue ships in the 2-bucket, a
+    deep queue in the 4-bucket, and a 6-slot request splits 4+2 — each
+    dispatch the smallest compiled size that fits."""
+    from saragan_tpu.tools.serve import MicroBatcher
+
+    sizes = []
+
+    def make_run(b):
+        def run(seeds, idxs):
+            assert len(seeds) == b
+            sizes.append(b)
+            return _slot_oracle(seeds, idxs)
+        return run
+
+    mb = MicroBatcher({2: make_run(2), 4: make_run(4)})
+    assert mb.batch_size == 4  # drain cap = largest bucket
+    np.testing.assert_array_equal(mb.submit(5, 1), _expected(5, 1))
+    assert sizes == [2]  # solo slot -> small bucket, 1 padded
+    np.testing.assert_array_equal(mb.submit(6, 6), _expected(6, 6))
+    assert sizes == [2, 4, 2]  # 6 slots -> 4-bucket + 2-bucket, no padding
+    assert mb.stats["padded_slots"] == 1
+    assert mb.stats["dispatch_sizes"] == {2: 2, 4: 1}
+    mb.close()
+
+
+def test_bucketed_service_responses_match_single_bucket(checkpoint_path):
+    """A checkpoint service compiled at batch_sizes=[2,4] returns byte-
+    identical volumes to the single-bucket batch-2 service — the per-sample
+    key contract holds across bucket shapes."""
+    cfg = tiny_cfg()
+    small = GeneratorService.from_checkpoint(
+        "pgan", checkpoint_path, cfg=cfg, phase=2, batch_size=2)
+    bucketed = GeneratorService.from_checkpoint(
+        "pgan", checkpoint_path, cfg=cfg, phase=2, batch_sizes=[2, 4])
+    assert bucketed.batch_size == 4
+    assert bucketed.info["batch_sizes"] == [2, 4]
+    a = small.generate(5, seed=11, unnormalize=False)
+    b = bucketed.generate(5, seed=11, unnormalize=False)  # one 4- + one 2-dispatch
+    np.testing.assert_array_equal(a, b)
+    assert bucketed.stats["dispatch_sizes"][4] >= 1
+    small.close()
+    bucketed.close()
+
+
 def test_artifact_service(tmp_path, checkpoint_path):
     from saragan_tpu.core import filter_params
     from saragan_tpu.tools.export_model import export_generator, save_exported
