@@ -61,7 +61,7 @@ def make_volume_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: flo
 
 
 def make_keyed_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: float = 0.0,
-                       fast_inference: bool = True):
+                       fast_inference: bool = True, fetch_dtype=None):
     """ONE jitted per-sample-keyed sampler
     `gen(g_params, seeds (B,) int32, idxs (B,) int32) -> (B, C, ...)`.
 
@@ -70,7 +70,12 @@ def make_keyed_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: floa
     `fold_in(PRNGKey(seeds[j]), idxs[j])`, so a sample is bit-identical
     whether its request is served alone or micro-batched with other
     requests' samples (tools/serve.py coalescing).  All key math stays on
-    device: the host hands over two int32 vectors, one dispatch per batch."""
+    device: the host hands over two int32 vectors, one dispatch per batch.
+
+    `fetch_dtype` (e.g. jnp.float16) casts the output ON DEVICE before the
+    host fetch — halves the device->host bytes on fetch-bound links (the
+    axon relay serving path is dominated by the volume fetch, BASELINE.md).
+    Non-exact (~3 decimal digits at the normalized scale); None = exact."""
     if fast_inference:
         import dataclasses
 
@@ -84,7 +89,8 @@ def make_keyed_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: floa
             z = jax.random.normal(k_z, (1, cfg.latent_dim))
             return arch.generator(params, z, alpha, phase=phase, cfg=cfg,
                                   rng=k_g, train=False)[0]
-        return jax.vmap(one)(seeds, idxs)
+        out = jax.vmap(one)(seeds, idxs)
+        return out if fetch_dtype is None else out.astype(fetch_dtype)
 
     from saragan_tpu.parallel.mesh import aot_with_options, resolve_compiler_options
 

@@ -244,7 +244,8 @@ class GeneratorService:
     def from_checkpoint(cls, architecture: str, model_path: str, *, cfg: Config,
                         phase: int, batch_size: int = 8, alpha: float = 0.0,
                         use_ema: bool = True, max_samples: Optional[int] = None,
-                        batch_sizes: Optional[list] = None):
+                        batch_sizes: Optional[list] = None,
+                        fetch_dtype: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
@@ -253,6 +254,9 @@ class GeneratorService:
         g_params, meta = _load_generator_params(model_path, use_ema=use_ema)
         params_dev = jax.device_put(g_params)
         sizes = sorted({int(b) for b in (batch_sizes or [batch_size])})
+        # cast on device before the host fetch (e.g. 'float16' halves the
+        # device->host bytes; non-exact — responses stay float32 on the wire)
+        fdt = jnp.dtype(fetch_dtype) if fetch_dtype else None
 
         # per-sample keys (fold_in(PRNGKey(seed), j) on device): sample j of
         # request seed S is the same volume whether served alone or packed
@@ -260,7 +264,7 @@ class GeneratorService:
         # ships in, and streams of different seeds never overlap
         # sample-for-sample
         def make_run(size: int):
-            sampler = make_keyed_sampler(cfg, phase, size, alpha)
+            sampler = make_keyed_sampler(cfg, phase, size, alpha, fetch_dtype=fdt)
 
             def run_slots(seeds: np.ndarray, idxs: np.ndarray) -> np.ndarray:
                 return np.asarray(
@@ -280,6 +284,7 @@ class GeneratorService:
             "latent_dim": cfg.latent_dim,
             "volume_shape": list(cfg.current_shape(phase, 1))[1:],
             "ema": bool(use_ema),
+            "fetch_dtype": str(fdt) if fdt is not None else "float32",
             "num_params": int(sum(int(np.size(v)) for v in g_params.values())),
         }
         return cls(runs, None, info,
@@ -448,6 +453,12 @@ def main(argv: Optional[list] = None):
                         "latency knee, 32 the bulk-throughput optimum at "
                         "phase 6 on v5e: +54%%, docs/PERFORMANCE.md); "
                         "overrides --batch_size (checkpoint serving only)")
+    p.add_argument("--fetch_dtype", default=None, choices=[None, "float16", "bfloat16"],
+                   help="cast volumes to this dtype ON DEVICE before the "
+                        "host fetch — halves device->host bytes on "
+                        "fetch-bound links (non-exact: ~3 decimal digits; "
+                        "responses are still float32 npy). Default: exact "
+                        "float32 fetch (checkpoint serving only)")
     p.add_argument("--latent_dim", type=int, default=256)
     p.add_argument("--start_shape", default="(1, 1, 4, 4)")
     p.add_argument("--final_shape", default="(1, 128, 512, 512)")
@@ -486,7 +497,8 @@ def main(argv: Optional[list] = None):
         service = GeneratorService.from_checkpoint(
             args.architecture, args.model_path, cfg=cfg, phase=args.phase,
             batch_size=args.batch_size, batch_sizes=sizes, alpha=args.alpha,
-            use_ema=not args.no_ema, max_samples=args.max_samples)
+            use_ema=not args.no_ema, max_samples=args.max_samples,
+            fetch_dtype=args.fetch_dtype)
 
     # compile before accepting traffic so the first request isn't a
     # multi-minute cold compile; warm EVERY bucket (a deep queue must not

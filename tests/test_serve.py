@@ -366,6 +366,26 @@ def test_bucketed_service_responses_match_single_bucket(checkpoint_path):
     bucketed.close()
 
 
+def test_fetch_dtype_float16_service(checkpoint_path):
+    """--fetch_dtype float16 casts on device before the host fetch; the
+    response is still float32 and within f16 rounding of the exact path."""
+    cfg = tiny_cfg()
+    exact = GeneratorService.from_checkpoint(
+        "pgan", checkpoint_path, cfg=cfg, phase=2, batch_size=2)
+    f16 = GeneratorService.from_checkpoint(
+        "pgan", checkpoint_path, cfg=cfg, phase=2, batch_size=2,
+        fetch_dtype="float16")
+    assert f16.info["fetch_dtype"] == "float16"
+    a = exact.generate(3, seed=5, unnormalize=False)
+    b = f16.generate(3, seed=5, unnormalize=False)
+    assert b.dtype == np.float32
+    # f16 has a 10-bit mantissa: everything agrees to ~1e-3 relative
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+    assert not np.array_equal(a, b)  # it really did round through f16
+    exact.close()
+    f16.close()
+
+
 def test_artifact_service(tmp_path, checkpoint_path):
     from saragan_tpu.core import filter_params
     from saragan_tpu.tools.export_model import export_generator, save_exported
