@@ -18,8 +18,10 @@ are bit-identical whether a request is served alone or coalesced.
 GET /stats reports the coalescing/padding counters.
 
 With `--batch_sizes 8,32` the server compiles one sampler per size and
-each dispatch runs the SMALLEST bucket that fits the pending queue —
-solo requests keep batch-8 latency while bursts/bulk requests ride the
+each dispatch picks the bucket that clears the pending queue fastest
+under online-measured per-bucket latencies (MicroBatcher cost model) —
+solo requests keep batch-8 latency, mid-size queues ship as full batch-8
+dispatches instead of a padded batch-32, and deep queues ride the
 batch-32 bulk optimum (+54% measured, docs/PERFORMANCE.md batch curve).
 
     python -m saragan_tpu.tools.serve pgan --model_path runs/model_6.npz \
@@ -53,6 +55,7 @@ import collections
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -95,12 +98,21 @@ class MicroBatcher:
 
     BUCKETED batching: `run_slots` may be a dict {batch_size: fn} of
     samplers compiled at several batch sizes.  Each dispatch drains up to
-    max(sizes) slots and runs the SMALLEST bucket that fits them — solo
-    batch-1 requests ride the small bucket's latency while deep queues ride
-    the large bucket's throughput (the measured serving batch curve:
-    batch 8 is the latency knee, batch 32 is +54% bulk throughput,
-    BASELINE.md / docs/PERFORMANCE.md).
+    max(sizes) slots and picks the bucket COST-AWARE: clearing L slots with
+    bucket b takes ceil(L/b) dispatches of T_b each, where T_b is the
+    online EMA of that bucket's measured dispatch wall time (each bucket's
+    first call bears the jit compile and is excluded; unmeasured buckets
+    are assumed proportional to their size).  The argmin bucket wins; when
+    it is smaller than the drained queue, only a full bucket's worth ships
+    and the rest is requeued at the front.  This beats round 3's
+    "smallest bucket that fits" padding rule between bucket sizes: with the
+    measured phase-6 curve (batch 8 = 30 ms, batch 32 = 77.7 ms,
+    BASELINE.md) a 9-slot queue ships as two full batch-8 dispatches
+    (60 ms) instead of one batch-32 padded with 23 dead slots (77.7 ms),
+    while a 24-slot queue still rides the batch-32 bulk optimum.
     """
+
+    LAT_EMA = 0.3  # weight of the newest per-bucket latency sample
 
     def __init__(self, run_slots, batch_size: Optional[int] = None,
                  start: bool = True):
@@ -113,6 +125,10 @@ class MicroBatcher:
         self._runs = {int(b): fn for b, fn in run_slots.items()}
         self.batch_sizes = sorted(self._runs)
         self.batch_size = self.batch_sizes[-1]  # drain cap per dispatch
+        # per-bucket dispatch-latency EMA (ms) and call counts; the first
+        # call per bucket is the compile and never recorded
+        self._lat = {b: None for b in self.batch_sizes}
+        self._lat_n = {b: 0 for b in self.batch_sizes}
         self._q = collections.deque()  # (_Ticket, sample_index)
         self._cv = threading.Condition()
         self._closed = False
@@ -170,21 +186,47 @@ class MicroBatcher:
                     t, j = self._q.popleft()
                     if t.error is None:  # skip slots of already-failed requests
                         entries.append((t, j))
+                bucket = self._choose_bucket(len(entries)) if entries else 0
+                if bucket and bucket < len(entries):
+                    # a smaller bucket won the cost race: ship one full
+                    # bucket now, requeue the tail at the FRONT (FIFO order
+                    # ahead of any arrivals) for the next dispatch
+                    self._q.extendleft(reversed(entries[bucket:]))
+                    entries = entries[:bucket]
                 if self._closed and not entries and not self._q:
                     return
             if entries:
-                self._dispatch(entries)
+                self._dispatch(entries, bucket)
 
-    def _dispatch(self, entries):
-        # smallest compiled bucket that fits the drained slots (drain is
-        # capped at the largest bucket, so one always fits)
-        bucket = next(b for b in self.batch_sizes if b >= len(entries))
+    def _estimate_ms(self, bucket: int) -> float:
+        """T_bucket: the measured EMA, else proportional-to-size scaled by
+        the measured buckets' median ms-per-slot (1.0 when none measured —
+        only ratios matter for the argmin)."""
+        if self._lat[bucket] is not None:
+            return self._lat[bucket]
+        per_slot = [self._lat[b] / b for b in self.batch_sizes
+                    if self._lat[b] is not None]
+        scale = float(np.median(per_slot)) if per_slot else 1.0
+        return bucket * scale
+
+    def _choose_bucket(self, n_slots: int) -> int:
+        """Bucket minimizing the time to clear n_slots: T_b * ceil(n/b).
+        Ties prefer the LARGER bucket (fewer dispatches) — with cold
+        proportional estimates this reduces to round 3's smallest-fitting-
+        bucket rule whenever no full smaller bucket fits."""
+        return min(
+            self.batch_sizes,
+            key=lambda b: (self._estimate_ms(b) * -(-n_slots // b), -b),
+        )
+
+    def _dispatch(self, entries, bucket: int):
         pad = bucket - len(entries)
         seeds = np.asarray([t.seed for t, _ in entries]
                            + [entries[0][0].seed] * pad, np.int32)
         idxs = np.asarray([j for _, j in entries]
                           + [entries[0][1]] * pad, np.int32)
         error = None
+        t0 = time.perf_counter()
         try:
             out = np.asarray(self._runs[bucket](seeds, idxs), np.float32)
             if out.shape[0] != bucket:
@@ -193,6 +235,7 @@ class MicroBatcher:
                     f"{bucket}")
         except BaseException as e:  # noqa: BLE001 — forwarded to submitters
             error = e
+        dt_ms = (time.perf_counter() - t0) * 1e3
         done = {}
         for k, (t, j) in enumerate(entries):
             if error is not None:
@@ -207,6 +250,12 @@ class MicroBatcher:
             self.stats["dispatch_sizes"][bucket] += 1
             self.stats["max_requests_coalesced"] = max(
                 self.stats["max_requests_coalesced"], len(done))
+            self._lat_n[bucket] += 1
+            if error is None and self._lat_n[bucket] >= 2:
+                # first call per bucket bore the jit compile — never record
+                prev = self._lat[bucket]
+                self._lat[bucket] = (dt_ms if prev is None else
+                                     prev + self.LAT_EMA * (dt_ms - prev))
         for t in done.values():
             if t.error is not None or t.remaining == 0:
                 t.event.set()
@@ -356,6 +405,8 @@ class GeneratorService:
         bucket mix (deep queues should ride the largest bucket)."""
         return {"batch_size": self.batch_size,
                 "batch_sizes": self._batcher.batch_sizes,
+                "bucket_ms": {b: (round(v, 2) if v is not None else None)
+                              for b, v in self._batcher._lat.items()},
                 **self._batcher.stats}
 
     def close(self):
@@ -502,9 +553,12 @@ def main(argv: Optional[list] = None):
 
     # compile before accepting traffic so the first request isn't a
     # multi-minute cold compile; warm EVERY bucket (a deep queue must not
-    # hit the large bucket's cold compile mid-traffic)
-    for b in service._batcher.batch_sizes:
-        service.generate(b, seed=0, unnormalize=False)
+    # hit the large bucket's cold compile mid-traffic).  The second pass
+    # seeds each bucket's latency EMA (the compile-bearing first call is
+    # excluded from it) so cost-aware bucket choice starts measured.
+    for _ in range(2):
+        for b in service._batcher.batch_sizes:
+            service.generate(b, seed=0, unnormalize=False)
     srv = make_server(service, port=args.port, host=args.host)
     print(f"serving {service.info} on http://{args.host}:{srv.server_address[1]}", flush=True)
     try:

@@ -299,6 +299,9 @@ def test_service_responses_invariant_under_coalescing(server):
 
 
 def test_stats_endpoint(server):
+    # at least one generate so the counters are non-trivial even when this
+    # test runs alone (the server fixture is module-scoped and fresh then)
+    _post(server + "/generate", {"num_samples": 1, "seed": 3})
     with urllib.request.urlopen(server + "/stats") as r:
         stats = json.loads(r.read())
     assert stats["batch_size"] == 2
@@ -344,6 +347,57 @@ def test_microbatcher_bucketed_dispatch():
     assert sizes == [2, 4, 2]  # 6 slots -> 4-bucket + 2-bucket, no padding
     assert mb.stats["padded_slots"] == 1
     assert mb.stats["dispatch_sizes"] == {2: 2, 4: 1}
+    mb.close()
+
+
+def test_microbatcher_cost_aware_bucket_choice():
+    """With measured per-bucket latencies the dispatcher minimizes
+    T_b * ceil(queue/b): a fast small bucket clears a mid-size queue as
+    FULL small dispatches (3 * 20 < 77.7 — the shape of the real phase-6
+    win: two full batch-8 at 30 ms beat one padded batch-32 at 77.7 ms for
+    a 9-slot queue) instead of round 3's padded large dispatch; when the
+    small bucket is slow (3 * 30 > 77.7) the padded large dispatch wins."""
+    from saragan_tpu.tools.serve import MicroBatcher
+
+    def make(sizes_log, b):
+        def run(seeds, idxs):
+            sizes_log.append(b)
+            return _slot_oracle(seeds, idxs)
+        return run
+
+    # fast small bucket: 6 slots -> three full 2-dispatches, zero padding
+    sizes = []
+    mb = MicroBatcher({2: make(sizes, 2), 8: make(sizes, 8)}, start=False)
+    mb._lat.update({2: 20.0, 8: 77.7})
+    mb._lat_n.update({2: 2, 8: 2})
+    mb.start()
+    np.testing.assert_array_equal(mb.submit(7, 6), _expected(7, 6))
+    assert sizes == [2, 2, 2]
+    assert mb.stats["padded_slots"] == 0
+    mb.close()
+
+    # slow small bucket: the padded 8-dispatch clears 6 slots faster
+    sizes = []
+    mb = MicroBatcher({2: make(sizes, 2), 8: make(sizes, 8)}, start=False)
+    mb._lat.update({2: 30.0, 8: 77.7})  # 3 * 30 > 77.7
+    mb._lat_n.update({2: 2, 8: 2})
+    mb.start()
+    np.testing.assert_array_equal(mb.submit(9, 6), _expected(9, 6))
+    assert sizes == [8]
+    assert mb.stats["padded_slots"] == 2
+    mb.close()
+
+
+def test_microbatcher_records_bucket_latency_after_compile_call():
+    """The first dispatch per bucket (the jit compile in production) never
+    enters the latency EMA; later dispatches do."""
+    from saragan_tpu.tools.serve import MicroBatcher
+
+    mb = MicroBatcher({2: _slot_oracle})
+    mb.submit(1, 2)  # first 2-dispatch: compile-bearing, not recorded
+    assert mb._lat[2] is None
+    mb.submit(1, 2)
+    assert mb._lat[2] is not None and mb._lat[2] >= 0.0
     mb.close()
 
 
