@@ -61,7 +61,7 @@ def make_volume_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: flo
 
 
 def make_keyed_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: float = 0.0,
-                       fast_inference: bool = True, fetch_dtype=None):
+                       fast_inference: bool = True, fetch_dtype=None, mesh=None):
     """ONE jitted per-sample-keyed sampler
     `gen(g_params, seeds (B,) int32, idxs (B,) int32) -> (B, C, ...)`.
 
@@ -75,15 +75,22 @@ def make_keyed_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: floa
     `fetch_dtype` (e.g. jnp.float16) casts the output ON DEVICE before the
     host fetch — halves the device->host bytes on fetch-bound links (the
     axon relay serving path is dominated by the volume fetch, BASELINE.md).
-    Non-exact (~3 decimal digits at the normalized scale); None = exact."""
+    Non-exact (~3 decimal digits at the normalized scale); None = exact.
+
+    `mesh` (a 1-axis `jax.sharding.Mesh`) data-parallelizes the sampler:
+    params replicate, the (seeds, idxs) batch and the output shard over the
+    mesh axis — per-sample keying makes every row's computation independent,
+    so GSPMD splits the batch with zero collectives and per-row results are
+    IDENTICAL to the single-device sampler.  `batch_size` must divide by the
+    mesh size.  The serving analog of the trainer's dp axis (SURVEY §5.8:
+    the reference had no serving tier at all)."""
     if fast_inference:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fused_transitions=True, use_pallas_fusion=True)
     arch = get_architecture(cfg.architecture)
 
-    @jax.jit
-    def gen(params, seeds, idxs):
+    def gen_fn(params, seeds, idxs):
         def one(s, j):
             k_z, k_g = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(s), j))
             z = jax.random.normal(k_z, (1, cfg.latent_dim))
@@ -91,6 +98,21 @@ def make_keyed_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: floa
                                   rng=k_g, train=False)[0]
         out = jax.vmap(one)(seeds, idxs)
         return out if fetch_dtype is None else out.astype(fetch_dtype)
+
+    if mesh is None:
+        gen = jax.jit(gen_fn)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if len(mesh.axis_names) != 1:
+            raise ValueError(f"serving mesh must have one axis, got {mesh.axis_names}")
+        n = mesh.devices.size
+        if batch_size % n:
+            raise ValueError(f"batch_size {batch_size} must divide by the "
+                             f"mesh size {n}")
+        repl = NamedSharding(mesh, PartitionSpec())
+        row = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        gen = jax.jit(gen_fn, in_shardings=(repl, row, row), out_shardings=row)
 
     from saragan_tpu.parallel.mesh import aot_with_options, resolve_compiler_options
 

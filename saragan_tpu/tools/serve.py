@@ -294,15 +294,38 @@ class GeneratorService:
                         phase: int, batch_size: int = 8, alpha: float = 0.0,
                         use_ema: bool = True, max_samples: Optional[int] = None,
                         batch_sizes: Optional[list] = None,
-                        fetch_dtype: Optional[str] = None):
+                        fetch_dtype: Optional[str] = None,
+                        n_devices: int = 1):
         import jax
         import jax.numpy as jnp
 
         from saragan_tpu.tools.generate import _load_generator_params, make_keyed_sampler
 
+        mesh = None
+        if n_devices > 1:
+            # data-parallel serving: one 1-axis mesh, params replicated,
+            # batch rows sharded — per-row results identical to one device
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if n_devices > len(devs):
+                raise ValueError(f"--serve_devices {n_devices} > "
+                                 f"{len(devs)} available devices")
+            mesh = Mesh(np.array(devs[:n_devices]), ("dp",))
         g_params, meta = _load_generator_params(model_path, use_ema=use_ema)
-        params_dev = jax.device_put(g_params)
+        if mesh is None:
+            params_dev = jax.device_put(g_params)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            params_dev = jax.device_put(
+                g_params, NamedSharding(mesh, PartitionSpec()))
         sizes = sorted({int(b) for b in (batch_sizes or [batch_size])})
+        if mesh is not None:
+            bad = [b for b in sizes if b % n_devices]
+            if bad:
+                raise ValueError(f"batch sizes {bad} do not divide by "
+                                 f"--serve_devices {n_devices}")
         # cast on device before the host fetch (e.g. 'float16' halves the
         # device->host bytes; non-exact — responses stay float32 on the wire)
         fdt = jnp.dtype(fetch_dtype) if fetch_dtype else None
@@ -313,7 +336,8 @@ class GeneratorService:
         # ships in, and streams of different seeds never overlap
         # sample-for-sample
         def make_run(size: int):
-            sampler = make_keyed_sampler(cfg, phase, size, alpha, fetch_dtype=fdt)
+            sampler = make_keyed_sampler(cfg, phase, size, alpha,
+                                         fetch_dtype=fdt, mesh=mesh)
 
             def run_slots(seeds: np.ndarray, idxs: np.ndarray) -> np.ndarray:
                 return np.asarray(
@@ -334,6 +358,7 @@ class GeneratorService:
             "volume_shape": list(cfg.current_shape(phase, 1))[1:],
             "ema": bool(use_ema),
             "fetch_dtype": str(fdt) if fdt is not None else "float32",
+            "serve_devices": n_devices,
             "num_params": int(sum(int(np.size(v)) for v in g_params.values())),
         }
         return cls(runs, None, info,
@@ -510,6 +535,11 @@ def main(argv: Optional[list] = None):
                         "fetch-bound links (non-exact: ~3 decimal digits; "
                         "responses are still float32 npy). Default: exact "
                         "float32 fetch (checkpoint serving only)")
+    p.add_argument("--serve_devices", type=int, default=1,
+                   help="data-parallel serving over N devices (one 1-axis "
+                        "mesh: params replicated, batch rows sharded; "
+                        "per-row results identical to one device). Batch "
+                        "sizes must divide by N (checkpoint serving only)")
     p.add_argument("--latent_dim", type=int, default=256)
     p.add_argument("--start_shape", default="(1, 1, 4, 4)")
     p.add_argument("--final_shape", default="(1, 128, 512, 512)")
@@ -549,7 +579,7 @@ def main(argv: Optional[list] = None):
             args.architecture, args.model_path, cfg=cfg, phase=args.phase,
             batch_size=args.batch_size, batch_sizes=sizes, alpha=args.alpha,
             use_ema=not args.no_ema, max_samples=args.max_samples,
-            fetch_dtype=args.fetch_dtype)
+            fetch_dtype=args.fetch_dtype, n_devices=args.serve_devices)
 
     # compile before accepting traffic so the first request isn't a
     # multi-minute cold compile; warm EVERY bucket (a deep queue must not

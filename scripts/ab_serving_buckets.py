@@ -89,12 +89,16 @@ def main():
         svc = GeneratorService.from_checkpoint(
             "pgan", path + ".npz", cfg=cfg, phase=phase, batch_sizes=sizes,
             fetch_dtype=fdt)
-        for b in sizes:  # warm every bucket (compile + first dispatch)
-            svc.generate(b, seed=0, unnormalize=False)
+        # two passes like serve.main: compile every bucket, then seed each
+        # bucket's latency EMA (cost-aware dispatch starts measured)
+        for _ in range(2):
+            for b in sizes:
+                svc.generate(b, seed=0, unnormalize=False)
         services[name] = svc
         print(f"[compile] {name}: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    results = {name: {"bulk_ms": [], "solo_ms": [], "burst_ms": []}
+    results = {name: {"bulk_ms": [], "solo_ms": [], "burst_ms": [],
+                      "mid_ms": []}
                for name in services}
 
     for r in range(rounds):
@@ -104,6 +108,17 @@ def main():
             svc.generate(256, seed=100 + r, unnormalize=False)
             bulk = (time.perf_counter() - t0) * 1e3
             results[name]["bulk_ms"].append(bulk)
+
+            # mid: a queue BETWEEN bucket sizes (12 slots with buckets
+            # {8,32}) — cost-aware dispatch ships 8+8pad4 full-small
+            # dispatches (2 x ~30 ms) where the old smallest-fitting rule
+            # padded one 32-dispatch (77.7 ms); A/B should show C beating
+            # both A (2 x 8-dispatch anyway) and B (padded 32) here
+            t0 = time.perf_counter()
+            for i in range(6):
+                svc.generate(12, seed=7000 * r + i, unnormalize=False)
+            mid = (time.perf_counter() - t0) / 6 * 1e3
+            results[name]["mid_ms"].append(mid)
 
             # solo: sequential batch-1 requests (empty queue each time)
             t0 = time.perf_counter()
@@ -128,20 +143,24 @@ def main():
             results[name]["burst_ms"].append(burst)
 
             print(f"[round {r}] {name}: bulk {bulk:.0f} ms "
-                  f"solo {solo:.1f} ms/req burst {burst:.0f} ms", flush=True)
+                  f"mid {mid:.1f} ms/req solo {solo:.1f} ms/req "
+                  f"burst {burst:.0f} ms", flush=True)
 
     out = {}
     for name, svc in services.items():
         bulk = median(results[name]["bulk_ms"])
+        mid = median(results[name]["mid_ms"])
         solo = median(results[name]["solo_ms"])
         burst = median(results[name]["burst_ms"])
         out[name] = {
             "bulk_256_ms": round(bulk, 1),
             "bulk_vol_per_s": round(256 / (bulk / 1e3), 1),
+            "mid_12_ms_per_req": round(mid, 1),
             "solo_ms_per_req": round(solo, 2),
             "burst_16x4_ms": round(burst, 1),
             "burst_vol_per_s": round(64 / (burst / 1e3), 1),
             "dispatch_sizes": svc.stats["dispatch_sizes"],
+            "bucket_ms": svc.stats["bucket_ms"],
         }
         svc.close()
     print(json.dumps({"phase": phase, **out}, indent=2))

@@ -401,6 +401,34 @@ def test_microbatcher_records_bucket_latency_after_compile_call():
     mb.close()
 
 
+def test_data_parallel_serving_matches_single_device(checkpoint_path):
+    """--serve_devices N: the mesh-sharded keyed sampler (params
+    replicated, batch rows sharded over a 1-axis mesh) returns the SAME
+    volumes as the single-device service — per-sample keying makes every
+    row independent, so GSPMD splits the batch without changing any row's
+    math."""
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >= 2 devices (virtual CPU mesh)")
+    cfg = tiny_cfg()
+    single = GeneratorService.from_checkpoint(
+        "pgan", checkpoint_path, cfg=cfg, phase=2, batch_size=4)
+    sharded = GeneratorService.from_checkpoint(
+        "pgan", checkpoint_path, cfg=cfg, phase=2, batch_size=4, n_devices=n)
+    assert sharded.info["serve_devices"] == n
+    a = single.generate(6, seed=17, unnormalize=False)
+    b = sharded.generate(6, seed=17, unnormalize=False)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+    single.close()
+    sharded.close()
+
+    # batch sizes that don't divide by the mesh are rejected up front
+    with pytest.raises(ValueError):
+        GeneratorService.from_checkpoint(
+            "pgan", checkpoint_path, cfg=cfg, phase=2, batch_size=3,
+            n_devices=n)
+
+
 def test_bucketed_service_responses_match_single_bucket(checkpoint_path):
     """A checkpoint service compiled at batch_sizes=[2,4] returns byte-
     identical volumes to the single-bucket batch-2 service — the per-sample
