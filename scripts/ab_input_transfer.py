@@ -46,6 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import jax.numpy as jnp
+
     from saragan_tpu.config import Config
     from saragan_tpu.models import get_architecture
     from saragan_tpu.parallel.mesh import aot_with_options, resolve_compiler_options
@@ -54,6 +56,11 @@ def main():
     phase = 6
     batch = 8
     shape = (32, 128, 128)
+    all_variants = ["resident", "host_f32", "host_f16", "host_bf16",
+                    "ahead_f32", "ahead_f16", "ahead_bf16"]
+    variants = (sys.argv[1].split(",") if len(sys.argv) > 1 else
+                ["resident", "host_f32", "host_f16", "ahead_f32", "ahead_f16"])
+    assert all(v in all_variants for v in variants), variants
 
     cfg = Config(
         architecture="pgan",
@@ -75,18 +82,27 @@ def main():
     arch = get_architecture("pgan")
     opts = resolve_compiler_options(cfg.scoped_vmem_kib)
 
+    dtype_of = {
+        "resident": "float32",
+        "host_f32": "float32",
+        "ahead_f32": "float32",
+        "host_f16": "float16",
+        "ahead_f16": "float16",
+        "host_bf16": "bfloat16",
+        "ahead_bf16": "bfloat16",
+    }
+
     # one compiled step per input dtype (input dtype is part of the jit
     # signature); each VARIANT still carries its own donated state
     steps = {}
     states = {}
-    variants = ["resident", "host_f32", "host_f16", "ahead_f32", "ahead_f16"]
     for name in variants:
         state, (g_opt, d_opt) = init_train_state(
             arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg
         )
         states[name] = state
-    for dt in (np.float32, np.float16):
-        steps[np.dtype(dt).name] = aot_with_options(
+    for dt in sorted({dtype_of[v] for v in variants}):
+        steps[dt] = aot_with_options(
             jax.jit(
                 make_train_step(arch, cfg, phase, g_opt, d_opt, static_alpha=0.0),
                 donate_argnums=(0,),
@@ -94,25 +110,19 @@ def main():
             opts,
         )
 
-    dtype_of = {
-        "resident": "float32",
-        "host_f32": "float32",
-        "ahead_f32": "float32",
-        "host_f16": "float16",
-        "ahead_f16": "float16",
-    }
-
     # a rotating pool of pre-built host batches so numpy allocation/cast
     # cost stays out of the timed loop (the trainer's prefetcher does this
     # work on a worker thread)
     rng_np = np.random.default_rng(0)
+    np_dt = {"float32": np.float32, "float16": np.float16,
+             "bfloat16": jnp.bfloat16}
     pool = {
-        "float32": [rng_np.normal(size=(batch, 1) + shape).astype(np.float32)
-                    for _ in range(4)],
-        "float16": [rng_np.normal(size=(batch, 1) + shape).astype(np.float16)
-                    for _ in range(4)],
+        dt: [rng_np.normal(size=(batch, 1) + shape).astype(np_dt[dt])
+             for _ in range(4)]
+        for dt in sorted({dtype_of[v] for v in variants})
     }
-    resident = jax.device_put(pool["float32"][0])
+    resident = (jax.device_put(pool["float32"][0])
+                if "resident" in variants else None)
     rng = jax.random.PRNGKey(1)
 
     # warm every (variant, program) pair once
