@@ -243,6 +243,25 @@ void convert_f32_to_f16(const float* src, uint16_t* dst, size_t count) {
   }
 }
 
+// fp32 -> bf16 (scalar, round-to-nearest-even) — the --transfer_dtype
+// bfloat16 path: under bfloat16 compute this is BIT-EXACT vs shipping f32
+// (the train step's first op performs the same RNE cast on device), at half
+// the host->device bytes. Matches ml_dtypes' carry-based RNE exactly.
+void convert_f32_to_bf16(const float* src, uint16_t* dst, size_t count) {
+  for (size_t i = 0; i < count; ++i) {
+    uint32_t x;
+    memcpy(&x, &src[i], 4);
+    if ((x & 0x7f800000u) == 0x7f800000u && (x & 0x7fffffu)) {
+      // NaN: quiet it, keep sign — adding the rounding bias would corrupt
+      // the exponent
+      dst[i] = static_cast<uint16_t>((x >> 16) | 0x0040u);
+      continue;
+    }
+    const uint32_t rounding = 0x7fffu + ((x >> 16) & 1u);  // RNE tie-to-even
+    dst[i] = static_cast<uint16_t>((x + rounding) >> 16);
+  }
+}
+
 bool decode_to_f32(const NpyInfo& info, const uint8_t* payload, float* dst) {
   const size_t count = info.data_bytes / dtype_size(info.dtype);
   switch (info.dtype) {
@@ -280,10 +299,10 @@ int decode_one_to_f32(const char* path, float* out, int64_t bytes_per_item) {
 struct PrefetchJob {
   std::vector<std::string> paths;
   std::vector<float> buf;          // n_items * items floats (f32 output)
-  std::vector<uint16_t> buf16;     // f16 output when out_f16
+  std::vector<uint16_t> buf16;     // f16/bf16 output when out_code != 0
   float mean = 0.0f, stddev = 1.0f;
   int normalize = 0;
-  int out_f16 = 0;                 // store normalized items as fp16
+  int out_code = 0;                // output dtype: 0=f32, 1=f16, 2=bf16
   std::atomic<int> next_item{0};   // work-stealing index across workers
   std::atomic<int> items_done{0};
   std::atomic<int> status{0};      // first nonzero decode status wins
@@ -318,12 +337,12 @@ struct Prefetcher {
         const int i = job->next_item.fetch_add(1);
         if (i >= job->n_items) break;
         const int64_t items = bytes_per_item / 4;
-        // f16 jobs decode+normalize in a per-thread f32 scratch, then
+        // half-width jobs decode+normalize in a per-thread f32 scratch, then
         // convert into the half-width output slot — the cast runs on the
         // worker pool, off the consumer's critical path
         thread_local std::vector<float> scratch;
         float* out;
-        if (job->out_f16) {
+        if (job->out_code) {
           scratch.resize(items);
           out = scratch.data();
         } else {
@@ -334,9 +353,13 @@ struct Prefetcher {
           const float m = job->mean, s = job->stddev;
           for (int64_t k = 0; k < items; ++k) out[k] = (out[k] - m) / s;
         }
-        if (rc == 0 && job->out_f16) {
-          convert_f32_to_f16(out, job->buf16.data() + static_cast<int64_t>(i) * items,
-                             static_cast<size_t>(items));
+        if (rc == 0 && job->out_code) {
+          uint16_t* slot = job->buf16.data() + static_cast<int64_t>(i) * items;
+          if (job->out_code == 2) {
+            convert_f32_to_bf16(out, slot, static_cast<size_t>(items));
+          } else {
+            convert_f32_to_f16(out, slot, static_cast<size_t>(items));
+          }
         }
         if (rc != 0) {
           int expected = 0;
@@ -365,18 +388,21 @@ void* saragan_pf_create(int64_t bytes_per_item, int num_workers) {
   return pf;
 }
 
-int saragan_pf_submit_t(void* handle, const char** paths, int n,
-                        float mean, float stddev, int normalize, int out_f16) {
+// out_code: 0 = float32, 1 = float16 (RNE), 2 = bfloat16 (RNE, bit-exact
+// under bfloat16 compute — see convert_f32_to_bf16)
+int saragan_pf_submit_d(void* handle, const char** paths, int n,
+                        float mean, float stddev, int normalize, int out_code) {
   auto* pf = static_cast<Prefetcher*>(handle);
   if (!pf || n <= 0) return 1;
   if (normalize && stddev == 0.0f) return 2;
+  if (out_code < 0 || out_code > 2) return 4;
   auto job = std::make_shared<PrefetchJob>();
   job->n_items = n;
   job->paths.reserve(n);
   for (int i = 0; i < n; ++i) job->paths.emplace_back(paths[i]);
   const size_t items = static_cast<size_t>(n) * (pf->bytes_per_item / 4);
-  job->out_f16 = out_f16 ? 1 : 0;
-  if (job->out_f16) {
+  job->out_code = out_code;
+  if (job->out_code) {
     job->buf16.resize(items);
   } else {
     job->buf.resize(items);
@@ -393,9 +419,15 @@ int saragan_pf_submit_t(void* handle, const char** paths, int n,
   return 0;
 }
 
+int saragan_pf_submit_t(void* handle, const char** paths, int n,
+                        float mean, float stddev, int normalize, int out_f16) {
+  return saragan_pf_submit_d(handle, paths, n, mean, stddev, normalize,
+                             out_f16 ? 1 : 0);
+}
+
 int saragan_pf_submit(void* handle, const char** paths, int n,
                       float mean, float stddev, int normalize) {
-  return saragan_pf_submit_t(handle, paths, n, mean, stddev, normalize, 0);
+  return saragan_pf_submit_d(handle, paths, n, mean, stddev, normalize, 0);
 }
 
 // Blocks until the OLDEST submitted job completes, copies it into dst
@@ -413,9 +445,9 @@ int saragan_pf_next(void* handle, void* dst, int64_t dst_bytes) {
   }
   if (job->status.load() != 0) return 16 + job->status.load();
   const int64_t total = static_cast<int64_t>(job->n_items) * pf->bytes_per_item
-                        / (job->out_f16 ? 2 : 1);
+                        / (job->out_code ? 2 : 1);
   if (total != dst_bytes) return 3;
-  memcpy(dst, job->out_f16 ? static_cast<const void*>(job->buf16.data())
+  memcpy(dst, job->out_code ? static_cast<const void*>(job->buf16.data())
                            : static_cast<const void*>(job->buf.data()),
          total);
   return 0;

@@ -239,9 +239,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_stddev", default=None, type=none_or_float)
     # TPU-native additions
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
-    p.add_argument("--transfer_dtype", default="float32", choices=["float32", "float16"],
-                   help="host->device input batch dtype (float16 halves the per-step "
-                        "transfer; the step casts to compute_dtype on device)")
+    p.add_argument("--transfer_dtype", default="auto",
+                   choices=["auto", "float32", "float16", "bfloat16"],
+                   help="host->device input batch dtype; the step casts to "
+                        "compute_dtype on device. auto = bfloat16 under bfloat16 "
+                        "compute (bit-exact: same RNE cast either side, half the "
+                        "bytes) else float32; float16 also halves the transfer "
+                        "but double-rounds")
     p.add_argument("--num_data_shards", default=None, type=none_or_int)
     p.add_argument("--num_space_shards", default=1, type=int,
                    help="shard the volume depth (D) axis over the 'space' mesh axis")

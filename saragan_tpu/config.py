@@ -182,10 +182,14 @@ class Config:
     data_stddev: Optional[float] = None
     # --- TPU-native additions (no reference equivalent) ---
     compute_dtype: str = "float32"  # "bfloat16" for mixed precision (SURVEY §5.9)
-    # host->device input dtype: "float16" halves the per-step batch transfer
-    # (the step casts to compute_dtype on device; normalized inputs lose
-    # ~1e-3 relative precision — below bf16 compute noise)
-    transfer_dtype: str = "float32"
+    # host->device input dtype. "auto" (default) resolves in finalize():
+    # bfloat16 when compute_dtype is bfloat16 — BIT-EXACT, because the step's
+    # first op casts the batch to compute dtype anyway (train/step.py) and
+    # host-side f32->bf16 is the same round-to-nearest-even — else float32.
+    # "float16" also halves the transfer but double-rounds (~1e-3 relative,
+    # below bf16 compute noise). Measured: the f32 host path cost 44% of
+    # production throughput through the relay (BASELINE.md input-transfer A/B).
+    transfer_dtype: str = "auto"
     num_data_shards: Optional[int] = None  # mesh 'data' axis; None = all devices
     num_space_shards: int = 1  # spatial halo sharding for huge phases (SURVEY §5.7)
     # second spatial axis (H) shards for pod-scale meshes (>8 chips or depth
@@ -357,6 +361,13 @@ class Config:
         rise/decay iteration counts default from the phase length, and D-side
         optimizer hyperparameters mirror G unless d_use_different_*."""
         c = dataclasses.replace(self)
+        if c.transfer_dtype == "auto":
+            # bf16 transfer is bit-exact under bf16 compute (the step casts
+            # the batch to compute dtype first; host-side RNE == device-side
+            # RNE) and halves host->device bytes; under f32 compute a
+            # down-cast would lose real precision, so keep f32.
+            c.transfer_dtype = ("bfloat16" if c.compute_dtype == "bfloat16"
+                                else "float32")
         if c.g_lr_rise_niter is None:
             c.g_lr_rise_niter = c.mixing_nimg // 2
         if c.g_lr_decay_niter is None:

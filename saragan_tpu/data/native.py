@@ -29,6 +29,13 @@ _DTYPES = {
 }
 
 
+def _bf16() -> np.dtype:
+    """ml_dtypes' bfloat16 as a numpy dtype (ml_dtypes ships with jax)."""
+    import ml_dtypes
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
 def _find_lib() -> Optional[str]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     for cand in (
@@ -83,6 +90,12 @@ def _load() -> Optional[ctypes.CDLL]:
         if hasattr(lib, "saragan_pf_submit_t"):  # f16 output (round-3 builds)
             lib.saragan_pf_submit_t.restype = ctypes.c_int
             lib.saragan_pf_submit_t.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ]
+        if hasattr(lib, "saragan_pf_submit_d"):  # dtype-coded output (0=f32,
+            lib.saragan_pf_submit_d.restype = ctypes.c_int  # 1=f16, 2=bf16)
+            lib.saragan_pf_submit_d.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                 ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
             ]
@@ -144,10 +157,14 @@ class NativeBatchPrefetcher:
         lib = _load()
         assert lib is not None and hasattr(lib, "saragan_pf_create")
         out_dtype = np.dtype(out_dtype)
-        assert out_dtype in (np.float32, np.float16), out_dtype
+        assert out_dtype in (np.float32, np.float16, _bf16()), out_dtype
         if out_dtype == np.float16 and not hasattr(lib, "saragan_pf_submit_t"):
             # pre-f16 library build: fall back to f32 output (the trainer
             # then casts, as before)
+            out_dtype = np.dtype(np.float32)
+        if out_dtype == _bf16() and not hasattr(lib, "saragan_pf_submit_d"):
+            # pre-bf16 library build: fall back to f32 output (the trainer
+            # then casts — same numerics, extra host copy)
             out_dtype = np.dtype(np.float32)
         self._lib = lib
         self._make_paths = make_paths
@@ -167,7 +184,14 @@ class NativeBatchPrefetcher:
     def _submit(self):
         paths = list(self._make_paths())
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-        if self._out_dtype == np.float16:
+        if self._out_dtype == _bf16():
+            # normalized batches stored/shipped at half width, bit-exact
+            # under bfloat16 compute (RNE on the worker pool == the step's
+            # on-device cast)
+            rc = self._lib.saragan_pf_submit_d(
+                self._handle, arr, len(paths),
+                self._mean, self._std, int(self._normalize), 2)
+        elif self._out_dtype == np.float16:
             # normalized batches stored/shipped at half width: the f32->f16
             # cast runs on the C++ worker pool, and the consumer copy (and
             # any host->device transfer after it) halves

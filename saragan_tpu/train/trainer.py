@@ -31,6 +31,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from saragan_tpu import losses
@@ -460,8 +461,13 @@ class Trainer:
         # only its interleaved shard (exactly-once, no scatter — §5.8).
         nproc = jax.process_count()
 
-        transfer_dtype = (np.float16 if getattr(cfg, "transfer_dtype", "float32")
-                          == "float16" else np.float32)
+        td = getattr(cfg, "transfer_dtype", "auto")
+        if td == "auto":  # Config.finalize resolves this; raw configs land here
+            td = ("bfloat16" if getattr(cfg, "compute_dtype", "float32")
+                  == "bfloat16" else "float32")
+        transfer_dtype = np.dtype(
+            {"float16": np.float16, "bfloat16": ml_dtypes.bfloat16}.get(
+                td, np.float32))
 
         def make_batch():
             if nproc > 1:

@@ -151,8 +151,8 @@ def main():
         summary_large_every_nsteps=10**9,
         checkpoint_every_nsteps=10**9,
         compute_dtype="bfloat16",
-        transfer_dtype="float16",  # halves the per-step relay transfer (and
-        # the relay's per-transfer host-buffer accumulation — BASELINE.md)
+        transfer_dtype="auto",  # -> bfloat16 under bf16 compute: bit-exact,
+        # halves per-step relay transfer and its host-buffer leak (BASELINE.md)
         fused_transitions=True,
         logdir=os.path.join(outdir, "logs"),
     ).finalize()

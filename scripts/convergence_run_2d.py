@@ -119,7 +119,7 @@ def main():
         summary_large_every_nsteps=10**9,
         checkpoint_every_nsteps=10**9,
         compute_dtype="bfloat16",
-        transfer_dtype="float16",
+        transfer_dtype="auto",  # -> bf16 under bf16 compute (bit-exact, half bytes)
         fused_transitions=True,
         logdir=os.path.join(outdir, "logs"),
     ).finalize()

@@ -164,7 +164,7 @@ def main():
         summary_large_every_nsteps=10**9,
         checkpoint_every_nsteps=10**9,
         compute_dtype="bfloat16",
-        transfer_dtype="float16",
+        transfer_dtype="auto",  # -> bf16 under bf16 compute (bit-exact, half bytes)
         # the single_chip_big_volume preset itself forces fused_transitions
         # off in Config.finalize (its lhs-dilated conv keeps a 16x-padded
         # 17.4 GB full-res intermediate — measured when this leg first ran

@@ -83,7 +83,7 @@ def run_family(arch: str, dataroot: str, outdir: str, mean: float, std: float) -
         summary_large_every_nsteps=10**9,
         checkpoint_every_nsteps=10**9,
         compute_dtype="bfloat16",
-        transfer_dtype="float16",
+        transfer_dtype="auto",  # -> bf16 under bf16 compute (bit-exact, half bytes)
         logdir=os.path.join(outdir, f"logs_{arch}"),
     ).finalize()
 

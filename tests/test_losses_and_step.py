@@ -213,6 +213,53 @@ def test_train_step_bf16(setup):
     assert np.isfinite(float(metrics.gen_loss))
 
 
+def test_bf16_transfer_is_bit_exact_under_bf16_compute(setup):
+    """The --transfer_dtype auto default: under bfloat16 compute, shipping
+    the input batch as host-cast bfloat16 must produce BIT-identical results
+    to shipping float32 — the step's first op casts the batch to compute
+    dtype (train/step.py), so the same RNE rounding happens either way.
+    This is what justifies defaulting transfer to bf16 (half the
+    host->device bytes for free; BASELINE.md input-transfer A/B)."""
+    import ml_dtypes
+
+    cfg_bf = tiny_cfg(compute_dtype="bfloat16")
+    assert cfg_bf.transfer_dtype == "bfloat16"  # finalize() resolves "auto"
+    arch = get_architecture("pgan")
+    state32, (g_opt, d_opt) = init_train_state(
+        arch, jax.random.PRNGKey(0), phase=1, cfg=cfg_bf)
+    state16, _ = init_train_state(
+        arch, jax.random.PRNGKey(0), phase=1, cfg=cfg_bf)
+    step = make_train_step(arch, cfg_bf, 1, g_opt, d_opt)
+    real32 = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 4, 4)),
+        np.float32)
+    real16 = real32.astype(ml_dtypes.bfloat16)  # host-side RNE cast
+    k = jax.random.PRNGKey(5)
+    s32, m32 = jax.jit(step)(state32, real32, k, 0.5, 1e-3, 1e-3)
+    s16, m16 = jax.jit(step)(state16, real16, k, 0.5, 1e-3, 1e-3)
+    for name in s32.d_params:
+        np.testing.assert_array_equal(
+            np.asarray(s32.d_params[name]), np.asarray(s16.d_params[name]),
+            err_msg=name)
+    for name in s32.g_params:
+        np.testing.assert_array_equal(
+            np.asarray(s32.g_params[name]), np.asarray(s16.g_params[name]),
+            err_msg=name)
+    np.testing.assert_array_equal(np.asarray(m32.disc_loss),
+                                  np.asarray(m16.disc_loss))
+
+
+def test_transfer_dtype_auto_resolution():
+    """Config.finalize resolves transfer_dtype='auto' by compute dtype:
+    bf16 compute -> bf16 transfer (bit-exact), f32 compute -> f32 transfer
+    (a down-cast would lose real precision). Explicit choices pass through."""
+    assert tiny_cfg().transfer_dtype == "float32"  # f32 compute default
+    assert tiny_cfg(compute_dtype="bfloat16").transfer_dtype == "bfloat16"
+    assert tiny_cfg(transfer_dtype="float16").transfer_dtype == "float16"
+    assert tiny_cfg(compute_dtype="bfloat16",
+                    transfer_dtype="float32").transfer_dtype == "float32"
+
+
 def test_clipping_bounds_norms():
     cfg = tiny_cfg(g_clipping=True, d_clipping=True, g_lr=1e-2, d_lr=1e-2)
     arch = get_architecture("pgan")

@@ -216,6 +216,75 @@ def test_prefetcher_f16_output_bit_exact(tmp_path):
     np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
 
 
+def test_prefetcher_bf16_output_bit_exact(tmp_path):
+    """--transfer_dtype bfloat16 path (the auto default under bfloat16
+    compute): the executor's f32->bf16 conversion must be bit-exact vs
+    ml_dtypes' round-to-nearest-even cast — this is what makes bf16 transfer
+    numerics-identical to shipping f32 (the step's first op performs the
+    same cast on device, train/step.py)."""
+    import ml_dtypes
+
+    if not hasattr(native._load(), "saragan_pf_submit_d"):
+        pytest.skip("library built without dtype-coded prefetch support")
+    rng = np.random.default_rng(0)
+    special = np.array(
+        [0.0, -0.0, np.inf, -np.inf, np.nan, 3.3895314e38, -3.3895314e38,
+         np.float32(2**-126), 1.0039062, 1.0117188,  # RNE tie cases
+         3.4e38, -3.4e38, 1e-40, -1e-40], np.float32)
+    vals = np.concatenate([
+        special,
+        rng.normal(0, 10, 4096).astype(np.float32),
+        (rng.normal(size=1024) * 10.0 ** rng.integers(-30, 30, 1024)
+         ).astype(np.float32),
+    ])
+    p = str(tmp_path / "a.npy")
+    np.save(p, vals)
+    n = len(vals)
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+
+    for mean, std in ((None, None), (1.5, 2.0)):
+        pf = native.NativeBatchPrefetcher(
+            lambda: [p], (n,), mean, std, depth=1, out_dtype=bf16)
+        got = next(pf)
+        pf.stop()
+        assert got.dtype == bf16
+        src = vals if mean is None else (vals - mean) / std
+        want = src.astype(bf16)[None]
+        gb, wb = got.view(np.uint16), want.view(np.uint16)
+        nan_both = (np.isnan(got.astype(np.float32))
+                    & np.isnan(want.astype(np.float32)))
+        np.testing.assert_array_equal(np.where(nan_both, 0, gb),
+                                      np.where(nan_both, 0, wb))
+
+
+def test_prefetcher_bf16_falls_back_on_old_library(tmp_path, monkeypatch):
+    """A library built before saragan_pf_submit_d existed must degrade to
+    f32 output (the trainer then casts host-side) instead of crashing."""
+    import ml_dtypes
+
+    lib = native._load()
+    if lib is None:
+        pytest.skip("native library not built")
+    p = str(tmp_path / "a.npy")
+    np.save(p, np.arange(8, dtype=np.float32))
+
+    class OldLib:
+        def __getattr__(self, name):  # hasattr(...,"saragan_pf_submit_d") -> False
+            if name == "saragan_pf_submit_d":
+                raise AttributeError(name)
+            return getattr(lib, name)
+
+    old = OldLib()
+    monkeypatch.setattr(native, "_load", lambda: old)
+    pf = native.NativeBatchPrefetcher(
+        lambda: [p], (8,), None, None, depth=1,
+        out_dtype=np.dtype(ml_dtypes.bfloat16))
+    got = next(pf)
+    pf.stop()
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got[0], np.arange(8, dtype=np.float32))
+
+
 # ---------------------------------------------------------------------------
 # Native JPEG decode (runtime/saragan_jpeg.cc)
 # ---------------------------------------------------------------------------
