@@ -75,8 +75,14 @@ def measure_step(arch, cfg, phase: int, batch: int, shape, static_alpha, n_steps
         ),
         resolve_compiler_options(cfg.scoped_vmem_kib),
     )
+    # stage the batch at the production input dtype (transfer_dtype auto ->
+    # bfloat16 under bf16 compute, bit-exact — BASELINE.md input-transfer
+    # A/B) so the bench compiles the exact program the trainer dispatches
+    import ml_dtypes
+
     real = jax.device_put(
-        np.random.default_rng(0).normal(size=(batch, 1) + shape).astype(np.float32)
+        np.random.default_rng(0).normal(size=(batch, 1) + shape)
+        .astype(np.float32).astype(ml_dtypes.bfloat16)
     )
     rng = jax.random.PRNGKey(1)
     alpha = 0.5 if static_alpha is None else 0.0
