@@ -46,6 +46,22 @@ from saragan_tpu.train import summaries as summ
 from saragan_tpu.train.step import TrainState, init_train_state, make_train_step, split_params
 
 
+def resolve_transfer_dtype(cfg) -> np.dtype:
+    """Numpy dtype for host->device input batches.  'auto' (the default)
+    resolves to bfloat16 under bfloat16 compute — BIT-EXACT, because the
+    step's first op casts the batch to compute dtype and host-side RNE is
+    the same rounding (BASELINE.md input-transfer A/B) — else float32.
+    Config.finalize performs the same resolution; this also covers raw
+    (unfinalized) configs handed straight to the Trainer."""
+    td = getattr(cfg, "transfer_dtype", "auto")
+    if td == "auto":
+        td = ("bfloat16" if getattr(cfg, "compute_dtype", "float32")
+              == "bfloat16" else "float32")
+    return np.dtype(
+        {"float16": np.float16, "bfloat16": ml_dtypes.bfloat16}.get(
+            td, np.float32))
+
+
 class TrialPruned(Exception):
     """Raised to prune an HPO trial (mirrors optuna.TrialPruned)."""
 
@@ -461,13 +477,7 @@ class Trainer:
         # only its interleaved shard (exactly-once, no scatter — §5.8).
         nproc = jax.process_count()
 
-        td = getattr(cfg, "transfer_dtype", "auto")
-        if td == "auto":  # Config.finalize resolves this; raw configs land here
-            td = ("bfloat16" if getattr(cfg, "compute_dtype", "float32")
-                  == "bfloat16" else "float32")
-        transfer_dtype = np.dtype(
-            {"float16": np.float16, "bfloat16": ml_dtypes.bfloat16}.get(
-                td, np.float32))
+        transfer_dtype = resolve_transfer_dtype(cfg)
 
         def make_batch():
             if nproc > 1:
@@ -809,9 +819,13 @@ class Trainer:
             val_batch = normalize_numpy(
                 npy_val.batch(batch_size), cfg.data_mean, cfg.data_stddev
             ).astype(np.float32)
+            # device copy ships at transfer dtype (bit-exact under bf16
+            # compute — the eval fns cast to compute dtype first, like the
+            # train step); the f32 host copy stays for image summaries
+            val_dev = val_batch.astype(resolve_transfer_dtype(cfg))
             k1, k2 = jax.random.split(rng)
             gl, dl, gpl, _ = jax.device_get(
-                eval_losses(state.g_params, state.d_params, val_batch, k1, alpha)
+                eval_losses(state.g_params, state.d_params, val_dev, k1, alpha)
             )
             w.scalars(
                 {"Loss/d_loss_val": float(dl), "Loss/g_loss_val": float(gl),
@@ -820,7 +834,7 @@ class Trainer:
             )
             g_ema, d_ema = split_params(state.ema)
             gl, dl, gpl, fake_ema = jax.device_get(
-                eval_losses(g_ema, d_ema, val_batch, k2, alpha)
+                eval_losses(g_ema, d_ema, val_dev, k2, alpha)
             )
             w.scalars(
                 summ.small_summary(dl, gl, gpl, np.asarray(fake_ema, np.float32),
