@@ -405,6 +405,18 @@ class Config:
                 f"would train nothing. Grow final_shape or lower "
                 f"starting_phase."
             )
+        if c.ending_phase and c.ending_phase > c.num_phases:
+            # the phase loop tops out at num_phases regardless, so an
+            # oversized ending_phase silently trains FEWER phases than
+            # asked (observed: --ending_phase 3 with final==4*start ran
+            # 2 phases and exited 0)
+            raise ValueError(
+                f"ending_phase={c.ending_phase} exceeds num_phases="
+                f"{c.num_phases} (= log2(final/start) from start_shape="
+                f"{c.start_shape}, final_shape={c.final_shape}); the run "
+                f"would stop at phase {c.num_phases}. Grow final_shape or "
+                f"lower ending_phase."
+            )
         if c.single_chip_big_volume:
             c.remat_offload = True
             c.batched_passes = False

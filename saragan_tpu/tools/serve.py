@@ -153,6 +153,11 @@ class MicroBatcher:
         """Block until all `num` samples of request (seed) are generated."""
         if num < 1:  # zero slots would never be dispatched -> eternal wait
             raise ValueError(f"num must be >= 1, got {num}")
+        # Validate here, on the submitter's thread: an OverflowError from
+        # np.int32 inside the worker would kill the dispatch loop and hang
+        # every ticket forever.  int32 is the run_slots wire contract.
+        if not (-(2**31) <= int(seed) < 2**31):
+            raise ValueError(f"seed must fit int32, got {seed}")
         ticket = _Ticket(seed, num)
         with self._cv:
             if self._closed:
@@ -166,6 +171,36 @@ class MicroBatcher:
         if ticket.error is not None:
             raise ticket.error
         return np.stack(ticket.out)
+
+    def warm(self, rounds: int = 2):
+        """Run EVERY bucket directly `rounds` times, bypassing the queue.
+
+        Warmup through submit() is rerouted by the cost-based dispatcher:
+        once the smaller buckets are measured, the proportional estimate
+        for a still-unmeasured larger bucket systematically overestimates
+        it (per-slot cost improves with size), so a queue of its exact
+        size ships as smaller dispatches and the large bucket never gets
+        compiled OR measured.  Direct per-bucket calls compile each one
+        and seed each latency EMA (the compile-bearing first call is
+        excluded, matching _dispatch's rule).  Call before serving
+        traffic — this runs on the caller's thread outside the queue lock.
+        """
+        for b in self.batch_sizes:
+            seeds = np.zeros(b, np.int32)
+            idxs = np.arange(b, dtype=np.int32)
+            for _ in range(max(1, rounds)):
+                t0 = time.perf_counter()
+                out = np.asarray(self._runs[b](seeds, idxs), np.float32)
+                if out.shape[0] != b:
+                    raise ValueError(
+                        f"run_slots returned {out.shape[0]} rows, expected {b}")
+                dt_ms = (time.perf_counter() - t0) * 1e3
+                with self._cv:
+                    self._lat_n[b] += 1
+                    if self._lat_n[b] >= 2:
+                        prev = self._lat[b]
+                        self._lat[b] = (dt_ms if prev is None else
+                                        prev + self.LAT_EMA * (dt_ms - prev))
 
     def close(self):
         with self._cv:
@@ -221,13 +256,16 @@ class MicroBatcher:
 
     def _dispatch(self, entries, bucket: int):
         pad = bucket - len(entries)
-        seeds = np.asarray([t.seed for t, _ in entries]
-                           + [entries[0][0].seed] * pad, np.int32)
-        idxs = np.asarray([j for _, j in entries]
-                          + [entries[0][1]] * pad, np.int32)
         error = None
         t0 = time.perf_counter()
         try:
+            # inside the try: ANY failure here (even an unexpected
+            # conversion error) must forward to the submitters, never
+            # escape and kill the worker thread
+            seeds = np.asarray([t.seed for t, _ in entries]
+                               + [entries[0][0].seed] * pad, np.int32)
+            idxs = np.asarray([j for _, j in entries]
+                              + [entries[0][1]] * pad, np.int32)
             out = np.asarray(self._runs[bucket](seeds, idxs), np.float32)
             if out.shape[0] != bucket:
                 raise ValueError(
@@ -422,6 +460,10 @@ class GeneratorService:
             vols = invert_normalize_numpy(vols, self.data_mean, self.data_stddev)
         return vols
 
+    def warmup(self, rounds: int = 2):
+        """Compile and latency-seed every bucket before accepting traffic."""
+        self._batcher.warm(rounds)
+
     @property
     def stats(self) -> dict:
         """Coalescing counters (GET /stats): batches < ceil-sum of per-request
@@ -582,13 +624,11 @@ def main(argv: Optional[list] = None):
             fetch_dtype=args.fetch_dtype, n_devices=args.serve_devices)
 
     # compile before accepting traffic so the first request isn't a
-    # multi-minute cold compile; warm EVERY bucket (a deep queue must not
-    # hit the large bucket's cold compile mid-traffic).  The second pass
-    # seeds each bucket's latency EMA (the compile-bearing first call is
-    # excluded from it) so cost-aware bucket choice starts measured.
-    for _ in range(2):
-        for b in service._batcher.batch_sizes:
-            service.generate(b, seed=0, unnormalize=False)
+    # multi-minute cold compile; warm EVERY bucket directly (generate()
+    # would be rerouted by the cost-based dispatcher once the small
+    # buckets are measured, leaving the large bucket cold forever) and
+    # seed each bucket's latency EMA so bucket choice starts measured.
+    service.warmup()
     srv = make_server(service, port=args.port, host=args.host)
     print(f"serving {service.info} on http://{args.host}:{srv.server_address[1]}", flush=True)
     try:

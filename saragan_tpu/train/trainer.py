@@ -74,8 +74,15 @@ class TrainingDiverged(Exception):
     the reference trains on regardless — this guard is opt-in.)"""
 
     def __init__(self, phase: int, global_step: int, d_loss, g_loss,
-                 last_checkpoint: Optional[str]):
+                 last_checkpoint: Optional[str],
+                 checkpoint_phase: Optional[int] = None):
+        # --starting_phase must name the phase the checkpoint was WRITTEN at:
+        # _restore_for_phase honors --continue_path only when
+        # phase == cfg.starting_phase, so omitting it would partial-restore
+        # late-phase weights into the run's first phase instead of rewinding.
         hint = (f"rewind with --continue_path {last_checkpoint}"
+                + (f" --starting_phase {checkpoint_phase}"
+                   if checkpoint_phase is not None else "")
                 if last_checkpoint else "no checkpoint written yet")
         super().__init__(
             f"non-finite losses at phase {phase} step {global_step} "
@@ -84,6 +91,7 @@ class TrainingDiverged(Exception):
         self.phase = phase
         self.global_step = global_step
         self.last_checkpoint = last_checkpoint
+        self.checkpoint_phase = checkpoint_phase
 
 
 class TrainingInterrupted(Exception):
@@ -160,6 +168,8 @@ class Trainer:
         self._eval_step = None
         self._interrupt: Optional[int] = None  # signal number, set by the handler
         self._last_checkpoint: Optional[str] = None
+        self._last_checkpoint_phase: Optional[int] = None
+        self._installed_handlers: dict = {}
 
     # ------------------------------------------------------------------
 
@@ -245,11 +255,32 @@ class Trainer:
         prev = self.arch.init(jax.random.PRNGKey(self.cfg.seed), phase=phase - 1, cfg=self.cfg)
         return frozenset(prev.keys())
 
+    def _handle_signal(self, signum, frame):
+        """First SIGTERM/SIGINT: finish the in-flight step, checkpoint, exit
+        (cfg.graceful_shutdown).  The flag is only checked AFTER a step
+        completes — which can be minutes away (cold compile) or never (a
+        wedged relay fetch) — so restore the previous handlers immediately:
+        a SECOND signal takes its normal effect (KeyboardInterrupt / kill)
+        instead of being swallowed."""
+        import signal
+
+        self._interrupt = signum
+        for s, prev in self._installed_handlers.items():
+            signal.signal(s, prev)
+        self._installed_handlers = {}
+        print(
+            f"Received signal {signum}: finishing the in-flight step, "
+            f"then writing an exact-resume checkpoint and exiting "
+            f"(send again to terminate immediately)",
+            flush=True,
+        )
+
     def _save_phase_checkpoint(self, phase: int, state: TrainState, global_step: int, step: Optional[int] = None):
         params = {**state.g_params, **state.d_params}
         path = ckpt.phase_checkpoint_path(self.logdir, phase, step)
         ckpt.save_params(path, params, ema=state.ema, meta={"global_step": global_step, "phase": phase})
         self._last_checkpoint = path + ".npz"
+        self._last_checkpoint_phase = phase
         self._log(f"Writing checkpoint file: {os.path.basename(path)}")
 
     # ------------------------------------------------------------------
@@ -301,16 +332,9 @@ class Trainer:
         if getattr(cfg, "graceful_shutdown", True) and (
             threading.current_thread() is threading.main_thread()
         ):
-            def _on_signal(signum, frame):
-                self._interrupt = signum
-                print(
-                    f"Received signal {signum}: finishing the in-flight step, "
-                    f"then writing an exact-resume checkpoint and exiting",
-                    flush=True,
-                )
-
             for s in (signal.SIGTERM, signal.SIGINT):
-                installed[s] = signal.signal(s, _on_signal)
+                installed[s] = signal.signal(s, self._handle_signal)
+            self._installed_handlers = installed
 
         try:
             for phase in range(cfg.starting_phase, cfg.num_phases + 1):
@@ -323,6 +347,7 @@ class Trainer:
         finally:
             for s, prev in installed.items():
                 signal.signal(s, prev)
+            self._installed_handlers = {}
             self.writer.flush()
 
         self.train_time = time.time() - start_train
@@ -467,6 +492,15 @@ class Trainer:
             in_phase_step = int(resume.get("in_phase_step", 0))
             local_step = int(resume.get("local_step", 0))
             global_step = int(resume.get("global_step", global_step))
+            # Rebase onto THIS run's schedule: the stored global_step is
+            # cumulative from the ORIGINAL run's starting_phase, but the
+            # mixing-flip / phase-exit thresholds below count from
+            # cfg.starting_phase (reference optuna_objective.py:576 form).
+            # Resuming phase P of a phase-1 run with --starting_phase P
+            # would otherwise exit every remaining phase after one step.
+            # Checkpoint numbering / TB x-axis restart phase-relative in
+            # that case; the training schedule is what must be exact.
+            global_step -= int(resume.get("phase_start_step", 0))
             mixing_bool = bool(resume.get("mixing", mixing_bool)) and cfg.mixing_nimg > 0
             self._log(f"Resumed counters: step {global_step}, alpha {alpha}, mixing {mixing_bool}")
         step_rng = jax.random.PRNGKey(cfg.seed + phase * 1000)
@@ -549,7 +583,9 @@ class Trainer:
                             state,
                             {"global_step": global_step, "in_phase_step": in_phase_step,
                              "local_step": local_step, "alpha": alpha,
-                             "mixing": mixing_bool, "phase": phase},
+                             "mixing": mixing_bool, "phase": phase,
+                             "phase_start_step": (phase - cfg.starting_phase)
+                             * (cfg.mixing_nimg + cfg.stabilizing_nimg)},
                         )
 
                 batch = next(prefetcher) if prefetcher else make_batch()
@@ -608,7 +644,8 @@ class Trainer:
                         np.isfinite(d_loss) and np.isfinite(g_loss)
                     ):
                         raise TrainingDiverged(phase, global_step, d_loss,
-                                               g_loss, self._last_checkpoint)
+                                               g_loss, self._last_checkpoint,
+                                               self._last_checkpoint_phase)
                     now = time.time()
                     # window_imgs == 0 on a step-0 summary (the post-compile
                     # reset above just zeroed it): keep the previous reading
@@ -674,7 +711,9 @@ class Trainer:
                         state,
                         {"global_step": global_step, "in_phase_step": in_phase_step,
                          "local_step": local_step, "alpha": alpha,
-                         "mixing": mixing_bool, "phase": phase},
+                         "mixing": mixing_bool, "phase": phase,
+                         "phase_start_step": (phase - cfg.starting_phase)
+                         * (cfg.mixing_nimg + cfg.stabilizing_nimg)},
                     )
                     self._save_phase_checkpoint(phase, state, global_step,
                                                 step=global_step)

@@ -93,6 +93,89 @@ def test_interrupt_writes_resume_checkpoint_and_resumes(tmp_path, capsys):
     assert os.path.isfile(os.path.join(cfg2.logdir, "model_1.npz"))
 
 
+def test_interrupt_midphase_resume_trains_full_remaining_schedule(tmp_path, capsys):
+    """Interrupt at phase 2 of a 3-phase run, resume per the hint
+    (--continue_path PKL --starting_phase 2): the restored cumulative
+    global_step is rebased onto the resumed run's schedule, so phase 2
+    finishes its remaining budget and phase 3 trains a FULL budget —
+    instead of every remaining phase exiting after one step (the stored
+    step already exceeded the rebased thresholds)."""
+    from saragan_tpu.train import checkpoint as ckpt
+
+    make_data(tmp_path / "data", size=4)
+    make_data(tmp_path / "data", size=8)
+    make_data(tmp_path / "data", size=16)
+    spec3 = dict(
+        kernel_spec=[[[], [3, 3, 3]], [[3, 3, 3], [3, 3, 3]],
+                     [[3, 3, 3], [3, 3, 3]]],
+        filter_spec=[[8, 8], [8, 8], [8, 8]],
+    )
+    cfg = tiny_cfg(tmp_path, final_shape="(1, 32, 32, 32)", ending_phase=3,
+                   metrics_every_nsteps=8, calc_metrics=True, **spec3)
+    tr = Trainer(cfg, verbose=False)
+
+    def interrupt_at_phase_2(trainer, sampler, ds, global_step, suffix):
+        if trainer.phase == 2 and trainer._interrupt is None:
+            trainer._interrupt = signal.SIGTERM
+        return {}
+
+    tr.metrics_callback = interrupt_at_phase_2
+    with pytest.raises(TrainingInterrupted) as e:
+        tr.run()
+    exc = e.value
+    assert exc.phase == 2
+    # the original run is cumulative from starting_phase 1: interrupted
+    # mid-phase-2, its stored step exceeds one phase's budget (32 imgs)
+    assert exc.global_step > 32
+    assert f"--starting_phase 2" in str(exc)
+
+    # resume EXACTLY per the hint
+    cfg2 = tiny_cfg(tmp_path, final_shape="(1, 32, 32, 32)", ending_phase=3,
+                    starting_phase=2, continue_path=exc.resume_path,
+                    logdir=str(tmp_path / "logs_resumed"), **spec3)
+    Trainer(cfg2, verbose=False).run()
+    # phase 2 exits at its own full budget (rebased step 32 = mixing 16 +
+    # stabilizing 16), phase 3 at 64 — NOT after a single step each
+    _, _, meta2 = ckpt.load_params(os.path.join(cfg2.logdir, "model_2.npz"))
+    _, _, meta3 = ckpt.load_params(os.path.join(cfg2.logdir, "model_3.npz"))
+    assert int(meta2["global_step"]) == 32, meta2
+    assert int(meta3["global_step"]) == 64, meta3
+
+
+def test_second_signal_escalates(tmp_path):
+    """The first signal sets the interrupt flag AND restores the previous
+    handlers, so a second Ctrl-C during a multi-minute compile (or a wedged
+    relay fetch) takes its normal effect instead of being swallowed."""
+    make_data(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path)
+    tr = Trainer(cfg, verbose=False)
+    prev = signal.getsignal(signal.SIGTERM)
+    # as run() installs it
+    tr._installed_handlers = {signal.SIGTERM: prev}
+    signal.signal(signal.SIGTERM, tr._handle_signal)
+    try:
+        tr._handle_signal(signal.SIGTERM, None)
+        assert tr._interrupt == signal.SIGTERM
+        # escalation: the handler put the PREVIOUS handler back
+        assert signal.getsignal(signal.SIGTERM) is prev
+        assert tr._installed_handlers == {}
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
+def test_diverged_hint_names_checkpoint_phase():
+    """The rewind hint must carry --starting_phase of the checkpoint:
+    _restore_for_phase honors --continue_path only at phase ==
+    starting_phase, so omitting it would partial-restore late-phase weights
+    into the run's first phase instead of rewinding."""
+    from saragan_tpu.train.trainer import TrainingDiverged
+
+    e = TrainingDiverged(6, 1234, float("nan"), 1.0,
+                         "/x/model_6_ckpt_1200.npz", 6)
+    assert "--continue_path /x/model_6_ckpt_1200.npz" in str(e)
+    assert "--starting_phase 6" in str(e)
+
+
 def test_handlers_restored_after_run(tmp_path):
     """run() must leave the process's SIGTERM/SIGINT handlers as it found
     them (HPO harnesses and test runners own them otherwise)."""

@@ -401,6 +401,67 @@ def test_microbatcher_records_bucket_latency_after_compile_call():
     mb.close()
 
 
+def test_microbatcher_rejects_out_of_int32_seed():
+    """A seed outside int32 fails the SUBMITTER with ValueError instead of
+    raising OverflowError inside the worker (which would kill the dispatch
+    loop and hang every later request forever); the worker keeps serving."""
+    from saragan_tpu.tools.serve import MicroBatcher
+
+    mb = MicroBatcher(_slot_oracle, batch_size=2)
+    with pytest.raises(ValueError, match="int32"):
+        mb.submit(2**31, 1)
+    with pytest.raises(ValueError, match="int32"):
+        mb.submit(-(2**31) - 1, 1)
+    # boundary values are fine and the worker is still alive
+    np.testing.assert_array_equal(mb.submit(2**31 - 1, 1),
+                                  _expected(2**31 - 1, 1))
+    np.testing.assert_array_equal(mb.submit(3, 1), _expected(3, 1))
+    mb.close()
+
+
+def test_microbatcher_warm_seeds_every_bucket():
+    """warm() compiles and latency-seeds EVERY bucket directly.  Warmup via
+    submit() is rerouted by the cost model once the small buckets are
+    measured (the proportional estimate overestimates unmeasured larger
+    buckets), leaving the largest bucket cold forever."""
+    from saragan_tpu.tools.serve import MicroBatcher
+
+    sizes = []
+
+    def make_run(b):
+        def run(seeds, idxs):
+            assert len(seeds) == b
+            sizes.append(b)
+            return _slot_oracle(seeds, idxs)
+        return run
+
+    mb = MicroBatcher({2: make_run(2), 4: make_run(4), 8: make_run(8)})
+    mb.warm()
+    assert sizes == [2, 2, 4, 4, 8, 8]
+    assert all(mb._lat[b] is not None for b in (2, 4, 8)), mb._lat
+    # post-warm dispatches enter the EMA immediately (compile call consumed)
+    assert all(mb._lat_n[b] == 2 for b in (2, 4, 8))
+    # the batcher still serves normally afterwards
+    np.testing.assert_array_equal(mb.submit(9, 3), _expected(9, 3))
+    mb.close()
+
+
+def test_service_warmup_seeds_all_buckets(checkpoint_path):
+    """GeneratorService.warmup() (what serve.main runs before traffic)
+    leaves every bucket measured, so cost-aware choice can ever pick the
+    largest bucket."""
+    from saragan_tpu.tools.serve import GeneratorService
+
+    service = GeneratorService.from_checkpoint(
+        "pgan", checkpoint_path, cfg=tiny_cfg(), phase=2, batch_sizes=[2, 4])
+    try:
+        service.warmup()
+        assert all(v is not None for v in service._batcher._lat.values()), (
+            service._batcher._lat)
+    finally:
+        service.close()
+
+
 def test_data_parallel_serving_matches_single_device(checkpoint_path):
     """--serve_devices N: the mesh-sharded keyed sampler (params
     replicated, batch rows sharded over a 1-axis mesh) returns the SAME
