@@ -423,9 +423,16 @@ class GeneratorService:
             # the artifact's input signature is the latent batch, so the
             # per-sample derivation happens host-side: z row k from
             # rng([seeds[k], idxs[k]]) — the same coalescing-invariance
-            # contract as the checkpoint path's device-side fold_in
+            # contract as the checkpoint path's device-side fold_in.
+            # default_rng rejects negative entropy words, but submit()'s wire
+            # contract is the FULL int32 range (the checkpoint path's fold_in
+            # accepts it) — reinterpret as uint32: bijective, identity for
+            # seeds >= 0, and a crash here would fail every coalesced request
+            # in the batch, not just the offender.
             z = np.stack([
-                np.random.default_rng([int(s), int(j)]).normal(size=art_latent)
+                np.random.default_rng(
+                    [int(np.uint32(s)), int(np.uint32(j))]
+                ).normal(size=art_latent)
                 for s, j in zip(seeds, idxs)
             ]).astype(np.float32)
             return np.asarray(gen(z), np.float32)

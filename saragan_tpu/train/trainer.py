@@ -70,8 +70,10 @@ class TrainingDiverged(Exception):
     """A summary-step loss fetch came back non-finite and
     cfg.abort_on_nonfinite is set.  Fail fast instead of burning the rest
     of a multi-day big-volume run on NaN parameters; the message names the
-    last written checkpoint as the rewind point.  (Reference parity note:
-    the reference trains on regardless — this guard is opt-in.)"""
+    last checkpoint a LATER summary confirmed finite as the rewind point
+    (checkpoints written between the last finite summary and the divergence
+    may already hold NaN params and are never hinted).  (Reference parity
+    note: the reference trains on regardless — this guard is opt-in.)"""
 
     def __init__(self, phase: int, global_step: int, d_loss, g_loss,
                  last_checkpoint: Optional[str],
@@ -169,6 +171,11 @@ class Trainer:
         self._interrupt: Optional[int] = None  # signal number, set by the handler
         self._last_checkpoint: Optional[str] = None
         self._last_checkpoint_phase: Optional[int] = None
+        # last checkpoint a LATER summary confirmed finite — the divergence
+        # rewind hint (TrainingDiverged) names this one, never a checkpoint
+        # that may have been written after params went NaN
+        self._last_finite_checkpoint: Optional[str] = None
+        self._last_finite_checkpoint_phase: Optional[int] = None
         self._installed_handlers: dict = {}
 
     # ------------------------------------------------------------------
@@ -268,11 +275,18 @@ class Trainer:
         for s, prev in self._installed_handlers.items():
             signal.signal(s, prev)
         self._installed_handlers = {}
-        print(
-            f"Received signal {signum}: finishing the in-flight step, "
-            f"then writing an exact-resume checkpoint and exiting "
-            f"(send again to terminate immediately)",
-            flush=True,
+        # os.write is async-signal-safe; print() is NOT — a reentrant call
+        # into a buffered stdout writer (signal landing mid-write on a
+        # verbose run) raises RuntimeError at the handler return point and
+        # unwinds the loop WITHOUT the graceful checkpoint this feature
+        # exists to write.
+        os.write(
+            2,
+            (
+                f"Received signal {signum}: finishing the in-flight step, "
+                f"then writing an exact-resume checkpoint and exiting "
+                f"(send again to terminate immediately)\n"
+            ).encode(),
         )
 
     def _save_phase_checkpoint(self, phase: int, state: TrainState, global_step: int, step: Optional[int] = None):
@@ -344,6 +358,17 @@ class Trainer:
                 if cfg.ending_phase and phase == cfg.ending_phase:
                     self._log("Reached final phase, breaking.")
                     break
+                if self._interrupt is not None and phase < cfg.num_phases:
+                    # a signal landed on this phase's FINAL step: the phase
+                    # completed normally (EMA folded, model_<phase> written)
+                    # instead of leaving a mid-phase resume point.  Resuming
+                    # the NEXT phase from that checkpoint is exactly what an
+                    # uninterrupted run does (_restore_for_phase loads
+                    # model_<phase-1> at each new phase).
+                    exc = TrainingInterrupted(self._last_checkpoint,
+                                              phase + 1, global_step)
+                    self._log(str(exc))
+                    raise exc
         finally:
             for s, prev in installed.items():
                 signal.signal(s, prev)
@@ -474,6 +499,13 @@ class Trainer:
         # --- LR setup (reference optuna_objective.py:155-177) ---
         g_lr_max, d_lr_max = scale_lr(cfg.g_lr, cfg.d_lr, cfg.g_scaling, cfg.d_scaling, global_size)
         steps_per_phase = cfg.mixing_nimg + cfg.stabilizing_nimg
+        # this run's img-count at which THIS phase began — the base of the
+        # mixing-flip / phase-exit thresholds (reference
+        # optuna_objective.py:564-576) and the rebase key full-state resume
+        # subtracts (see _restore_for_phase).  One definition: every
+        # full-state save below must store this exact value or resume
+        # re-introduces the exit-after-one-step bug.
+        phase_start_step = (phase - cfg.starting_phase) * steps_per_phase
 
         # --- alpha ---
         alpha = float(cfg.starting_alpha) if phase == cfg.starting_phase else 1.0
@@ -505,6 +537,14 @@ class Trainer:
             self._log(f"Resumed counters: step {global_step}, alpha {alpha}, mixing {mixing_bool}")
         step_rng = jax.random.PRNGKey(cfg.seed + phase * 1000)
         img_s = local_img_s = 0.0
+
+        def full_state_counters():
+            # reads the loop's live locals at call time — the ONE dict every
+            # full-state save (periodic and interrupt) must agree on
+            return {"global_step": global_step, "in_phase_step": in_phase_step,
+                    "local_step": local_step, "alpha": alpha,
+                    "mixing": mixing_bool, "phase": phase,
+                    "phase_start_step": phase_start_step}
 
         # background prefetch of normalized batches. Multi-host: every
         # process draws from the same deterministic shuffle stream and loads
@@ -581,11 +621,7 @@ class Trainer:
                         ckpt.save_full_state(
                             ckpt.phase_checkpoint_path(self.logdir, phase, global_step) + "_full",
                             state,
-                            {"global_step": global_step, "in_phase_step": in_phase_step,
-                             "local_step": local_step, "alpha": alpha,
-                             "mixing": mixing_bool, "phase": phase,
-                             "phase_start_step": (phase - cfg.starting_phase)
-                             * (cfg.mixing_nimg + cfg.stabilizing_nimg)},
+                            full_state_counters(),
                         )
 
                 batch = next(prefetcher) if prefetcher else make_batch()
@@ -640,12 +676,20 @@ class Trainer:
                     d_loss = float(metrics.disc_loss)
                     g_loss = float(metrics.gen_loss)
                     gp_loss = float(metrics.gp_loss)
-                    if getattr(cfg, "abort_on_nonfinite", False) and not (
-                        np.isfinite(d_loss) and np.isfinite(g_loss)
-                    ):
-                        raise TrainingDiverged(phase, global_step, d_loss,
-                                               g_loss, self._last_checkpoint,
-                                               self._last_checkpoint_phase)
+                    if np.isfinite(d_loss) and np.isfinite(g_loss):
+                        # the rewind hint must name a checkpoint KNOWN good:
+                        # divergence is only observed on summary steps, but
+                        # periodic checkpoints keep being written in between —
+                        # the latest one may already hold NaN params.  Mark a
+                        # checkpoint safe only once a LATER summary fetched
+                        # finite losses from the params that followed it.
+                        self._last_finite_checkpoint = self._last_checkpoint
+                        self._last_finite_checkpoint_phase = self._last_checkpoint_phase
+                    elif getattr(cfg, "abort_on_nonfinite", False):
+                        raise TrainingDiverged(
+                            phase, global_step, d_loss, g_loss,
+                            self._last_finite_checkpoint,
+                            self._last_finite_checkpoint_phase)
                     now = time.time()
                     # window_imgs == 0 on a step-0 summary (the post-compile
                     # reset above just zeroed it): keep the previous reading
@@ -688,11 +732,7 @@ class Trainer:
                     )
 
                 # mixing -> stabilizing flip (optuna_objective.py:564-570)
-                if mixing_bool and (
-                    global_step
-                    >= (phase - cfg.starting_phase) * (cfg.mixing_nimg + cfg.stabilizing_nimg)
-                    + cfg.mixing_nimg
-                ):
+                if mixing_bool and global_step >= phase_start_step + cfg.mixing_nimg:
                     mixing_bool = False
                     alpha = 0.0
                     self._log(f"Begin stabilizing epochs in phase {phase}")
@@ -700,20 +740,25 @@ class Trainer:
                 if mixing_bool:
                     assert alpha >= 0
 
+                # phase exit (optuna_objective.py:576).  Evaluated BEFORE the
+                # interrupt unwind: a signal landing on a phase's final step
+                # must complete the phase (EMA fold + final checkpoint below),
+                # not write a mid-phase resume point — resuming that would
+                # re-enter the finished phase and train one extra step that an
+                # uninterrupted run never has.  run() turns the still-set
+                # interrupt flag into a phase-boundary TrainingInterrupted.
+                phase_done = global_step >= phase_start_step + steps_per_phase
+
                 # graceful preemption: the step above completed, counters are
                 # advanced — save exactly what a loop-top periodic full-state
                 # checkpoint would see next iteration, then unwind.  The .pkl
                 # restores optimizer slots + counters via --continue_path.
-                if self._interrupt is not None:
+                if self._interrupt is not None and not phase_done:
                     resume_path = ckpt.save_full_state(
                         ckpt.phase_checkpoint_path(self.logdir, phase, global_step)
                         + "_interrupt",
                         state,
-                        {"global_step": global_step, "in_phase_step": in_phase_step,
-                         "local_step": local_step, "alpha": alpha,
-                         "mixing": mixing_bool, "phase": phase,
-                         "phase_start_step": (phase - cfg.starting_phase)
-                         * (cfg.mixing_nimg + cfg.stabilizing_nimg)},
+                        full_state_counters(),
                     )
                     self._save_phase_checkpoint(phase, state, global_step,
                                                 step=global_step)
@@ -722,10 +767,7 @@ class Trainer:
                     self._log(str(exc))
                     raise exc
 
-                # phase exit (optuna_objective.py:576)
-                if global_step >= (phase - cfg.starting_phase + 1) * (
-                    cfg.stabilizing_nimg + cfg.mixing_nimg
-                ):
+                if phase_done:
                     break
         finally:
             if prefetcher:
@@ -861,7 +903,7 @@ class Trainer:
             # device copy ships at transfer dtype (bit-exact under bf16
             # compute — the eval fns cast to compute dtype first, like the
             # train step); the f32 host copy stays for image summaries
-            val_dev = val_batch.astype(resolve_transfer_dtype(cfg))
+            val_dev = val_batch.astype(resolve_transfer_dtype(cfg), copy=False)
             k1, k2 = jax.random.split(rng)
             gl, dl, gpl, _ = jax.device_get(
                 eval_losses(state.g_params, state.d_params, val_dev, k1, alpha)

@@ -142,6 +142,117 @@ def test_interrupt_midphase_resume_trains_full_remaining_schedule(tmp_path, caps
     assert int(meta3["global_step"]) == 64, meta3
 
 
+def test_interrupt_on_final_step_completes_phase_and_hints_next(tmp_path):
+    """A signal landing on a phase's FINAL step must complete the phase
+    (EMA fold + model_<phase>), not write a mid-phase resume point —
+    resuming that .pkl would re-enter the finished phase and train one
+    extra step an uninterrupted run never has.  The hint becomes a
+    phase-boundary resume: --continue_path model_<phase>.npz
+    --starting_phase <phase+1>, exactly what _restore_for_phase does
+    between phases of an uninterrupted run."""
+    from saragan_tpu.train import checkpoint as ckpt
+
+    make_data(tmp_path / "data", size=4)
+    make_data(tmp_path / "data", size=8)
+    spec2 = dict(
+        kernel_spec=[[[], [3, 3, 3]], [[3, 3, 3], [3, 3, 3]]],
+        filter_spec=[[8, 8], [8, 8]],
+    )
+    cfg = tiny_cfg(tmp_path, final_shape="(1, 16, 16, 16)", ending_phase=2,
+                   calc_metrics=True, metrics_every_nsteps=4, **spec2)
+    tr = Trainer(cfg, verbose=False)
+
+    def interrupt_on_final_step(trainer, sampler, ds, global_step, suffix):
+        # fires right after the step that completes phase 1's 32-img budget,
+        # BEFORE the loop's interrupt check in the same iteration
+        if trainer.phase == 1 and global_step >= 32 and trainer._interrupt is None:
+            trainer._interrupt = signal.SIGTERM
+        return {}
+
+    tr.metrics_callback = interrupt_on_final_step
+    with pytest.raises(TrainingInterrupted) as e:
+        tr.run()
+    exc = e.value
+    assert exc.phase == 2 and "--starting_phase 2" in str(exc)
+    assert exc.resume_path.endswith("model_1.npz") and os.path.isfile(exc.resume_path)
+    # the phase completed at EXACTLY its budget; no mid-phase artifacts
+    _, _, meta1 = ckpt.load_params(os.path.join(cfg.logdir, "model_1.npz"))
+    assert int(meta1["global_step"]) == 32, meta1
+    assert not [f for f in os.listdir(cfg.logdir) if f.endswith("_interrupt.pkl")]
+
+    # resume per the hint: phase 2 trains its FULL budget
+    cfg2 = tiny_cfg(tmp_path, final_shape="(1, 16, 16, 16)", ending_phase=2,
+                    starting_phase=2, continue_path=exc.resume_path,
+                    logdir=str(tmp_path / "logs_resumed"), **spec2)
+    Trainer(cfg2, verbose=False).run()
+    _, _, meta2 = ckpt.load_params(os.path.join(cfg2.logdir, "model_2.npz"))
+    assert int(meta2["global_step"]) == 32, meta2
+
+
+def test_signal_handler_safe_with_unwritable_stdout(tmp_path, monkeypatch):
+    """The handler runs at an arbitrary bytecode boundary — possibly INSIDE
+    a buffered sys.stdout write, where print() raises RuntimeError
+    ('reentrant call') and unwinds the loop without the graceful
+    checkpoint.  It must therefore never touch sys.stdout (os.write to the
+    stderr fd is async-signal-safe)."""
+    make_data(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path)
+    tr = Trainer(cfg, verbose=False)
+
+    class ReentrantGuard:
+        def write(self, *a):
+            raise RuntimeError("reentrant call inside <_io.BufferedWriter>")
+
+        def flush(self):
+            raise RuntimeError("reentrant call inside <_io.BufferedWriter>")
+
+    monkeypatch.setattr(sys, "stdout", ReentrantGuard())
+    tr._handle_signal(signal.SIGTERM, None)  # must not raise
+    assert tr._interrupt == signal.SIGTERM
+
+
+def test_diverged_hint_skips_post_divergence_checkpoints(tmp_path):
+    """Checkpoints keep being written between summary steps; one written
+    after params went NaN must never be the rewind hint.  Cadence here:
+    summaries on steps 1,3,5,7; checkpoints at loop-top of steps 3,5,7
+    (capturing state after steps 2,4,6).  NaN data starts at step 4, so
+    the step-5 loop-top checkpoint (ckpt_16) holds NaN params and the
+    step-5 summary detects divergence — the hint must name ckpt_8
+    (confirmed finite by step 3's summary), not ckpt_16."""
+    from saragan_tpu.data.dataset import NumpyPathDataset
+    from saragan_tpu.train import checkpoint as ckpt
+    from saragan_tpu.train.trainer import TrainingDiverged
+
+    make_data(tmp_path / "data")
+
+    class NaNAfterThree(NumpyPathDataset):
+        calls = 0
+
+        def batch(self, batch_size, auto_repeat=True, verbose=False):
+            b = super().batch(batch_size, auto_repeat, verbose)
+            type(self).calls += 1
+            if type(self).calls > 3:
+                b = np.full_like(b, np.nan)
+            return b
+
+    cfg = tiny_cfg(tmp_path, abort_on_nonfinite=True,
+                   checkpoint_every_nsteps=8,
+                   summary_small_every_nsteps=8,
+                   validation_fraction=0.0, test_fraction=0.0)
+    factory = lambda phase: NaNAfterThree(str(tmp_path / "data" / "4x4"))
+    tr = Trainer(cfg, verbose=False, prefetch=False, dataset_factory=factory)
+    with pytest.raises(TrainingDiverged) as e:
+        tr.run()
+    exc = e.value
+    assert exc.last_checkpoint and exc.last_checkpoint.endswith("model_1_ckpt_8.npz"), exc.last_checkpoint
+    # the hinted checkpoint is finite; the NEWER one on disk is not — the
+    # old "name the last written checkpoint" hint would have pointed there
+    good, _, _ = ckpt.load_params(exc.last_checkpoint)
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in good.values())
+    bad, _, _ = ckpt.load_params(os.path.join(cfg.logdir, "model_1_ckpt_16.npz"))
+    assert not all(np.all(np.isfinite(np.asarray(v))) for v in bad.values())
+
+
 def test_second_signal_escalates(tmp_path):
     """The first signal sets the interrupt flag AND restores the previous
     handlers, so a second Ctrl-C during a multi-minute compile (or a wedged
