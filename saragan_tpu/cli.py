@@ -138,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the SIGTERM/SIGINT checkpoint-and-exit(75) handler")
     p.add_argument("--abort_on_nonfinite", default=False, action="store_true",
                    help="fail fast (with a rewind hint) when summary losses go NaN/inf")
+    p.add_argument("--auto_resume", default=False, action="store_true",
+                   help="scan --logdir for the newest resume point (preemption "
+                        "or periodic full-state .pkl, else the last completed "
+                        "phase's checkpoint) and continue from it — lets a "
+                        "scheduler requeue the SAME command line after exit 75")
     p.add_argument("--gp_full_reduction", default=False, action="store_true",
                    help="Reduce the GP norm over ALL non-batch axes in the simultaneous "
                         "loss instead of the reference's literal (1,2,3) axes quirk "

@@ -219,6 +219,12 @@ class Config:
     # signals (scripts/*.jb jobs are requeueable).  Opt out with
     # --no_graceful_shutdown.
     graceful_shutdown: bool = True
+    # requeue-friendly resume: at startup scan the logdir for the newest
+    # resume point (preemption/periodic full-state .pkl, else the last
+    # completed phase's model_<P>.npz) and continue from it — so a scheduler
+    # can resubmit the SAME command line after the exit-75 preemption path
+    # with no flag edits.  Ignored when --continue_path is given explicitly.
+    auto_resume: bool = False
     # fail fast when a summary-step loss fetch is non-finite (raise
     # TrainingDiverged naming the last checkpoint) instead of the
     # reference's behavior of training on through NaN — opt-in because the

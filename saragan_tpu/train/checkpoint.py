@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import re
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -136,3 +137,63 @@ def load_full_state(path: str):
     with open(path, "rb") as f:
         blob = pickle.load(f)
     return blob["state"], blob["counters"]
+
+
+class AutoResume:
+    """Decision of `find_auto_resume`: where a requeued run should pick up."""
+
+    __slots__ = ("continue_path", "starting_phase", "complete")
+
+    def __init__(self, continue_path: Optional[str], starting_phase: int,
+                 complete: bool = False):
+        self.continue_path = continue_path
+        self.starting_phase = starting_phase
+        self.complete = complete
+
+
+_CKPT_NAME = re.compile(
+    r"^model_(\d+)(?:_ckpt_(\d+))?(_interrupt|_full)?\.(npz|pkl)$"
+)
+
+
+def find_auto_resume(logdir: str, ending_phase: int) -> Optional[AutoResume]:
+    """Scan a logdir for the newest resume point (cfg.auto_resume).
+
+    Preemption loop this enables: SIGTERM -> exit 75 (EX_TEMPFAIL) -> the
+    scheduler requeues the SAME command line -> this picks up exactly where
+    the interrupted run stopped, no flag edits.  The reference's SLURM .jb
+    jobs were requeueable but restarted from scratch (no auto-restore
+    anywhere in main.py); here nothing is lost.
+
+    Ranking (newest training progress wins):
+      1. a full-state .pkl (periodic `_full` or preemption `_interrupt`) of a
+         phase no completed phase supersedes -> exact mid-phase resume;
+      2. else the last completed phase's `model_<P>.npz` -> boundary resume
+         into phase P+1, exactly what _restore_for_phase does between phases
+         of an uninterrupted run;
+      3. `model_<ending_phase>.npz` present -> training already complete;
+      4. nothing recognizable -> None (fresh run).
+    """
+    if not logdir or not os.path.isdir(logdir):
+        return None
+    best_pkl = None  # ((phase, step, is_interrupt), filename)
+    done = 0
+    for f in sorted(os.listdir(logdir)):
+        m = _CKPT_NAME.match(f)
+        if not m:
+            continue
+        phase, step = int(m.group(1)), int(m.group(2) or 0)
+        kind, ext = m.group(3), m.group(4)
+        if ext == "pkl" and kind in ("_interrupt", "_full"):
+            key = (phase, step, kind == "_interrupt")
+            if best_pkl is None or key > best_pkl[0]:
+                best_pkl = (key, f)
+        elif ext == "npz" and kind is None and m.group(2) is None:
+            done = max(done, phase)
+    if done >= ending_phase:
+        return AutoResume(None, ending_phase, complete=True)
+    if best_pkl is not None and best_pkl[0][0] > done:
+        return AutoResume(os.path.join(logdir, best_pkl[1]), best_pkl[0][0])
+    if done > 0:
+        return AutoResume(os.path.join(logdir, f"model_{done}.npz"), done + 1)
+    return None

@@ -161,6 +161,24 @@ class Trainer:
         self.verbose = verbose
         self.prefetch = prefetch
         self.logdir = cfg.logdir or os.path.join("runs", cfg.architecture, time.strftime("%Y-%m-%d_%H-%M-%S"))
+        # requeue-friendly resume (cfg.auto_resume): a scheduler resubmits
+        # the SAME command line after the exit-75 preemption path; pick up
+        # from the newest resume point in the logdir instead of requiring
+        # the operator to paste the hint's --continue_path/--starting_phase.
+        self._already_complete = False
+        self._auto_resume_note: Optional[str] = None
+        if getattr(cfg, "auto_resume", False) and not cfg.continue_path:
+            ar = ckpt.find_auto_resume(self.logdir,
+                                       cfg.ending_phase or cfg.num_phases)
+            if ar is not None and ar.complete:
+                self._already_complete = True
+            elif ar is not None:
+                cfg.continue_path = ar.continue_path
+                cfg.starting_phase = ar.starting_phase
+                self._auto_resume_note = (
+                    f"auto_resume: continuing from {ar.continue_path} "
+                    f"at phase {ar.starting_phase}"
+                )
         self.writer = summ.SummaryWriter(self.logdir if verbose else None)
         self.global_size = 1 if mesh is None else int(mesh.shape["data"])
         self.last_fid: Optional[float] = None
@@ -331,6 +349,14 @@ class Trainer:
 
     def run(self) -> Optional[float]:
         cfg = self.cfg
+        if self._already_complete:
+            self._log(
+                f"auto_resume: model_{cfg.ending_phase or cfg.num_phases}.npz "
+                f"already in {self.logdir} — training complete, nothing to do."
+            )
+            return self.last_fid
+        if self._auto_resume_note:
+            self._log(self._auto_resume_note)
         start_train = time.time()
         global_step = 0
 

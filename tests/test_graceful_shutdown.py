@@ -253,6 +253,85 @@ def test_diverged_hint_skips_post_divergence_checkpoints(tmp_path):
     assert not all(np.all(np.isfinite(np.asarray(v))) for v in bad.values())
 
 
+def test_find_auto_resume_ranking(tmp_path):
+    """Pure ranking logic over synthetic logdir layouts (no training)."""
+    from saragan_tpu.train.checkpoint import find_auto_resume
+
+    d = tmp_path / "log"
+    assert find_auto_resume(str(d), 2) is None  # missing dir
+
+    d.mkdir()
+    (d / "events.jsonl").write_text("")
+    assert find_auto_resume(str(d), 2) is None  # nothing recognizable
+
+    # completed phase 1 -> boundary resume into phase 2 from its npz
+    (d / "model_1.npz").write_bytes(b"x")
+    ar = find_auto_resume(str(d), 2)
+    assert ar.starting_phase == 2 and ar.continue_path.endswith("model_1.npz")
+    assert not ar.complete
+
+    # a LATER phase's mid-phase pkl beats the completed-phase npz
+    (d / "model_2_ckpt_48_interrupt.pkl").write_bytes(b"x")
+    ar = find_auto_resume(str(d), 2)
+    assert ar.starting_phase == 2
+    assert ar.continue_path.endswith("model_2_ckpt_48_interrupt.pkl")
+
+    # within one phase the highest step wins; interrupt breaks step ties
+    (d / "model_2_ckpt_64_full.pkl").write_bytes(b"x")
+    assert find_auto_resume(str(d), 2).continue_path.endswith(
+        "model_2_ckpt_64_full.pkl")
+    (d / "model_2_ckpt_64_interrupt.pkl").write_bytes(b"x")
+    assert find_auto_resume(str(d), 2).continue_path.endswith(
+        "model_2_ckpt_64_interrupt.pkl")
+
+    # a completed phase supersedes that phase's own mid-phase pkls
+    (d / "model_2.npz").write_bytes(b"x")
+    ar = find_auto_resume(str(d), 3)
+    assert ar.starting_phase == 3 and ar.continue_path.endswith("model_2.npz")
+
+    # final phase complete -> nothing to do
+    assert find_auto_resume(str(d), 2).complete
+
+
+def test_auto_resume_requeues_same_command_line(tmp_path, capsys):
+    """The preemption loop end-to-end: interrupt -> rebuild the IDENTICAL
+    config with auto_resume (what a requeued scheduler job does) -> the run
+    finds the _interrupt.pkl itself, restores counters, completes the
+    phase; a third requeue sees model_1.npz and trains nothing."""
+    make_data(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path, auto_resume=True)
+    tr = Trainer(cfg, verbose=False)
+    tr._interrupt = signal.SIGTERM
+    with pytest.raises(TrainingInterrupted):
+        tr.run()
+
+    # requeue: same flags, no --continue_path edits
+    cfg2 = tiny_cfg(tmp_path, auto_resume=True)
+    assert cfg2.continue_path is None
+    tr2 = Trainer(cfg2, verbose=True)
+    assert cfg2.continue_path and cfg2.continue_path.endswith("_interrupt.pkl")
+    tr2.run()
+    out = capsys.readouterr().out
+    assert "auto_resume: continuing from" in out
+    assert "Resumed counters: step 4" in out
+    model = os.path.join(cfg2.logdir, "model_1.npz")
+    assert os.path.isfile(model)
+
+    # requeue after completion: a no-op, nothing rewritten
+    mtime = os.path.getmtime(model)
+    cfg3 = tiny_cfg(tmp_path, auto_resume=True)
+    tr3 = Trainer(cfg3, verbose=True)
+    assert tr3._already_complete
+    tr3.run()
+    assert "training complete, nothing to do" in capsys.readouterr().out
+    assert os.path.getmtime(model) == mtime
+
+    # an EXPLICIT --continue_path always wins over the scan
+    cfg4 = tiny_cfg(tmp_path, auto_resume=True, continue_path="/explicit.npz")
+    Trainer(cfg4, verbose=False)
+    assert cfg4.continue_path == "/explicit.npz"
+
+
 def test_second_signal_escalates(tmp_path):
     """The first signal sets the interrupt flag AND restores the previous
     handlers, so a second Ctrl-C during a multi-minute compile (or a wedged
