@@ -67,7 +67,10 @@ class Config:
     start_shape: str = "(1, 4, 4, 4)"
     final_shape: str = "(1, 32, 32, 32)"
     starting_phase: int = 1
-    ending_phase: int = 3
+    # None means "train to num_phases" (resolved in finalize); the CLI
+    # requires an explicit value, matching the reference's required
+    # --ending_phase (main.py:240)
+    ending_phase: Optional[int] = None
     scratch_path: Optional[str] = None
     base_batch_size: Optional[int] = None
     max_global_batch_size: Optional[int] = None
@@ -394,6 +397,10 @@ class Config:
             c.d_momentum = c.momentum
         if not c.d_use_different_weight_decay:
             c.d_weight_decay = c.weight_decay
+        if c.ending_phase is None:
+            # programmatic construction: default to the full schedule; the
+            # oversize fail-fast below then only fires on EXPLICIT values
+            c.ending_phase = c.num_phases
         if c.architecture == "stylegan2":
             # reference main.py:413-414: stylegan2 has no progressive alpha
             assert c.starting_phase == c.ending_phase, (

@@ -183,3 +183,23 @@ def test_step0_summary_does_not_zero_img_s(tmp_path):
     assert img_s, "no img_s scalars written"
     assert all(v > 0 for v in img_s[1:]), img_s
     assert np.isfinite(tr.last_img_s) and tr.last_img_s > 0
+
+
+def test_ending_phase_default_is_full_schedule():
+    """ending_phase=None (the programmatic default) resolves to num_phases
+    in finalize; the oversize fail-fast fires only on EXPLICIT values.
+    (The CLI requires --ending_phase, reference main.py:240 parity, so this
+    default exists for direct Config construction in tools and tests.)"""
+    import pytest
+
+    from saragan_tpu.config import Config
+
+    base = dict(architecture="pgan", dataset_path="/unused",
+                start_shape="(1, 4, 4, 4)", final_shape="(1, 16, 16, 16)",
+                latent_dim=8, base_batch_size=2, g_lr=1e-3, d_lr=1e-3)
+    cfg = Config(**base).finalize()
+    assert cfg.ending_phase == cfg.num_phases == 2
+    with pytest.raises(ValueError, match="exceeds num_phases"):
+        Config(**base, ending_phase=3).finalize()
+    with pytest.raises(ValueError, match="exceeds num_phases"):
+        Config(**base, starting_phase=3).finalize()
