@@ -138,6 +138,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the SIGTERM/SIGINT checkpoint-and-exit(75) handler")
     p.add_argument("--abort_on_nonfinite", default=False, action="store_true",
                    help="fail fast (with a rewind hint) when summary losses go NaN/inf")
+    p.add_argument("--keep_checkpoints", type=int, default=0,
+                   help="keep only the newest N cadence checkpoints per phase "
+                        "(0 = keep all); phase-final/preemption/rewind-hint "
+                        "checkpoints are never pruned")
     p.add_argument("--auto_resume", default=False, action="store_true",
                    help="scan --logdir for the newest resume point (preemption "
                         "or periodic full-state .pkl, else the last completed "

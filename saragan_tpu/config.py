@@ -228,6 +228,13 @@ class Config:
     # can resubmit the SAME command line after the exit-75 preemption path
     # with no flag edits.  Ignored when --continue_path is given explicitly.
     auto_resume: bool = False
+    # bound disk growth on long runs: keep only the newest N cadence
+    # checkpoints (model_<p>_ckpt_<s>.npz/_full.pkl) per phase.  0 (default)
+    # keeps everything — the reference's effective behavior (it builds a
+    # fresh tf.train.Saver per cadence save, so max_to_keep never prunes).
+    # Phase-final checkpoints, preemption resume points, and the divergence
+    # rewind hint's finite-confirmed checkpoint are never pruned.
+    keep_checkpoints: int = 0
     # fail fast when a summary-step loss fetch is non-finite (raise
     # TrainingDiverged naming the last checkpoint) instead of the
     # reference's behavior of training on through NaN — opt-in because the

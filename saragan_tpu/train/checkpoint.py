@@ -139,6 +139,50 @@ def load_full_state(path: str):
     return blob["state"], blob["counters"]
 
 
+def prune_cadence_checkpoints(logdir: str, phase: int, keep: int,
+                              protect: Optional[set] = None) -> list:
+    """Delete this phase's oldest cadence checkpoints beyond the newest
+    `keep` steps (cfg.keep_checkpoints; 0 = keep everything, which is the
+    reference's effective behavior — it builds a fresh tf.train.Saver per
+    cadence save, optuna_objective.py:415-419, so max_to_keep never prunes
+    across saves and multi-day runs accumulate unbounded checkpoints).
+
+    A step is one retention unit: its `model_<p>_ckpt_<s>.npz` and
+    `_full.pkl` go together.  Never touched: phase-final `model_<p>.npz`
+    (different name shape), any step holding an `_interrupt.pkl` (the
+    preemption resume point), and any path in `protect` (the trainer passes
+    the divergence rewind hint's finite-confirmed checkpoint).
+    Returns the deleted paths.
+    """
+    if keep <= 0 or not os.path.isdir(logdir):
+        return []
+    protect = {os.path.abspath(p) for p in (protect or set()) if p}
+    steps: Dict[int, list] = {}
+    interrupted = set()
+    for f in os.listdir(logdir):
+        m = _CKPT_NAME.match(f)
+        if not m or int(m.group(1)) != phase or m.group(2) is None:
+            continue
+        step = int(m.group(2))
+        if m.group(3) == "_interrupt":
+            interrupted.add(step)
+        else:
+            steps.setdefault(step, []).append(os.path.join(logdir, f))
+    deleted = []
+    for step in sorted(steps)[:-keep] if len(steps) > keep else []:
+        if step in interrupted:
+            continue
+        for path in steps[step]:
+            if os.path.abspath(path) in protect:
+                continue
+            try:
+                os.remove(path)
+                deleted.append(path)
+            except OSError:
+                pass
+    return deleted
+
+
 class AutoResume:
     """Decision of `find_auto_resume`: where a requeued run should pick up."""
 

@@ -314,6 +314,13 @@ class Trainer:
         self._last_checkpoint = path + ".npz"
         self._last_checkpoint_phase = phase
         self._log(f"Writing checkpoint file: {os.path.basename(path)}")
+        if step is not None and getattr(self.cfg, "keep_checkpoints", 0) > 0:
+            # cadence saves only; the rewind hint's finite-confirmed
+            # checkpoint stays on disk even when it ages out of the window
+            ckpt.prune_cadence_checkpoints(
+                self.logdir, phase, self.cfg.keep_checkpoints,
+                protect={self._last_finite_checkpoint},
+            )
 
     # ------------------------------------------------------------------
 

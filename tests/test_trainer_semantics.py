@@ -203,3 +203,63 @@ def test_ending_phase_default_is_full_schedule():
         Config(**base, ending_phase=3).finalize()
     with pytest.raises(ValueError, match="exceeds num_phases"):
         Config(**base, starting_phase=3).finalize()
+
+
+def test_prune_cadence_checkpoints_unit(tmp_path):
+    """Retention unit logic over synthetic files: newest `keep` steps
+    survive, npz+pkl go together, interrupt steps and protected paths are
+    never pruned, keep=0 is a no-op."""
+    from saragan_tpu.train.checkpoint import prune_cadence_checkpoints
+
+    d = tmp_path / "log"
+    d.mkdir()
+    for step in (8, 16, 24, 32):
+        (d / f"model_1_ckpt_{step}.npz").write_bytes(b"x")
+        (d / f"model_1_ckpt_{step}_full.pkl").write_bytes(b"x")
+    (d / "model_1.npz").write_bytes(b"x")          # phase-final: untouchable
+    (d / "model_2_ckpt_8.npz").write_bytes(b"x")   # other phase: untouchable
+
+    assert prune_cadence_checkpoints(str(d), 1, 0) == []  # keep-all default
+
+    deleted = prune_cadence_checkpoints(
+        str(d), 1, 2, protect={str(d / "model_1_ckpt_8.npz")})
+    names = sorted(os.path.basename(p) for p in deleted)
+    # steps 8,16 age out of the keep-2 window, but 8's npz is the protected
+    # rewind hint -> only its pkl goes; 16 loses both files
+    assert names == ["model_1_ckpt_16.npz", "model_1_ckpt_16_full.pkl",
+                     "model_1_ckpt_8_full.pkl"]
+    left = sorted(os.listdir(d))
+    assert "model_1_ckpt_8.npz" in left and "model_1.npz" in left
+    assert "model_2_ckpt_8.npz" in left
+
+    # an interrupt marker shields its whole step
+    (d / "model_1_ckpt_24_interrupt.pkl").write_bytes(b"x")
+    (d / "model_1_ckpt_40.npz").write_bytes(b"x")
+    (d / "model_1_ckpt_48.npz").write_bytes(b"x")
+    deleted = prune_cadence_checkpoints(str(d), 1, 2)
+    kept = sorted(os.listdir(d))
+    assert "model_1_ckpt_24.npz" in kept and "model_1_ckpt_24_interrupt.pkl" in kept
+    assert "model_1_ckpt_40.npz" in kept and "model_1_ckpt_48.npz" in kept
+
+
+def test_keep_checkpoints_bounds_disk(tmp_path):
+    """A run with --keep_checkpoints 2 and a cadence of every step ends
+    with only the newest two cadence checkpoints (plus the phase-final
+    model_1.npz); the default keeps all of them."""
+    make_pyramid(tmp_path / "data")
+    cfg = tiny_cfg(tmp_path, ending_phase=1, mixing_nimg=16, stabilizing_nimg=16,
+                   checkpoint_every_nsteps=4, full_state_checkpoints=True,
+                   keep_checkpoints=2)
+    Trainer(cfg, verbose=False, prefetch=False).run()
+    cadence = sorted(f for f in os.listdir(cfg.logdir) if "_ckpt_" in f)
+    steps = sorted({int(f.split("_ckpt_")[1].split("_")[0].split(".")[0])
+                    for f in cadence})
+    assert len(steps) == 2, cadence
+    assert os.path.isfile(os.path.join(cfg.logdir, "model_1.npz"))
+
+    cfg2 = tiny_cfg(tmp_path, ending_phase=1, mixing_nimg=16, stabilizing_nimg=16,
+                    checkpoint_every_nsteps=4,
+                    logdir=str(tmp_path / "logs_all"))
+    Trainer(cfg2, verbose=False, prefetch=False).run()
+    all_cadence = [f for f in os.listdir(cfg2.logdir) if "_ckpt_" in f]
+    assert len(all_cadence) > 2, all_cadence
