@@ -15,23 +15,81 @@ so a phase's wall-clock is the mean of the two step times.  Both variants
 use the default shared-fake-pass WGAN gradient assembly (cfg.fused_grads)
 and exact upscale+conv transition fusion (cfg.fused_transitions).
 
-A phase-7 step (64x256x256, batch 1 — the big-volume regression guard) and
-the serving path (EMA generator sampling at phase 6, fused transitions +
-Pallas elementwise kernels — tools/generate.make_volume_sampler) are
-measured alongside and reported in the same JSON line.
+Timeout-robust structure (VERDICT r3: the round-3 bench compiled four
+programs at 5-8 cold minutes each through the relay before printing
+anything, and the driver's window expired with zero output):
 
-Prints ONE JSON line.
+* the HEADLINE JSON line is printed AND flushed immediately after the two
+  phase-6 measurements (two compiles);
+* the serving and phase-7 detail sections each check a wall-clock budget
+  (env SARAGAN_BENCH_BUDGET_S, default 2100 s) before compiling and are
+  skipped — recorded as null with a "skipped" note — when over it;
+* a second, SUPERSEDING full JSON line follows with all detail (the driver
+  parses the last JSON line; an expired window still holds the headline);
+* the JAX persistent compilation cache is enabled (SARAGAN_COMPILE_CACHE,
+  default ~/.cache/saragan_jax_cache) so repeat runs skip cold compiles.
+
+MFU (VERDICT r3 item 3): per-step program FLOPs are counted from the
+optimized HLO of the exact bench programs (scripts/compute_flops.py, XLA
+cost analysis — includes the GP double-backward) and reported as
+mfu = flops / (time * bf16 peak of the detected chip).  The model-shaped
+ceiling is ~12.5% MXU for this family: every conv has <=32 output
+channels, filling <=32 of the MXU's 128 lanes (BASELINE.md "Conv-engine
+design space CLOSED" lane argument).
+
+Prints ONE headline JSON line early, then ONE superseding full line.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
-import jax
-import numpy as np
+t_start = time.time()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+# Persistent compilation cache: repeat bench runs (and any other process
+# opting in via the same env) reuse serialized executables instead of
+# paying 5-8 cold minutes per program through the relay's remote compiler.
+# SARAGAN_COMPILE_CACHE=0 disables.
+from saragan_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 BASELINE_VPS = 0.75  # TF1-GPU volumes/s/chip estimate at 128x128x32 (BASELINE.md)
+
+BUDGET_S = float(os.environ.get("SARAGAN_BENCH_BUDGET_S", "2100"))
+
+# Program FLOPs per step from XLA cost analysis of the exact bench programs
+# (scripts/compute_flops.py on the CPU backend; conv/dot FLOPs are op-shape
+# properties, backend-independent).  Regenerate with the script if the
+# bench config changes.
+BENCH_FLOPS = {
+    "phase6_mixing_b8": 3.426415017984e12,
+    "phase6_stabilizing_b8": 3.419050868736e12,
+    "phase7_stabilizing_b1": 9.67618789376e11,
+    "serving_b8": 1.52560205824e11,
+}
+
+# bf16 peak TFLOP/s per chip by device kind (MFU denominator).  The 12.5%
+# model ceiling: all convs here have <=32 output channels -> <=32/128 MXU
+# lanes usable regardless of formulation (BASELINE.md lane argument).
+_PEAKS = (("v5 lite", 197e12), ("v5e", 197e12), ("v6 lite", 918e12),
+          ("v6e", 918e12), ("v5p", 459e12), ("v5", 459e12), ("v4", 275e12))
+
+
+def chip_peak_flops():
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None, None
+    for key, peak in _PEAKS:
+        if key in kind:
+            return kind, peak
+    return kind, None
 
 
 def make_cfg(phase: int, batch: int):
@@ -126,46 +184,76 @@ def measure_sampling(cfg, phase: int, batch: int, shape, n_iters: int):
     return (time.perf_counter() - t0) / n_iters * 1e3
 
 
+def _mfu(flops, ms, peak):
+    if not flops or not ms or not peak:
+        return None
+    return round(flops / (ms / 1e3) / peak, 5)
+
+
 def main():
     from saragan_tpu.models import get_architecture
 
     arch = get_architecture("pgan")
+    kind, peak = chip_peak_flops()
 
-    # phase 6 (32x128x128), batch 8: mixing (traced alpha) + stabilizing
-    # (static alpha=0) halves
+    # --- headline: phase 6 (32x128x128), batch 8 — mixing (traced alpha)
+    # + stabilizing (static alpha=0) halves.  TWO compiles, then PRINT.
     cfg6 = make_cfg(6, 8)
     ms_mix = measure_step(arch, cfg6, 6, 8, (32, 128, 128), None, 40)
     ms_stab = measure_step(arch, cfg6, 6, 8, (32, 128, 128), 0.0, 40)
     ms_avg = (ms_mix + ms_stab) / 2
     vps = 8 / (ms_avg / 1e3)
 
-    # phase 7 (64x256x256), batch 1: big-volume regression guard
-    cfg7 = make_cfg(7, 1)
-    ms_p7 = measure_step(arch, cfg7, 7, 1, (64, 256, 256), 0.0, 10)
-    vps_p7 = 1 / (ms_p7 / 1e3)
+    f_mix = BENCH_FLOPS.get("phase6_mixing_b8")
+    f_stab = BENCH_FLOPS.get("phase6_stabilizing_b8")
+    f_avg = (f_mix + f_stab) / 2 if (f_mix and f_stab) else None
+    headline = {
+        "metric": "train_volumes_per_sec_per_chip_128x128x32_pgan_xs_wgangp_bf16",
+        "value": round(vps, 3),
+        "unit": "volumes/s/chip",
+        "vs_baseline": round(vps / BASELINE_VPS, 2),
+        "detail": {
+            "mixing_ms_per_step": round(ms_mix, 1),
+            "stabilizing_ms_per_step": round(ms_stab, 1),
+            "flops_per_step_phase_avg": f_avg,
+            "mfu": _mfu(f_avg, ms_avg, peak),
+            "mfu_model_ceiling": 0.125,  # <=32-of-128 MXU lanes (BASELINE.md)
+            "device_kind": kind,
+            "peak_bf16_flops": peak,
+            "elapsed_s": round(time.time() - t_start, 1),
+        },
+    }
+    print(json.dumps(headline), flush=True)
 
-    # serving path: EMA generator sampling at phase 6, batch 8
-    ms_gen = measure_sampling(cfg6, 6, 8, (32, 128, 128), 40)
-    vps_gen = 8 / (ms_gen / 1e3)
+    def over_budget():
+        return time.time() - t_start > BUDGET_S
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_volumes_per_sec_per_chip_128x128x32_pgan_xs_wgangp_bf16",
-                "value": round(vps, 3),
-                "unit": "volumes/s/chip",
-                "vs_baseline": round(vps / BASELINE_VPS, 2),
-                "detail": {
-                    "mixing_ms_per_step": round(ms_mix, 1),
-                    "stabilizing_ms_per_step": round(ms_stab, 1),
-                    "phase7_64x256x256_b1_ms_per_step": round(ms_p7, 1),
-                    "phase7_volumes_per_sec": round(vps_p7, 3),
-                    "serving_ema_sample_ms_per_batch8": round(ms_gen, 1),
-                    "serving_volumes_per_sec": round(vps_gen, 3),
-                },
-            }
-        )
-    )
+    detail = dict(headline["detail"])
+
+    # --- serving path: EMA generator sampling at phase 6, batch 8 ---
+    if over_budget():
+        detail["serving_note"] = "skipped (SARAGAN_BENCH_BUDGET_S exceeded)"
+    else:
+        ms_gen = measure_sampling(cfg6, 6, 8, (32, 128, 128), 40)
+        detail["serving_ema_sample_ms_per_batch8"] = round(ms_gen, 1)
+        detail["serving_volumes_per_sec"] = round(8 / (ms_gen / 1e3), 3)
+        detail["serving_mfu"] = _mfu(BENCH_FLOPS.get("serving_b8"), ms_gen, peak)
+
+    # --- phase 7 (64x256x256), batch 1: big-volume regression guard ---
+    if over_budget():
+        detail["phase7_note"] = "skipped (SARAGAN_BENCH_BUDGET_S exceeded)"
+    else:
+        cfg7 = make_cfg(7, 1)
+        ms_p7 = measure_step(arch, cfg7, 7, 1, (64, 256, 256), 0.0, 10)
+        detail["phase7_64x256x256_b1_ms_per_step"] = round(ms_p7, 1)
+        detail["phase7_volumes_per_sec"] = round(1 / (ms_p7 / 1e3), 3)
+        detail["phase7_mfu"] = _mfu(
+            BENCH_FLOPS.get("phase7_stabilizing_b1"), ms_p7, peak)
+
+    detail["elapsed_s"] = round(time.time() - t_start, 1)
+    full = dict(headline)
+    full["detail"] = detail
+    print(json.dumps(full), flush=True)
 
 
 if __name__ == "__main__":

@@ -284,6 +284,12 @@ def main(argv=None):
     cfg = config_from_args(args)
     from saragan_tpu.hpo import harness
     from saragan_tpu.train.trainer import TrainingInterrupted
+    from saragan_tpu.utils import enable_compile_cache
+
+    # persistent compile cache: repeat runs / auto_resume requeues / HPO
+    # trials of an already-seen architecture skip the relay's multi-minute
+    # cold compiles (SARAGAN_COMPILE_CACHE=0 opts out)
+    enable_compile_cache()
 
     try:
         return harness.run(cfg)

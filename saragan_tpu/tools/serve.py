@@ -428,10 +428,12 @@ class GeneratorService:
             # contract is the FULL int32 range (the checkpoint path's fold_in
             # accepts it) — reinterpret as uint32: bijective, identity for
             # seeds >= 0, and a crash here would fail every coalesced request
-            # in the batch, not just the offender.
+            # in the batch, not just the offender.  Masking (not np.uint32())
+            # because NumPy >= 2.0 raises OverflowError when converting a
+            # negative PYTHON int; the mask is dtype-independent.
             z = np.stack([
                 np.random.default_rng(
-                    [int(np.uint32(s)), int(np.uint32(j))]
+                    [int(s) & 0xFFFFFFFF, int(j) & 0xFFFFFFFF]
                 ).normal(size=art_latent)
                 for s, j in zip(seeds, idxs)
             ]).astype(np.float32)

@@ -25,6 +25,7 @@ multi-phase progressive-growing run.  Per phase:
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -195,6 +196,19 @@ class Trainer:
         self._last_finite_checkpoint: Optional[str] = None
         self._last_finite_checkpoint_phase: Optional[int] = None
         self._installed_handlers: dict = {}
+        # full-state resume keeps global_step on the ORIGINAL run's
+        # cumulative numbering (checkpoint filenames stay monotone across
+        # auto_resume requeues — the advisor's round-3 livelock: rebased
+        # numbering made find_auto_resume prefer the stale pre-preemption
+        # pkl and prune_cadence_checkpoints delete the freshest saves).
+        # This offset reconciles that numbering with THIS run's
+        # starting_phase-relative schedule thresholds; 0 unless resuming
+        # with a different --starting_phase than the original run.
+        self._step_offset = 0
+        # the _interrupt.pkl a full-state restore consumed; superseded
+        # (deleted) once a newer full-state save lands, mirroring how a
+        # completed phase supersedes its pkls
+        self._consumed_interrupt: Optional[str] = None
 
     # ------------------------------------------------------------------
 
@@ -262,10 +276,25 @@ class Trainer:
                 "full-state checkpoint is for a different phase/architecture"
             )
             self._resume_counters = counters
+            if restore_path.endswith("_interrupt.pkl"):
+                self._consumed_interrupt = restore_path
+            # Seed the divergence rewind hint / prune protection from the
+            # resume point: the resumed-from state trained finitely before
+            # the save, and without a seed a divergence before the first
+            # post-resume finite summary would raise with
+            # last_checkpoint=None even though checkpoints exist (advisor
+            # round-3 low finding).  The matching cadence .npz (written
+            # alongside every full-state save) is the hintable artifact.
+            npz_twin = re.sub(r"(_interrupt|_full)\.pkl$", ".npz", restore_path)
+            self._seed_finite_checkpoint(
+                npz_twin if os.path.exists(npz_twin) else restore_path, phase)
             return jax.tree_util.tree_map(jnp.asarray, full_state)
 
         self._log(f"Restoring variables from: {restore_path}")
         saved_params, _saved_ema, _meta = ckpt.load_params(restore_path)
+        self._seed_finite_checkpoint(
+            restore_path if restore_path.endswith(".npz") else restore_path + ".npz",
+            phase)
         merged = {**state.g_params, **state.d_params}
         restored = ckpt.restore_into(merged, saved_params)
         g_params, d_params = split_params(restored)
@@ -306,6 +335,28 @@ class Trainer:
                 f"(send again to terminate immediately)\n"
             ).encode(),
         )
+
+    def _seed_finite_checkpoint(self, path: str, phase: int):
+        """Seed the divergence rewind hint + prune protection from a resume
+        point.  `phase` is the phase the checkpoint restores INTO (the
+        --starting_phase the hint must name — see TrainingDiverged)."""
+        self._last_finite_checkpoint = path
+        self._last_finite_checkpoint_phase = phase
+
+    def _supersede_consumed_interrupt(self):
+        """A newer full-state save just landed: the _interrupt.pkl an
+        earlier restore consumed is now superseded — delete it so repeated
+        preemptions never resurrect a stale resume point and its prune
+        protection lapses (advisor round-3 high finding's cleanup arm).
+        Deliberately deferred until a NEWER save exists: deleting at restore
+        time would lose the only resume point if the requeued run dies
+        before its first checkpoint."""
+        if self._consumed_interrupt:
+            try:
+                os.remove(self._consumed_interrupt)
+            except OSError:
+                pass
+            self._consumed_interrupt = None
 
     def _save_phase_checkpoint(self, phase: int, state: TrainState, global_step: int, step: Optional[int] = None):
         params = {**state.g_params, **state.d_params}
@@ -538,7 +589,7 @@ class Trainer:
         # subtracts (see _restore_for_phase).  One definition: every
         # full-state save below must store this exact value or resume
         # re-introduces the exit-after-one-step bug.
-        phase_start_step = (phase - cfg.starting_phase) * steps_per_phase
+        phase_start_step = (phase - cfg.starting_phase) * steps_per_phase + self._step_offset
 
         # --- alpha ---
         alpha = float(cfg.starting_alpha) if phase == cfg.starting_phase else 1.0
@@ -563,9 +614,16 @@ class Trainer:
             # cfg.starting_phase (reference optuna_objective.py:576 form).
             # Resuming phase P of a phase-1 run with --starting_phase P
             # would otherwise exit every remaining phase after one step.
-            # Checkpoint numbering / TB x-axis restart phase-relative in
-            # that case; the training schedule is what must be exact.
-            global_step -= int(resume.get("phase_start_step", 0))
+            # The reconciliation moves the THRESHOLD BASE up rather than
+            # global_step down: checkpoint filenames and the TB x-axis keep
+            # the original cumulative numbering, so newest-by-step ranking
+            # in find_auto_resume/prune_cadence_checkpoints stays correct
+            # across repeated preemption (advisor round-3 high finding:
+            # rebased-down numbering livelocked auto_resume under a second
+            # preemption and made keep_checkpoints prune the freshest saves).
+            stored_psp = int(resume.get("phase_start_step", 0))
+            self._step_offset += stored_psp - phase_start_step
+            phase_start_step = stored_psp
             mixing_bool = bool(resume.get("mixing", mixing_bool)) and cfg.mixing_nimg > 0
             self._log(f"Resumed counters: step {global_step}, alpha {alpha}, mixing {mixing_bool}")
         step_rng = jax.random.PRNGKey(cfg.seed + phase * 1000)
@@ -656,6 +714,7 @@ class Trainer:
                             state,
                             full_state_counters(),
                         )
+                        self._supersede_consumed_interrupt()
 
                 batch = next(prefetcher) if prefetcher else make_batch()
                 if batch.dtype != transfer_dtype:  # native prefetch yields f32
@@ -793,6 +852,8 @@ class Trainer:
                         state,
                         full_state_counters(),
                     )
+                    if resume_path != self._consumed_interrupt:
+                        self._supersede_consumed_interrupt()
                     self._save_phase_checkpoint(phase, state, global_step,
                                                 step=global_step)
                     self.state = state
@@ -823,6 +884,9 @@ class Trainer:
         state = state._replace(g_params=g_f, d_params=d_f)
         self.state = state
         self._save_phase_checkpoint(phase, state, global_step)
+        # the phase-final model_<p>.npz supersedes any consumed mid-phase
+        # interrupt pkl (find_auto_resume already prefers completed phases)
+        self._supersede_consumed_interrupt()
 
         # end-of-phase metrics under EMA weights (:597-629)
         if self.metrics_callback is not None and cfg.calc_metrics:

@@ -17,6 +17,45 @@ def count_parameters(params: dict, scope: str = "") -> int:
     return param_count(params, scope)
 
 
+_compile_cache_enabled = False
+
+
+def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Big-phase programs pay 5-8 cold-compile minutes each through the axon
+    relay's remote compiler (phase 8: ~19 min train step + ~25 min sampler,
+    BASELINE.md flagship table); the persistent cache amortizes that across
+    bench runs, flagship legs, HPO trials of repeated architectures, and
+    auto_resume requeues.  Default dir ~/.cache/saragan_jax_cache,
+    overridable via env SARAGAN_COMPILE_CACHE (=0 disables).  Safe on any
+    backend; returns the cache dir or None when disabled/unavailable.
+    """
+    global _compile_cache_enabled
+    import os
+
+    cache_dir = path or os.environ.get(
+        "SARAGAN_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "saragan_jax_cache"),
+    )
+    if not cache_dir or cache_dir == "0":
+        return None
+    if _compile_cache_enabled:
+        return cache_dir
+    import jax
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every real compile; the 1s floor skips only trivial programs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        return None  # an optimization, never a failure
+    _compile_cache_enabled = True
+    return cache_dir
+
+
 def get_num_metric_samples(num_metric_samples: Optional[int], batch_size: int, global_size: int) -> int:
     """reference utils.py:152-161."""
     if not num_metric_samples:

@@ -134,12 +134,16 @@ def test_interrupt_midphase_resume_trains_full_remaining_schedule(tmp_path, caps
                     starting_phase=2, continue_path=exc.resume_path,
                     logdir=str(tmp_path / "logs_resumed"), **spec3)
     Trainer(cfg2, verbose=False).run()
-    # phase 2 exits at its own full budget (rebased step 32 = mixing 16 +
-    # stabilizing 16), phase 3 at 64 — NOT after a single step each
+    # phase 2 exits at its own full budget, phase 3 at a further full budget
+    # — NOT after a single step each.  global_step keeps the ORIGINAL run's
+    # cumulative numbering (phase 2 began at img 32 of the phase-1 run), so
+    # checkpoint filenames stay monotone across resumes and
+    # find_auto_resume / prune_cadence_checkpoints newest-by-step ranking
+    # survives repeated preemption (advisor round-3 high finding).
     _, _, meta2 = ckpt.load_params(os.path.join(cfg2.logdir, "model_2.npz"))
     _, _, meta3 = ckpt.load_params(os.path.join(cfg2.logdir, "model_3.npz"))
-    assert int(meta2["global_step"]) == 32, meta2
-    assert int(meta3["global_step"]) == 64, meta3
+    assert int(meta2["global_step"]) == 64, meta2
+    assert int(meta3["global_step"]) == 96, meta3
 
 
 def test_interrupt_on_final_step_completes_phase_and_hints_next(tmp_path):
@@ -403,6 +407,160 @@ def test_abort_on_nonfinite_fails_fast_with_rewind_hint(tmp_path):
                     logdir=str(tmp_path / "logs_nan"))
     Trainer(cfg2, verbose=False).run()
     assert os.path.isfile(os.path.join(cfg2.logdir, "model_1.npz"))
+
+
+def test_repeated_preemption_resumes_newest_not_stale(tmp_path, capsys):
+    """Advisor round-3 HIGH finding: preempt -> requeue -> preempt again.
+    Round-3 code rebased global_step phase-relative on resume, so the
+    second interrupt's filename step was SMALLER than the first's and the
+    third requeue resumed the STALE pkl, discarding all post-resume
+    progress (livelock under repeated preemption).  Now global_step keeps
+    the original cumulative numbering AND the consumed pkl is deleted once
+    a newer full-state save lands — each requeue resumes strictly newer
+    state."""
+    from saragan_tpu.train import checkpoint as ckpt
+
+    make_data(tmp_path / "data", size=4)
+    make_data(tmp_path / "data", size=8)
+    spec2 = dict(
+        kernel_spec=[[[], [3, 3, 3]], [[3, 3, 3], [3, 3, 3]]],
+        filter_spec=[[8, 8], [8, 8]],
+    )
+    kw = dict(final_shape="(1, 16, 16, 16)", ending_phase=2,
+              mixing_nimg=24, stabilizing_nimg=24, auto_resume=True, **spec2)
+
+    def interrupt_at(trigger_step):
+        def cb(trainer, sampler, ds, global_step, suffix):
+            if (trainer.phase == 2 and global_step >= trigger_step
+                    and trainer._interrupt is None):
+                trainer._interrupt = signal.SIGTERM
+            return {}
+        return cb
+
+    # leg 1: preempted early in phase 2 (cumulative step > phase-1's 48)
+    cfg = tiny_cfg(tmp_path, metrics_every_nsteps=8, calc_metrics=True, **kw)
+    tr = Trainer(cfg, verbose=False)
+    tr.metrics_callback = interrupt_at(52)
+    with pytest.raises(TrainingInterrupted) as e1:
+        tr.run()
+    pkl1 = e1.value.resume_path
+    step1 = e1.value.global_step
+    assert step1 > 48  # cumulative, phase 2 territory
+
+    # leg 2 (requeue, SAME flags): resumes pkl1, preempted again later
+    cfg2 = tiny_cfg(tmp_path, metrics_every_nsteps=8, calc_metrics=True, **kw)
+    tr2 = Trainer(cfg2, verbose=False)
+    assert cfg2.continue_path == pkl1  # the auto_resume scan ran in __init__
+    tr2.metrics_callback = interrupt_at(step1 + 8)
+    with pytest.raises(TrainingInterrupted) as e2:
+        tr2.run()
+    pkl2 = e2.value.resume_path
+    # post-resume progress carries LARGER step numbers than the first
+    # interrupt (round-3 numbering restarted at 4 here)...
+    assert e2.value.global_step > step1, (e2.value.global_step, step1)
+    # ...and the consumed first pkl is gone (superseded by pkl2)
+    assert not os.path.exists(pkl1), pkl1
+    assert os.path.exists(pkl2)
+
+    # leg 3: resumes the NEWEST state — pkl2, not anything stale
+    cfg3 = tiny_cfg(tmp_path, metrics_every_nsteps=8, **kw)
+    tr3 = Trainer(cfg3, verbose=False)
+    assert cfg3.continue_path == pkl2, (cfg3.continue_path, pkl2)
+    tr3.run()
+    # full schedule completed: phase 2 final at cumulative 96 (2 x 48)
+    _, _, meta2 = ckpt.load_params(os.path.join(cfg3.logdir, "model_2.npz"))
+    assert int(meta2["global_step"]) == 96, meta2
+
+
+def test_prune_after_resume_keeps_newest(tmp_path):
+    """Advisor round-3 MEDIUM finding: with keep_checkpoints, the round-3
+    rebased numbering made prune_cadence_checkpoints delete the FRESHEST
+    post-resume checkpoints and keep stale pre-preemption ones.  With
+    cumulative numbering the newest saves survive and the oldest are
+    pruned."""
+    make_data(tmp_path / "data", size=4)
+    kw = dict(mixing_nimg=24, stabilizing_nimg=24, auto_resume=True,
+              checkpoint_every_nsteps=8, keep_checkpoints=2,
+              full_state_checkpoints=True,
+              metrics_every_nsteps=8, calc_metrics=True)
+
+    cfg = tiny_cfg(tmp_path, **kw)
+    tr = Trainer(cfg, verbose=False)
+
+    def cb(trainer, sampler, ds, global_step, suffix):
+        if global_step >= 16 and trainer._interrupt is None:
+            trainer._interrupt = signal.SIGTERM
+        return {}
+
+    tr.metrics_callback = cb
+    with pytest.raises(TrainingInterrupted):
+        tr.run()
+
+    cfg2 = tiny_cfg(tmp_path, **kw)
+    tr2 = Trainer(cfg2, verbose=False)
+    assert cfg2.continue_path and cfg2.continue_path.endswith("_interrupt.pkl")
+    tr2.run()
+
+    cadence = sorted(
+        int(f.split("_ckpt_")[1].split(".")[0].split("_")[0])
+        for f in os.listdir(cfg2.logdir)
+        if "_ckpt_" in f and f.endswith(".npz")
+    )
+    # the survivors are the run's NEWEST cadence steps (> the preemption
+    # step), not the stale pre-preemption ones round-3 numbering kept
+    assert cadence, os.listdir(cfg2.logdir)
+    assert min(cadence) > 16, cadence
+
+
+def test_diverged_right_after_resume_still_hints(tmp_path):
+    """Advisor round-3 LOW finding: _last_finite_checkpoint was process-
+    local, so a divergence detected before the first post-resume finite
+    summary raised with last_checkpoint=None even though the resume point
+    exists on disk.  Now the resume point seeds the hint."""
+    from saragan_tpu.data.dataset import NumpyPathDataset
+    from saragan_tpu.train.trainer import TrainingDiverged
+
+    make_data(tmp_path / "data")
+    kw = dict(mixing_nimg=24, stabilizing_nimg=24, auto_resume=True,
+              abort_on_nonfinite=True, summary_small_every_nsteps=8,
+              metrics_every_nsteps=8, calc_metrics=True,
+              validation_fraction=0.0, test_fraction=0.0)
+
+    cfg = tiny_cfg(tmp_path, **kw)
+    tr = Trainer(cfg, verbose=False)
+
+    def cb(trainer, sampler, ds, global_step, suffix):
+        if trainer._interrupt is None:
+            trainer._interrupt = signal.SIGTERM
+        return {}
+
+    tr.metrics_callback = cb
+    with pytest.raises(TrainingInterrupted) as e:
+        tr.run()
+    pkl = e.value.resume_path
+
+    # requeue against NaN-poisoned data: the first post-resume summary
+    # detects divergence with no post-resume finite summary ever seen
+    class AllNaN(NumpyPathDataset):
+        def batch(self, batch_size, auto_repeat=True, verbose=False):
+            b = super().batch(batch_size, auto_repeat, verbose)
+            return np.full_like(b, np.nan)
+
+    cfg2 = tiny_cfg(tmp_path, **kw)
+    factory = lambda phase: AllNaN(str(tmp_path / "data" / "4x4"))
+    tr2 = Trainer(cfg2, verbose=False, prefetch=False, dataset_factory=factory)
+    assert cfg2.continue_path == pkl
+    with pytest.raises(TrainingDiverged) as e2:
+        tr2.run()
+    exc = e2.value
+    # the hint names the resume point's cadence npz (known-finite), with
+    # the phase it restores into — not "no checkpoint written yet"
+    assert exc.last_checkpoint, str(exc)
+    assert exc.last_checkpoint.endswith(".npz")
+    assert os.path.isfile(exc.last_checkpoint)
+    assert exc.checkpoint_phase == 1
+    good, _, _ = __import__("saragan_tpu.train.checkpoint", fromlist=["load_params"]).load_params(exc.last_checkpoint)
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in good.values())
 
 
 def test_real_sigterm_at_the_cli_exits_75(tmp_path):
