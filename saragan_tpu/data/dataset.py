@@ -207,6 +207,17 @@ class NumpyPathDataset:
         """Per-worker independent sampling (reference dataset.py:264-291)."""
         return self._load_batch_from_filelist(self.batch_paths(batch_size, auto_repeat))
 
+    def fast_forward(self, num_paths: int):
+        """Advance the deterministic shuffle stream by `num_paths` draws
+        without loading any file (list ops only).  Exact mid-phase resume
+        uses this to replay the uninterrupted run's batch sequence: the
+        trainer's restored counters say how many paths completed steps
+        consumed, so prefetch overshoot at interrupt time never shifts the
+        stream.  Drawing N paths in one call consumes the same stream
+        positions as N single draws (the buffer is strictly sequential)."""
+        if num_paths > 0:
+            self.batch_paths(num_paths)
+
     def batch_sharded(
         self,
         batch_size: int,

@@ -625,8 +625,24 @@ class Trainer:
             self._step_offset += stored_psp - phase_start_step
             phase_start_step = stored_psp
             mixing_bool = bool(resume.get("mixing", mixing_bool)) and cfg.mixing_nimg > 0
+            # replay the uninterrupted run's batch sequence: completed steps
+            # consumed exactly (local_step / batch_size) * global_batch paths
+            # from the shared deterministic shuffle stream (prefetch
+            # overshoot at interrupt time is NOT part of the counters, so
+            # the fast-forward lands on the consumed position, not the
+            # prefetched one).  Together with the fold_in step keys below
+            # this makes a preempted+resumed run END-STATE IDENTICAL to an
+            # uninterrupted one.
+            if local_step and hasattr(npy_train, "fast_forward"):
+                npy_train.fast_forward((local_step // batch_size) * global_batch)
             self._log(f"Resumed counters: step {global_step}, alpha {alpha}, mixing {mixing_bool}")
-        step_rng = jax.random.PRNGKey(cfg.seed + phase * 1000)
+        # Per-step keys by fold_in(base, local_step), not a sequential split
+        # carry: resume-invariant by construction (a resumed run derives the
+        # SAME key for step i as the uninterrupted run), one tiny device op
+        # per step either way.  Even salt = train step key, odd = summary
+        # eval key (local_step increments by batch_size >= 1, so 2*l and
+        # 2*l+1 never collide across steps).
+        step_base = jax.random.PRNGKey(cfg.seed + phase * 1000)
         img_s = local_img_s = 0.0
 
         def full_state_counters():
@@ -729,7 +745,7 @@ class Trainer:
                 if profile_steps and step_idx == profile_steps[0] and phase == cfg.starting_phase:
                     jax.profiler.start_trace(cfg.profile_dir)
 
-                step_rng, k = jax.random.split(step_rng)
+                k = jax.random.fold_in(step_base, 2 * local_step)
                 use_gp = lazy_k == 1 or (step_count % lazy_k == 0)
                 want_hists = (
                     (small_summary_bool or large_summary_bool)
@@ -792,7 +808,8 @@ class Trainer:
                         self.last_img_s = img_s
                     self._write_summaries(
                         phase, state, metrics, npy_val, batch_size, global_step, alpha,
-                        g_lr_val, d_lr_val, eval_losses, sample_fn, step_rng,
+                        g_lr_val, d_lr_val, eval_losses, sample_fn,
+                        jax.random.fold_in(step_base, 2 * local_step + 1),
                         large=large_summary_bool, mixing=mixing_bool,
                     )
                 else:

@@ -121,6 +121,9 @@ def main():
         compute_dtype="bfloat16",
         transfer_dtype="auto",  # -> bf16 under bf16 compute (bit-exact, half bytes)
         fused_transitions=True,
+        # seed-variance band runs (VERDICT r4): vary training randomness
+        # only, data fixed
+        seed=int(os.environ.get("SARAGAN_RUN_SEED", "42")),
         logdir=os.path.join(outdir, "logs"),
     ).finalize()
 

@@ -100,6 +100,10 @@ def main():
     os.makedirs(outdir, exist_ok=True)
     # FLAGSHIP_SMOKE=1: tiny budgets/dataset for a CPU wiring check
     smoke = bool(int(os.environ.get("FLAGSHIP_SMOKE", "0")))
+    # SARAGAN_RUN_SEED: training seed (init + per-step keys) for the
+    # seed-variance band runs (VERDICT r4: gate against a measured band,
+    # not n-1).  Data stays fixed; only the training randomness varies.
+    run_seed = int(os.environ.get("SARAGAN_RUN_SEED", "42"))
     n_vols = 24 if smoke else 256
 
     print("Building anisotropic blob pyramid ...", flush=True)
@@ -170,6 +174,7 @@ def main():
         # 17.4 GB full-res intermediate — measured when this leg first ran
         # with the fusion on); keep the recipe in ONE place (config.py)
         single_chip_big_volume=phase8_leg,
+        seed=run_seed,
         logdir=os.path.join(outdir, "logs"),
     ).finalize()
 

@@ -563,6 +563,62 @@ def test_diverged_right_after_resume_still_hints(tmp_path):
     assert all(np.all(np.isfinite(np.asarray(v))) for v in good.values())
 
 
+def test_preempted_resume_end_state_equals_uninterrupted(tmp_path):
+    """The preemption loop's strongest property (VERDICT r3 item 7): a
+    preempted-then-requeued run ends BITWISE-IDENTICAL to an uninterrupted
+    one.  Three ingredients make it hold: full-state resume (params +
+    optimizer slots + counters), fold_in(base, local_step) step keys
+    (resume-invariant — a sequential split carry would replay from the
+    phase start), and dataset fast_forward (the shared shuffle stream
+    resumes at the position completed steps consumed, prefetch overshoot
+    excluded)."""
+    from saragan_tpu.train import checkpoint as ckpt
+
+    make_data(tmp_path / "data")
+    base = dict(mixing_nimg=24, stabilizing_nimg=24,
+                metrics_every_nsteps=8, calc_metrics=True)
+
+    def noop_cb(trainer, sampler, ds, global_step, suffix):
+        return {}
+
+    # uninterrupted reference run (same cadences incl. metrics callback)
+    cfg_u = tiny_cfg(tmp_path, logdir=str(tmp_path / "logs_u"), **base)
+    tr_u = Trainer(cfg_u, verbose=False)
+    tr_u.metrics_callback = noop_cb
+    tr_u.run()
+
+    # preempted at mid-phase, then requeued with the same flags
+    cfg_i = tiny_cfg(tmp_path, logdir=str(tmp_path / "logs_i"),
+                     auto_resume=True, **base)
+    tr_i = Trainer(cfg_i, verbose=False)
+
+    def interrupt_cb(trainer, sampler, ds, global_step, suffix):
+        if global_step >= 16 and trainer._interrupt is None:
+            trainer._interrupt = signal.SIGTERM
+        return {}
+
+    tr_i.metrics_callback = interrupt_cb
+    with pytest.raises(TrainingInterrupted) as e:
+        tr_i.run()
+    assert 16 <= e.value.global_step < 48  # genuinely mid-phase
+
+    cfg_r = tiny_cfg(tmp_path, logdir=str(tmp_path / "logs_i"),
+                     auto_resume=True, **base)
+    tr_r = Trainer(cfg_r, verbose=False)
+    tr_r.metrics_callback = noop_cb
+    assert cfg_r.continue_path and cfg_r.continue_path.endswith("_interrupt.pkl")
+    tr_r.run()
+
+    pu, eu, mu = ckpt.load_params(os.path.join(cfg_u.logdir, "model_1.npz"))
+    pi, ei, mi = ckpt.load_params(os.path.join(cfg_r.logdir, "model_1.npz"))
+    assert mu["global_step"] == mi["global_step"]
+    assert set(pu) == set(pi) and set(eu) == set(ei)
+    for k in pu:
+        np.testing.assert_array_equal(pu[k], pi[k], err_msg=k)
+    for k in eu:
+        np.testing.assert_array_equal(eu[k], ei[k], err_msg=k)
+
+
 def test_real_sigterm_at_the_cli_exits_75(tmp_path):
     """Full stack: a real SIGTERM to a running `python -m saragan_tpu`
     process produces exit code 75, the INTERRUPTED line, and the .pkl."""

@@ -131,3 +131,66 @@ def test_with_spatial_sharding_noop_without_space():
     x = jnp.zeros((2, 1, 4, 4, 4))
     assert with_spatial_sharding(None, x) is x
     assert with_spatial_sharding(mesh, x) is x
+
+
+@pytest.fixture
+def x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+def test_halo_conv_f64_exactness_sp4(x64):
+    """Boundary-bug discriminator (VERDICT r3 item 4): in float64,
+    reassociation error collapses ~1e9x (eps 2.2e-16 vs 1.2e-7) while a
+    genuine halo bug (wrong neighbor slice, edge padding) injects
+    precision-INDEPENDENT O(1) value errors.  sp=4 over depth 8 — each
+    shard holds 2 slices and the radius-1 halo imports half its input,
+    the exact regime of the dp2xsp4 dryrun — must match the unsharded
+    conv to ~1e-12."""
+    mesh = make_mesh(num_data=1, num_space=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8, 8), dtype=jnp.float64)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 3, 5), dtype=jnp.float64) * 0.1
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCDHW", "DHWIO", "NCDHW"))
+    expected = jax.lax.conv_general_dilated(x, w, (1, 1, 1), "SAME", dimension_numbers=dn)
+    with jax.sharding.set_mesh(mesh):
+        got = halo_conv3d(x, w, mesh)
+    assert got.dtype == jnp.float64
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-12)
+
+
+def test_gspmd_depth_sharded_conv_grads_f64_sp4(x64):
+    """The dryrun's actual sharding path — depth-sharded batch through
+    jit/GSPMD (XLA inserts the halo exchanges) — forward AND gradients
+    (the halo transpose) at float64, dp2 x sp4, vs single device.  A halo
+    boundary bug in either direction would blow the 1e-11 tolerance by
+    ~9 orders of magnitude; reassociation cannot."""
+    from saragan_tpu.parallel.mesh import batch_sharding
+
+    mesh = make_mesh(num_data=2, num_space=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 8, 8, 8), dtype=jnp.float64)
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 3, 5), dtype=jnp.float64) * 0.1
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 3, 5, 4), dtype=jnp.float64) * 0.1
+
+    def loss(x, w1, w2):
+        dn1 = jax.lax.conv_dimension_numbers(x.shape, w1.shape, ("NCDHW", "DHWIO", "NCDHW"))
+        y = jax.lax.conv_general_dilated(x, w1, (1, 1, 1), "SAME", dimension_numbers=dn1)
+        y = jnp.where(y > 0, y, 0.2 * y)  # leaky relu between the convs
+        dn2 = jax.lax.conv_dimension_numbers(y.shape, w2.shape, ("NCDHW", "DHWIO", "NCDHW"))
+        z = jax.lax.conv_general_dilated(y, w2, (1, 1, 1), "SAME", dimension_numbers=dn2)
+        return jnp.sum(z * z), z
+
+    grad_fn = jax.jit(jax.grad(lambda *a: loss(*a)[0], argnums=(0, 1, 2)))
+    fwd_fn = jax.jit(lambda *a: loss(*a)[1])
+
+    ref_grads = grad_fn(x, w1, w2)
+    ref_fwd = fwd_fn(x, w1, w2)
+
+    xs = jax.device_put(x, batch_sharding(mesh, 5, space_axis=2))
+    ws = [jax.device_put(v, replicated_sharding(mesh)) for v in (w1, w2)]
+    got_grads = grad_fn(xs, *ws)
+    got_fwd = fwd_fn(xs, *ws)
+
+    np.testing.assert_allclose(np.asarray(got_fwd), np.asarray(ref_fwd), atol=1e-11)
+    for g, r in zip(got_grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-11)
