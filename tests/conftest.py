@@ -26,6 +26,40 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_platforms", "cpu")
 
 
+# --- smoke tier (VERDICT r3 item 8) -------------------------------------
+# `python -m pytest tests/ -m smoke -q` runs the ops/losses/step/trainer
+# essentials: ~4-6 min on the 1-core dev host (measured 386 s for the
+# module part under load), vs 44-92 min for the full suite.  Keep the set
+# small and load-bearing; the full suite remains the merge gate.
+_SMOKE_MODULES = {
+    "test_ops",              # op library vs numpy oracles + 2nd-order grads
+    "test_losses_and_step",  # WGAN-GP algebra, fused_grads/batched_passes equalities
+    "test_schedules",        # LR schedule math
+    "test_models_pgan",      # flagship model param parity
+}
+_SMOKE_TESTS = {
+    # trainer essentials without the long end-to-end files
+    "test_alpha_fades_linearly_then_zero",
+    "test_periodic_checkpoint_cadence",
+    "test_interrupt_writes_resume_checkpoint_and_resumes",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "smoke: <5-min essential subset (ops/losses/step/trainer) — "
+        "run with -m smoke; full suite stays the merge gate",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1] if item.module else ""
+        if mod in _SMOKE_MODULES or item.name.split("[")[0] in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
+
+
 @pytest.fixture
 def rng():
     import jax
