@@ -100,6 +100,24 @@ def test_stdnormal_to_8bit():
     assert out.dtype == int
 
 
+def test_fast_forward_replays_stream(datadir):
+    """fast_forward(n) lands on exactly the position n sequential draws
+    reach — the exact-resume property (a requeued run replays the
+    uninterrupted run's batch sequence, trainer.py resume block), across
+    epoch boundaries and for one-big-draw vs many-small-draws."""
+    a = NumpyPathDataset(datadir, seed=5)
+    b = NumpyPathDataset(datadir, seed=5)
+    # consume 7 batches of 4 (28 paths, crosses the 10-file epoch twice)
+    consumed = [a.batch_paths(4) for _ in range(7)]
+    b.fast_forward(7 * 4)
+    for _ in range(3):  # identical continuation
+        assert a.batch_paths(4) == b.batch_paths(4)
+    # zero is a no-op
+    c = NumpyPathDataset(datadir, seed=5)
+    c.fast_forward(0)
+    assert c.batch_paths(4) == consumed[0]
+
+
 def test_prefetcher(datadir):
     ds = NumpyPathDataset(datadir)
     pf = Prefetcher(lambda: ds.batch(2), depth=2)
