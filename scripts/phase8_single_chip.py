@@ -47,6 +47,12 @@ def main():
     n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     fused_tr = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
 
+    # persistent compile cache (round 4): the phase-8 AOT is 520 s cold
+    # through the relay; repeat probes/legs reuse the serialized executable
+    from saragan_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     from saragan_tpu.config import Config
     from saragan_tpu.models import get_architecture
     from saragan_tpu.train import init_train_state, make_train_step
