@@ -211,8 +211,39 @@ def main():
         1 for ph in per_phase_first
         if ph in per_phase_last_ema and per_phase_last_ema[ph] < per_phase_first[ph]
     )
-    print(f"phases improved: {improved}/{len(per_phase_first)}; wall {wall:.0f}s")
-    assert improved >= max(1, len(per_phase_first) - 1), "training is not converging"
+    n_phases = len(per_phase_first)
+    print(f"phases improved: {improved}/{n_phases}; wall {wall:.0f}s")
+    # Band-based gate (round 4, BASELINE.md "Seed-variance band" — the
+    # 3-seed flagship band measured small-noise regressions up to +4%
+    # and one bounded fade-disruption mode with recovery; round-3's n-1
+    # gate allowed a single regression of ANY size).  Same rule as
+    # convergence_run_flagship.py.
+    NOISE_TOL = 0.05
+    REGRESSION_CAP = 1.0
+    total_rel = 0.0
+    for ph, first in per_phase_first.items():
+        last = per_phase_last_ema.get(ph)
+        if last is None:
+            continue
+        rel = (last - first) / abs(first)
+        total_rel += rel
+        if last < first:
+            continue
+        readings = [e["FID"] for e in trajectory
+                    if e.get("suffix") == "" and e["phase"] == ph]
+        in_phase = readings[1:]
+        print(f"phase {ph} regressed {first:.2f} -> {last:.2f} "
+              f"(rel {rel:+.2f}); in-phase readings {in_phase}")
+        if rel <= NOISE_TOL:
+            continue
+        assert rel <= REGRESSION_CAP, (
+            f"phase {ph} regression {rel:+.2f} exceeds the measured seed band")
+        assert in_phase and last < min(in_phase), (
+            f"phase {ph} regressed with NO fade recovery")
+    assert improved >= (n_phases + 1) // 2, (
+        f"only {improved}/{n_phases} phases improved — not converging")
+    assert total_rel < 0, (
+        f"aggregate relative change {total_rel:+.2f} — the run did not improve")
     print("CONVERGENCE OK")
 
 
