@@ -209,14 +209,29 @@ class NumpyPathDataset:
 
     def fast_forward(self, num_paths: int):
         """Advance the deterministic shuffle stream by `num_paths` draws
-        without loading any file (list ops only).  Exact mid-phase resume
-        uses this to replay the uninterrupted run's batch sequence: the
-        trainer's restored counters say how many paths completed steps
-        consumed, so prefetch overshoot at interrupt time never shifts the
-        stream.  Drawing N paths in one call consumes the same stream
-        positions as N single draws (the buffer is strictly sequential)."""
-        if num_paths > 0:
-            self.batch_paths(num_paths)
+        without loading any file.  Exact mid-phase resume uses this to
+        replay the uninterrupted run's batch sequence: the trainer's
+        restored counters say how many paths completed steps consumed, so
+        prefetch overshoot at interrupt time never shifts the stream.
+
+        Whole skipped epochs are advanced ARITHMETICALLY (the shuffle of
+        epoch e depends only on `self._epoch`, so bumping the counter is
+        stream-exact); only the final partial epoch is materialized.  The
+        previous draw-everything form allocated an O(num_paths) path list —
+        a multi-million-entry transient for a reference-scale resume deep
+        into a phase, on a host already leak-constrained (advisor round-4
+        low finding)."""
+        if num_paths <= 0:
+            return
+        if num_paths <= len(self.samplebuffer):
+            self.samplebuffer = self.samplebuffer[num_paths:]
+            return
+        n = len(self.scratch_files)
+        assert n > 0, "fast_forward past an empty dataset"
+        remaining = num_paths - len(self.samplebuffer)
+        self._epoch += (remaining - 1) // n  # whole epochs, counter only
+        rem = (remaining - 1) % n + 1  # 1..n draws into the next epoch
+        self.samplebuffer = self._shuffled_epoch()[rem:]
 
     def batch_sharded(
         self,

@@ -438,6 +438,113 @@ def _conv3d_W_bwd(kernel, res, uw):
 _conv3d_W.defvjp(_conv3d_W_fwd, _conv3d_W_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth channel packing (SARAGAN_CONV3D=s2d)
+# ---------------------------------------------------------------------------
+#
+# The one exact conv formulation the BASELINE.md:779 lane-closure argument
+# does not cover: that argument shows no matmul reformulation can beat the
+# F/128-lane MXU ceiling "without batching output channels that do not
+# exist" — folding 2x2x2 spatial blocks into channels MANUFACTURES those
+# channels (C -> 8C contraction, F -> 8F lanes), and shrinks each spatial
+# dim 2x (the C=8 full-res tensors whose channel-on-lanes layouts XLA pads
+# 16-256x at phases 7-8 become C=64 tensors padded 2x).  The rewrite is
+# exact: conv and space-to-depth are both linear, and a SAME stride-1 conv
+# on the unfolded tensor equals a conv on the folded tensor with a
+# block-structured folded kernel (derivation in _s2d_fold_kernel).  Cost:
+# the folded kernel is 8x larger with exactly 1/8 non-zeros, so the MXU
+# does 8x the nominal madds at 8x the lane occupancy — neutral in the
+# madd-ceiling, but it trades the layout/padding walls for dense tiles.
+# Autodiff flows through reshape/transpose/einsum/conv, so first- and
+# second-order (WGAN-GP) gradients are exact (pinned in tests/test_s2d.py).
+
+
+_S2D_MAX_CIN = int(os.environ.get("SARAGAN_S2D_MAX_CIN", "16"))
+
+
+def _s2d_fold(x: jax.Array, f: int = 2) -> jax.Array:
+    """NCDHW -> (N, C*f^3, D/f, H/f, W/f); folded channel = c*f^3 +
+    (pz*f^2 + py*f + px) with p the within-block phase (phase-minor)."""
+    n, c, d, h, w = x.shape
+    x = x.reshape(n, c, d // f, f, h // f, f, w // f, f)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    return x.reshape(n, c * f**3, d // f, h // f, w // f)
+
+
+def _s2d_unfold(y: jax.Array, f: int = 2) -> jax.Array:
+    """Inverse of _s2d_fold."""
+    n, cf, db, hb, wb = y.shape
+    c = cf // f**3
+    y = y.reshape(n, c, f, f, f, db, hb, wb)
+    y = y.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+    return y.reshape(n, c, db * f, hb * f, wb * f)
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_expansion(k: int, f: int) -> tuple:
+    """Per-dim folded-kernel expansion tensor E and folded padding.
+
+    1D derivation (pad = k//2): the SAME conv reads, for output z = f*zb+p,
+    input x[f*zb + p + dz - pad].  Writing p + dz - pad = f*q + r with
+    r in [0,f) gives the folded tap index q = floor((p+dz-pad)/f), so
+    E[j, p, r, dz] = 1  iff  dz == f*(j+q_min) + r - p + pad,
+    with q in [q_min, q_max] spanning every (p, dz) pair.  The folded conv
+    then needs explicit padding (-q_min, q_max) zero blocks — exact,
+    because an all-zero folded block is the fold of f original zero rows
+    (the SAME padding the unfolded conv sees)."""
+    pad = k // 2
+    vals = [p + dz - pad for p in range(f) for dz in range(k)]
+    q_min = min(v // f for v in vals)
+    q_max = max(v // f for v in vals)
+    kq = q_max - q_min + 1
+    e = np.zeros((kq, f, f, k), np.float32)
+    for j in range(kq):
+        for p in range(f):
+            for r in range(f):
+                dz = f * (j + q_min) + r - p + pad
+                if 0 <= dz < k:
+                    e[j, p, r, dz] = 1.0
+    return e, (-q_min, q_max)
+
+
+def _s2d_fold_weight(w: jax.Array, f: int = 2):
+    """(kd,kh,kw,C,F) -> folded (kqd,kqh,kqw, C*f^3, F*f^3) + padding."""
+    kd, kh, kw, c, fo = w.shape
+    ed, pad_d = _s2d_expansion(kd, f)
+    eh, pad_h = _s2d_expansion(kh, f)
+    ew, pad_w = _s2d_expansion(kw, f)
+    wf = jnp.einsum(
+        "aprd,bqse,gtuh,dehio->abgirsuopqt",
+        jnp.asarray(ed, w.dtype), jnp.asarray(eh, w.dtype),
+        jnp.asarray(ew, w.dtype), w,
+    )
+    wf = wf.reshape(ed.shape[0], eh.shape[0], ew.shape[0], c * f**3, fo * f**3)
+    return wf, (pad_d, pad_h, pad_w)
+
+
+def _conv3d_s2d(x: jax.Array, w: jax.Array, f: int = 2) -> jax.Array:
+    """conv(x, w) == unfold(conv_folded(fold(x), fold_weight(w))), exact."""
+    xf = _s2d_fold(x, f)
+    wf, pads = _s2d_fold_weight(w, f)
+    y = lax.conv_general_dilated(
+        xf,
+        wf,
+        window_strides=(1, 1, 1),
+        padding=list(pads),
+        dimension_numbers=_conv_dimension_numbers(3),
+        preferred_element_type=x.dtype,
+    )
+    return _s2d_unfold(y, f)
+
+
+def _s2d_applicable(x: jax.Array, w: jax.Array) -> bool:
+    return (
+        w.shape[0] * w.shape[1] * w.shape[2] > 1  # 1x1x1 gains nothing
+        and x.shape[1] <= _S2D_MAX_CIN  # folded C fits 128 lanes
+        and all(s % 2 == 0 for s in x.shape[2:])  # even spatial dims
+    )
+
+
 def conv_apply(x: jax.Array, w: jax.Array) -> jax.Array:
     """SAME stride-1 conv on explicit weights, algorithm-selected."""
     spatial_rank = x.ndim - 2
@@ -447,6 +554,8 @@ def conv_apply(x: jax.Array, w: jax.Array) -> jax.Array:
         return _conv3d_C(x, w)
     if spatial_rank == 3 and CONV3D_ALGORITHM == "hybrid" and w.shape[0] * w.shape[1] * w.shape[2] > 1:
         return _conv3d_hybrid(x, w)
+    if spatial_rank == 3 and CONV3D_ALGORITHM == "s2d" and _s2d_applicable(x, w):
+        return _conv3d_s2d(x, w)
     return _conv_direct(x, w)
 
 

@@ -339,9 +339,20 @@ class Trainer:
     def _seed_finite_checkpoint(self, path: str, phase: int):
         """Seed the divergence rewind hint + prune protection from a resume
         point.  `phase` is the phase the checkpoint restores INTO (the
-        --starting_phase the hint must name — see TrainingDiverged)."""
+        --starting_phase the hint must name — see TrainingDiverged).
+
+        Also seeds _last_checkpoint: the first post-resume finite summary
+        executes `_last_finite_checkpoint = _last_checkpoint`, and before the
+        first in-process cadence save that was None — so a finite-then-
+        diverge sequence after resume (the common divergence shape) would
+        CLOBBER this hint back to None and drop the resume point from the
+        prune `protect` set (advisor round-4 medium finding).  The restored
+        params derive from this checkpoint, so a later finite summary
+        legitimately re-confirms it."""
         self._last_finite_checkpoint = path
         self._last_finite_checkpoint_phase = phase
+        self._last_checkpoint = path
+        self._last_checkpoint_phase = phase
 
     def _supersede_consumed_interrupt(self):
         """A newer full-state save just landed: the _interrupt.pkl an
@@ -537,7 +548,6 @@ class Trainer:
                 static_alpha=0.0,
             )
         batch_ndim = len(cfg.current_shape(phase, batch_size))
-        step_count = 0
         # spatial (halo) sharding of the depth axis — and H on 'space2' when
         # the mesh carries that axis — for huge phases (§5.7)
         space_axis = (
@@ -746,7 +756,13 @@ class Trainer:
                     jax.profiler.start_trace(cfg.profile_dir)
 
                 k = jax.random.fold_in(step_base, 2 * local_step)
-                use_gp = lazy_k == 1 or (step_count % lazy_k == 0)
+                # lazy-GP cadence keyed on the step index DERIVED from
+                # local_step (increments 1:1 with steps and rides
+                # full_state_counters), so a preemption+resume with
+                # cfg.lazy_gp > 1 keeps the GP application phase aligned
+                # with the uninterrupted run (advisor round-4 low finding:
+                # a loop-local counter reset to 0 on resume shifted it).
+                use_gp = lazy_k == 1 or ((local_step // batch_size) % lazy_k == 0)
                 want_hists = (
                     (small_summary_bool or large_summary_bool)
                     and self.verbose
@@ -758,7 +774,6 @@ class Trainer:
                     step_fn = jit_mixing if mixing_bool else jit_stab
                 else:
                     step_fn = jit_mixing_nogp if mixing_bool else jit_stab_nogp
-                step_count += 1
                 state, metrics = step_fn(state, batch, k, alpha, g_lr_val, d_lr_val)
 
                 if profile_steps and step_idx == profile_steps[1] and phase == cfg.starting_phase:

@@ -117,6 +117,26 @@ def test_fast_forward_replays_stream(datadir):
     c.fast_forward(0)
     assert c.batch_paths(4) == consumed[0]
 
+    # deep skip: whole epochs are advanced arithmetically (advisor round-4
+    # low finding — the old form materialized the entire skipped stream);
+    # position must still match sequential draws exactly
+    deep = 10 * 397 + 3  # many epochs + a partial one (10-file dataset)
+    d1 = NumpyPathDataset(datadir, seed=5)
+    d2 = NumpyPathDataset(datadir, seed=5)
+    seq = []
+    while len(seq) < deep:
+        seq.extend(d1.batch_paths(4))
+    d1.samplebuffer = seq[deep:] + d1.samplebuffer  # rewind overshoot
+    d2.fast_forward(deep)
+    for _ in range(4):
+        assert d1.batch_paths(4) == d2.batch_paths(4)
+    # exact-epoch-boundary skip (buffer consumed to exactly empty)
+    e1 = NumpyPathDataset(datadir, seed=5)
+    e2 = NumpyPathDataset(datadir, seed=5)
+    e1.batch_paths(10)  # one full epoch
+    e2.fast_forward(10)
+    assert e1.batch_paths(4) == e2.batch_paths(4)
+
 
 def test_prefetcher(datadir):
     ds = NumpyPathDataset(datadir)

@@ -563,7 +563,63 @@ def test_diverged_right_after_resume_still_hints(tmp_path):
     assert all(np.all(np.isfinite(np.asarray(v))) for v in good.values())
 
 
-def test_preempted_resume_end_state_equals_uninterrupted(tmp_path):
+def test_finite_then_diverge_after_resume_keeps_hint(tmp_path):
+    """Advisor round-4 MEDIUM finding: after a resume, the FIRST finite
+    summary executed `_last_finite_checkpoint = _last_checkpoint`, and
+    _last_checkpoint was still None until the first in-process cadence save
+    — so a finite-then-diverge sequence (the common divergence shape)
+    clobbered the seeded hint back to None and dropped the resume point
+    from the prune protect set.  _seed_finite_checkpoint now seeds
+    _last_checkpoint too: a later finite summary re-confirms the resume
+    point instead of erasing it."""
+    from saragan_tpu.data.dataset import NumpyPathDataset
+    from saragan_tpu.train.trainer import TrainingDiverged
+
+    make_data(tmp_path / "data")
+    kw = dict(mixing_nimg=24, stabilizing_nimg=24, auto_resume=True,
+              abort_on_nonfinite=True, summary_small_every_nsteps=8,
+              metrics_every_nsteps=8, calc_metrics=True,
+              validation_fraction=0.0, test_fraction=0.0)
+
+    cfg = tiny_cfg(tmp_path, **kw)
+    tr = Trainer(cfg, verbose=False)
+
+    def cb(trainer, sampler, ds, global_step, suffix):
+        if trainer._interrupt is None:
+            trainer._interrupt = signal.SIGTERM
+        return {}
+
+    tr.metrics_callback = cb
+    with pytest.raises(TrainingInterrupted):
+        tr.run()
+
+    # requeue against data that is finite for the first post-resume summary
+    # (exercising the clobbering branch) and NaN afterwards
+    class NaNAfter(NumpyPathDataset):
+        draws = 0
+
+        def batch(self, batch_size, auto_repeat=True, verbose=False):
+            b = super().batch(batch_size, auto_repeat, verbose)
+            NaNAfter.draws += 1
+            return np.full_like(b, np.nan) if NaNAfter.draws > 2 else b
+
+    cfg2 = tiny_cfg(tmp_path, **kw)
+    factory = lambda phase: NaNAfter(str(tmp_path / "data" / "4x4"))
+    tr2 = Trainer(cfg2, verbose=False, prefetch=False, dataset_factory=factory)
+    assert cfg2.continue_path and cfg2.continue_path.endswith("_interrupt.pkl")
+    with pytest.raises(TrainingDiverged) as e2:
+        tr2.run()
+    exc = e2.value
+    # no in-process cadence save happened (checkpoint_every_nsteps huge):
+    # the hint must still name the known-finite resume-point npz
+    assert exc.last_checkpoint, str(exc)
+    assert exc.last_checkpoint.endswith(".npz")
+    assert os.path.isfile(exc.last_checkpoint)
+    assert exc.checkpoint_phase == 1
+
+
+@pytest.mark.parametrize("lazy_gp", [1, 2])
+def test_preempted_resume_end_state_equals_uninterrupted(tmp_path, lazy_gp):
     """The preemption loop's strongest property (VERDICT r3 item 7): a
     preempted-then-requeued run ends BITWISE-IDENTICAL to an uninterrupted
     one.  Three ingredients make it hold: full-state resume (params +
@@ -571,12 +627,17 @@ def test_preempted_resume_end_state_equals_uninterrupted(tmp_path):
     (resume-invariant — a sequential split carry would replay from the
     phase start), and dataset fast_forward (the shared shuffle stream
     resumes at the position completed steps consumed, prefetch overshoot
-    excluded)."""
+    excluded).
+
+    lazy_gp=2 additionally pins the GP-application cadence across a resume
+    (advisor round-4 low finding: a loop-local step counter reset to 0 on
+    resume and shifted the every-k-th-step GP phase; the cadence now
+    derives from the persisted local_step)."""
     from saragan_tpu.train import checkpoint as ckpt
 
     make_data(tmp_path / "data")
     base = dict(mixing_nimg=24, stabilizing_nimg=24,
-                metrics_every_nsteps=8, calc_metrics=True)
+                metrics_every_nsteps=8, calc_metrics=True, lazy_gp=lazy_gp)
 
     def noop_cb(trainer, sampler, ds, global_step, suffix):
         return {}

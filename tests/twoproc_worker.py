@@ -32,11 +32,24 @@ def main():
     coordinator, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     force_cpu()
+    import time as _t
+
     import jax
+
+    # per-scenario progress markers: on a fixture timeout the pytest parent
+    # reads this file and reports WHICH scenario was in flight instead of
+    # erroring all consumers opaquely (advisor/VERDICT r4: de-flake)
+    progress_path = os.path.join(outdir, f"progress_{pid}.txt")
+    _t0 = _t.time()
+
+    def mark(scenario):
+        with open(progress_path, "a") as f:
+            f.write(f"{scenario} @ {_t.time() - _t0:.1f}s\n")
 
     jax.distributed.initialize(
         coordinator_address=coordinator, num_processes=2, process_id=pid
     )
+    mark("distributed_init")
     import numpy as np
 
     assert jax.process_count() == 2
@@ -56,6 +69,7 @@ def main():
     results["bcast_json"] = broadcast_json(
         {"lr": 1e-3, "opt": "Adam"} if pid == 0 else None
     )
+    mark("broadcast_primitives")
 
     # --- batch_sharded exactly-once interleaving ----------------------
     from saragan_tpu.data.dataset import NumpyPathDataset
@@ -79,6 +93,7 @@ def main():
         b = ds.batch_sharded(2, 2, pid)
         drawn.extend(int(v) for v in b[:, 0, 0, 0, 0])
     results["sharded_ids"] = drawn
+    mark("batch_sharded")
 
     # --- shard_global_batch via make_array_from_process_local_data ----
     from saragan_tpu.parallel import make_mesh, shard_global_batch
@@ -93,6 +108,7 @@ def main():
         out_shardings=jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
     )(arr)
     results["global_sum"] = float(s)  # 0*32 + 1*32 = 32
+    mark("shard_global_batch")
 
     # --- SynchronizedTrial lockstep prune ------------------------------
     class PruneAtThird:
@@ -128,19 +144,24 @@ def main():
     results["pruned_at"] = pruned_at
     # a no-trial run resolves to None on every process
     results["none_trial"] = synchronized_trial(None) is None
+    mark("synchronized_trial")
 
     # --- intra-trial HPO harness end-to-end ----------------------------
     results["harness"] = harness_e2e(outdir, pid)
+    mark("harness_e2e")
 
     # --- full 2-process Trainer run (real distributed training) --------
     results["trainer"] = trainer_e2e(outdir, pid)
+    mark("trainer_e2e_dp")
 
     # --- dp x sp: spatial halo sharding in a multi-process run ----------
     results["trainer_sp"] = trainer_e2e(outdir, pid, num_space=2,
                                         tag="sp")
+    mark("trainer_e2e_sp")
 
     with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
         json.dump(results, f)
+    mark("done")
     print(f"proc {pid} OK")
 
 
