@@ -72,6 +72,8 @@ BENCH_FLOPS = {
     "phase6_stabilizing_b8": 3.419050868736e12,
     "phase7_stabilizing_b1": 9.67618789376e11,
     "serving_b8": 1.52560205824e11,
+    "serving_b32": None,  # filled by scripts/compute_flops.py (round 5)
+    "phase8_stabilizing_b1": None,  # single_chip_big_volume program
 }
 
 # bf16 peak TFLOP/s per chip by device kind (MFU denominator).  The 12.5%
@@ -122,6 +124,10 @@ def measure_step(arch, cfg, phase: int, batch: int, shape, static_alpha, n_steps
     from saragan_tpu.parallel.mesh import aot_with_options, resolve_compiler_options
     from saragan_tpu.train import init_train_state, make_train_step
 
+    # the trainer's op-formulation gates (round 5: s2d conv default on TPU,
+    # +9% at this shape / +73% at phase 7 — BASELINE.md round-5 table);
+    # bench measures what the trainer actually runs
+    cfg.apply_runtime_opts()
     state, (g_opt, d_opt) = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
     # the trainer's default per-compile options (auto scoped-VMEM, ~+6.5%
     # measured — Config.scoped_vmem_kib docs); bench measures what the
@@ -168,6 +174,7 @@ def measure_sampling(cfg, phase: int, batch: int, shape, n_iters: int):
     from saragan_tpu.train import init_train_state
     from saragan_tpu.train.step import split_params
 
+    cfg.apply_runtime_opts()  # same engine the serving tools trace with
     arch = get_architecture(cfg.architecture)
     state, _ = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
     g_ema, _ = split_params(state.ema)
@@ -188,6 +195,66 @@ def _mfu(flops, ms, peak):
     if not flops or not ms or not peak:
         return None
     return round(flops / (ms / 1e3) / peak, 5)
+
+
+def measure_phase8_step(arch, n_steps: int):
+    """ms/step for the phase-8 single-chip program: the
+    --single_chip_big_volume preset exactly as scripts/phase8_single_chip.py
+    runs it (remat_offload, Pallas conv, compute-dtype stats, window pool,
+    batched_passes/fused_transitions off, 64 MB scoped VMEM)."""
+    from saragan_tpu.config import Config
+    from saragan_tpu.ops import core as ops_core
+    from saragan_tpu.train import init_train_state, make_train_step
+
+    cfg = Config(
+        architecture="pgan",
+        start_shape="(1, 1, 4, 4)",
+        final_shape="(1, 256, 1024, 1024)",  # doubling extended one level
+        latent_dim=256,
+        base_batch_size=2 ** 7,  # batch 1 at phase 8
+        network_size="xs",
+        loss_fn="wgan",
+        gp_weight=10.0,
+        noise_stddev=0.0,
+        adam_beta1=0.0,
+        adam_beta2=0.9,
+        g_lr=1e-3,
+        d_lr=1e-3,
+        compute_dtype="bfloat16",
+        fused_grads=True,
+        single_chip_big_volume=True,
+    ).finalize()
+    defaults = (ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32,
+                ops_core.CONV3D_ALGORITHM)
+    cfg.apply_runtime_opts()  # preset op gates (env vars keep precedence)
+    try:
+        state, (g_opt, d_opt) = init_train_state(
+            arch, jax.random.PRNGKey(0), phase=8, cfg=cfg)
+        step = jax.jit(
+            make_train_step(arch, cfg, 8, g_opt, d_opt, static_alpha=0.0),
+            donate_argnums=(0,),
+        ).lower(
+            state,
+            jax.ShapeDtypeStruct((1, 1, 128, 512, 512), np.dtype("float32")),
+            jax.random.PRNGKey(1), 0.0, 1e-3, 1e-3,
+        ).compile(compiler_options={
+            "xla_tpu_scoped_vmem_limit_kib": str(cfg.scoped_vmem_kib)})
+    finally:
+        (ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32,
+         ops_core.CONV3D_ALGORITHM) = defaults
+
+    real = jax.device_put(
+        np.random.default_rng(0).normal(size=(1, 1, 128, 512, 512))
+        .astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+    state, metrics = step(state, real, rng, 0.0, 1e-3, 1e-3)
+    _ = float(metrics.gen_loss)  # warmup barrier (relay rules)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, real, k, 0.0, 1e-3, 1e-3)
+    _ = float(metrics.gen_loss)
+    return (time.perf_counter() - t0) / n_steps * 1e3
 
 
 def main():
@@ -239,6 +306,17 @@ def main():
         detail["serving_volumes_per_sec"] = round(8 / (ms_gen / 1e3), 3)
         detail["serving_mfu"] = _mfu(BENCH_FLOPS.get("serving_b8"), ms_gen, peak)
 
+    # --- serving bulk optimum: batch-32 bucket (VERDICT r4 item 8 — the
+    # measured +54% throughput point, docs/PERFORMANCE.md batch curve) ---
+    if over_budget():
+        detail["serving_b32_note"] = "skipped (SARAGAN_BENCH_BUDGET_S exceeded)"
+    else:
+        ms_b32 = measure_sampling(cfg6, 6, 32, (32, 128, 128), 20)
+        detail["serving_b32_ms_per_batch"] = round(ms_b32, 1)
+        detail["serving_b32_volumes_per_sec"] = round(32 / (ms_b32 / 1e3), 3)
+        detail["serving_b32_mfu"] = _mfu(
+            BENCH_FLOPS.get("serving_b32"), ms_b32, peak)
+
     # --- phase 7 (64x256x256), batch 1: big-volume regression guard ---
     if over_budget():
         detail["phase7_note"] = "skipped (SARAGAN_BENCH_BUDGET_S exceeded)"
@@ -249,6 +327,22 @@ def main():
         detail["phase7_volumes_per_sec"] = round(1 / (ms_p7 / 1e3), 3)
         detail["phase7_mfu"] = _mfu(
             BENCH_FLOPS.get("phase7_stabilizing_b1"), ms_p7, peak)
+
+    # --- phase 8 (128x512x512), batch 1: the single_chip_big_volume
+    # program, now with a FLOPs denominator (VERDICT r4 item 1c).  Probed
+    # LAST: its cold AOT is ~520 s through the relay (28 s warm via the
+    # compile cache), so an expired budget costs only this line. ---
+    if over_budget():
+        detail["phase8_note"] = "skipped (SARAGAN_BENCH_BUDGET_S exceeded)"
+    else:
+        try:
+            ms_p8 = measure_phase8_step(arch, 10)
+            detail["phase8_128x512x512_b1_ms_per_step"] = round(ms_p8, 1)
+            detail["phase8_volumes_per_sec"] = round(1 / (ms_p8 / 1e3), 3)
+            detail["phase8_mfu"] = _mfu(
+                BENCH_FLOPS.get("phase8_stabilizing_b1"), ms_p8, peak)
+        except Exception as e:  # a phase-8 probe failure must not kill the bench
+            detail["phase8_note"] = f"failed: {type(e).__name__}: {e}"[:300]
 
     detail["elapsed_s"] = round(time.time() - t_start, 1)
     full = dict(headline)

@@ -227,6 +227,10 @@ def build_parser() -> argparse.ArgumentParser:
     # HPO
     p.add_argument("--optuna_distributed", default=False, action="store_true")
     p.add_argument("--optuna_ntrials", default=None, type=none_or_int)
+    p.add_argument("--hpo_seeds", default=1, type=int,
+                   help="Seeds per trial; >1 reports the median objective over "
+                        "reseeded runs (single-seed rankings are draw noise at "
+                        "short budgets — see BASELINE.md seed-band tables)")
     p.add_argument("--optuna_walltime", default=None, type=none_or_float,
                    help="With --optuna_ntrials None, keep starting trials until this "
                         "many seconds have elapsed (reference main.py:199-205 walltime loop)")

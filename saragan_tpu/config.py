@@ -166,6 +166,14 @@ class Config:
     # --- HPO (reference main.py:343-354) ---
     optuna_distributed: bool = False
     optuna_ntrials: Optional[int] = None
+    # Variance-aware objectives (round-5): train each trial's config under
+    # k seeds and report the MEDIAN objective.  The round-4 NAS head-to-head
+    # measured per-arch seed variance at ~7x the architecture effect size
+    # (docs/evidence/nas_headtohead_r4.json), so single-seed sweep rankings
+    # are mostly draw noise; k>=2 makes the value the sampler optimizes a
+    # seed-robust statistic.  Pruning rides the FIRST seed's trajectory;
+    # per-seed values land in trial.user_attrs["seed_values"].
+    hpo_seeds: int = 1
     # ntrials=None runs trials until walltime (reference main.py:199-205 reads
     # the remaining SLURM budget; here it's an explicit bound in seconds)
     optuna_walltime: Optional[float] = None
@@ -449,7 +457,7 @@ class Config:
                 c.scoped_vmem_kib = 65536
         return c
 
-    def apply_runtime_opts(self) -> None:
+    def apply_runtime_opts(self, spatial: bool = False) -> None:
         """Apply the config's op-formulation choices to the process-wide op
         gates (saragan_tpu.ops.core module globals, read at trace time).
 
@@ -458,6 +466,16 @@ class Config:
         table).  Explicit SARAGAN_* environment variables keep precedence —
         they are the documented low-level override surface.  Call before any
         model trace (the Trainer does this in __init__).
+
+        Default conv engine on a TPU backend (round 5): **s2d** —
+        space-to-depth channel packing for the skinny-channel convs, an
+        exact rewrite measured +9% at the phase-6 bench shape and +73% at
+        phase 7 vs XLA's direct conv (BASELINE.md round-5 table;
+        bit-identical losses, f64 oracles in tests/test_s2d.py).  Not used
+        when `spatial` (a depth/height-sharded mesh): the fold's D->(D/2,2)
+        reshape would force cross-shard resharding per conv — pass the
+        mesh's spatial-ness from the Trainer.  CPU backends keep direct
+        (tests pin oracle numerics there).
 
         The gates are set BOTH ways: a non-preset config restores the
         env-derived defaults, so sequential Trainers in one process (HPO
@@ -474,4 +492,15 @@ class Config:
         stats = os.environ.get("SARAGAN_STATS_DTYPE")
         ops_core.STATS_ACCUM_F32 = (stats != "compute") if stats is not None else not preset
         conv = os.environ.get("SARAGAN_CONV3D")
-        ops_core.CONV3D_ALGORITHM = conv if conv is not None else ("pallas" if preset else "direct")
+        if conv is None:
+            if preset:
+                conv = "pallas"
+            else:
+                try:
+                    import jax
+
+                    on_tpu = jax.default_backend() not in ("cpu",)
+                except Exception:
+                    on_tpu = False
+                conv = "s2d" if (on_tpu and not spatial) else "direct"
+        ops_core.CONV3D_ALGORITHM = conv

@@ -66,8 +66,13 @@ class _Storage:
                 c.execute(
                     "CREATE TABLE IF NOT EXISTS trials ("
                     "id INTEGER PRIMARY KEY AUTOINCREMENT, study TEXT, state TEXT,"
-                    "params TEXT, dists TEXT, value TEXT, intermediate TEXT, ts REAL)"
+                    "params TEXT, dists TEXT, value TEXT, intermediate TEXT, ts REAL,"
+                    "user_attrs TEXT DEFAULT '{}')"
                 )
+                try:  # migrate pre-round-5 DBs (no user_attrs column)
+                    c.execute("ALTER TABLE trials ADD COLUMN user_attrs TEXT DEFAULT '{}'")
+                except sqlite3.OperationalError:
+                    pass  # column already exists
                 c.execute(
                     "CREATE TABLE IF NOT EXISTS studies ("
                     "study TEXT PRIMARY KEY, directions TEXT)"
@@ -101,7 +106,8 @@ class _Storage:
     def create_trial(self) -> int:
         if self.path is None:
             self._mem.append(
-                {"state": RUNNING, "params": {}, "dists": {}, "value": None, "intermediate": {}}
+                {"state": RUNNING, "params": {}, "dists": {}, "value": None,
+                 "intermediate": {}, "user_attrs": {}}
             )
             return len(self._mem) - 1
         with self._conn() as c:
@@ -119,7 +125,11 @@ class _Storage:
         sets, vals = [], []
         for k, v in fields.items():
             sets.append(f"{k} = ?")
-            vals.append(json.dumps(v) if k in ("params", "dists", "value", "intermediate") else v)
+            vals.append(
+                json.dumps(v)
+                if k in ("params", "dists", "value", "intermediate", "user_attrs")
+                else v
+            )
         vals.extend([self.study_name, number + 1])
         with self._conn() as c:
             c.execute(f"UPDATE trials SET {', '.join(sets)} WHERE study = ? AND id = ?", vals)
@@ -129,8 +139,8 @@ class _Storage:
             return [dict(t, number=i) for i, t in enumerate(self._mem)]
         with self._conn() as c:
             rows = c.execute(
-                "SELECT id, state, params, dists, value, intermediate FROM trials"
-                " WHERE study = ? ORDER BY id",
+                "SELECT id, state, params, dists, value, intermediate, user_attrs"
+                " FROM trials WHERE study = ? ORDER BY id",
                 (self.study_name,),
             ).fetchall()
         return [
@@ -141,6 +151,7 @@ class _Storage:
                 "dists": json.loads(r[3]),
                 "value": json.loads(r[4]),
                 "intermediate": {int(k): v for k, v in json.loads(r[5]).items()},
+                "user_attrs": json.loads(r[6] or "{}"),
             }
             for r in rows
         ]
@@ -160,6 +171,7 @@ class FrozenTrial:
     values: Optional[List[float]] = None
     intermediate_values: Dict[int, float] = field(default_factory=dict)
     dists: Dict[str, tuple] = field(default_factory=dict)
+    user_attrs: Dict[str, Any] = field(default_factory=dict)
 
     @property
     def last_step(self):
@@ -184,6 +196,7 @@ def _freeze(raw: dict) -> FrozenTrial:
         values=values,
         intermediate_values=raw.get("intermediate", {}),
         dists=raw.get("dists", {}),
+        user_attrs=raw.get("user_attrs", {}),
     )
 
 
@@ -194,6 +207,7 @@ class Trial:
         self.params: Dict[str, Any] = {}
         self._dists: Dict[str, tuple] = {}
         self._intermediate: Dict[int, float] = {}
+        self.user_attrs: Dict[str, Any] = {}
 
     # -- suggest API ---------------------------------------------------
 
@@ -237,6 +251,12 @@ class Trial:
     def report(self, value: float, step: int):
         self._intermediate[int(step)] = float(value)
         self.study._storage.update_trial(self.number, intermediate=self._intermediate)
+
+    def set_user_attr(self, key: str, value):
+        """Attach a JSON-serializable annotation (Optuna API); round-5 use:
+        per-seed objective values under the k-seed option."""
+        self.user_attrs[key] = value
+        self.study._storage.update_trial(self.number, user_attrs=self.user_attrs)
 
     def should_prune(self) -> bool:
         return self.study.pruner.prune(self.study, self._frozen())

@@ -185,15 +185,49 @@ def default_objective(trial, cfg: Config):
 
         mesh = make_mesh(num_data=cfg.num_data_shards, num_space=cfg.num_space_shards,
                          num_space2=cfg.num_space2_shards)
-    metrics_cb = make_metrics_callback(cfg) if cfg.calc_metrics else None
+
+    def run_once(run_cfg, run_trial):
+        metrics_cb = make_metrics_callback(run_cfg) if run_cfg.calc_metrics else None
+        trainer = Trainer(run_cfg, mesh=mesh, metrics_callback=metrics_cb,
+                          trial=run_trial,
+                          verbose=(worker_id() == 0 or run_cfg.optuna_distributed))
+        try:
+            return trainer.run()
+        except TrainerPruned:
+            raise hpo.TrialPruned()
 
     start = time.time()
-    trainer = Trainer(cfg, mesh=mesh, metrics_callback=metrics_cb, trial=trial,
-                      verbose=(worker_id() == 0 or cfg.optuna_distributed))
-    try:
-        fid = trainer.run()
-    except TrainerPruned:
-        raise hpo.TrialPruned()
+    k = int(getattr(cfg, "hpo_seeds", 1) or 1)
+    if trial is None or k <= 1:
+        fid = run_once(cfg, trial)
+    else:
+        # Variance-aware objective (VERDICT r4 item 3): the round-4 NAS
+        # head-to-head measured per-config seed variance at ~7x the
+        # architecture effect size, so a single-seed value is mostly draw
+        # noise.  Train the SAME sampled config under k seeds and hand the
+        # sampler the MEDIAN; pruning rides the first seed's trajectory
+        # (reports/should_prune), later seeds train uninterrupted.
+        import dataclasses
+        import statistics
+
+        vals = []
+        for j in range(k):
+            run_cfg = dataclasses.replace(
+                cfg,
+                seed=cfg.seed + 7919 * j,  # prime stride: disjoint streams
+                logdir=os.path.join(cfg.logdir or "runs", f"seed{j}") if k > 1 else cfg.logdir,
+            )
+            vals.append(run_once(run_cfg, trial if j == 0 else None))
+        if any(v is None for v in vals):
+            # no objective computed (calc_metrics off) — mirror the
+            # single-seed behavior instead of crashing on float(None)
+            fid = None
+        else:
+            vals = [float(v) for v in vals]
+            fid = statistics.median(vals)
+            if hasattr(trial, "set_user_attr"):
+                trial.set_user_attr("seed_values", vals)
+                trial.set_user_attr("seed_spread", max(vals) - min(vals))
     if is_multi_objective(cfg):
         return fid, time.time() - start
     return fid

@@ -45,6 +45,7 @@ def make_volume_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: flo
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fused_transitions=True, use_pallas_fusion=True)
+    cfg.apply_runtime_opts()  # round 5: s2d conv default on TPU
     arch = get_architecture(cfg.architecture)
 
     @jax.jit
@@ -77,6 +78,10 @@ def make_keyed_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: floa
     axon relay serving path is dominated by the volume fetch, BASELINE.md).
     Non-exact (~3 decimal digits at the normalized scale); None = exact.
 
+    Applies the config's op-formulation gates before tracing (round 5:
+    the s2d conv engine is the TPU default — same program the Trainer and
+    bench compile).
+
     `mesh` (a 1-axis `jax.sharding.Mesh`) data-parallelizes the sampler:
     params replicate, the (seeds, idxs) batch and the output shard over the
     mesh axis — per-sample keying makes every row's computation independent,
@@ -88,6 +93,7 @@ def make_keyed_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: floa
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fused_transitions=True, use_pallas_fusion=True)
+    cfg.apply_runtime_opts()  # round 5: s2d conv default on TPU
     arch = get_architecture(cfg.architecture)
 
     def gen_fn(params, seeds, idxs):

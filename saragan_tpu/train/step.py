@@ -145,7 +145,14 @@ def make_train_step(
     ignored.  The reference keeps these branches in its static TF graph for
     the whole phase (optuna_objective.py:446-453).
     """
-    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16,
+        # float64 is a DIAGNOSTIC mode (requires jax_enable_x64): the f64
+        # cross-shard trajectory probes in dryrun_multichip and
+        # scripts/diag_sp4_drift.py use it to collapse reassociation chaos
+        # ~1e9x so only genuine sharding bugs remain visible
+        "float64": jnp.float64,
+    }.get(cfg.compute_dtype, jnp.float32)
     frozen = frozen_names if freeze else frozenset()
     # StyleGAN2-style lazy regularization: GP applied every k-th step with
     # k-scaled weight (cfg.lazy_gp; 1 = the reference's every-step GP)

@@ -145,9 +145,14 @@ class Trainer:
             built-in harness and real Optuna satisfy this.
         """
         self.cfg = cfg
-        # op-formulation gates (single-chip big-volume preset) must be set
-        # before ANY trace — model init included
-        cfg.apply_runtime_opts()
+        # op-formulation gates (single-chip big-volume preset; s2d default
+        # on TPU) must be set before ANY trace — model init included.
+        # spatial=True on a depth/height-sharded mesh keeps the direct conv
+        # (the s2d fold's reshape would reshard every conv).
+        cfg.apply_runtime_opts(
+            spatial=(mesh is not None
+                     and (mesh.shape.get("space", 1) > 1
+                          or mesh.shape.get("space2", 1) > 1)))
         # per-compile options reach a relayed remote compiler where env
         # flags cannot (BASELINE.md); resolve_compiler_options owns the
         # TPU-only gating, same as bench.py and the serving sampler

@@ -94,11 +94,54 @@ def main(tiny: bool = False):
         "phase6_stabilizing_b8": program_flops(cfg6, 6, 8, (32, 128, 128), 0.0),
         "phase7_stabilizing_b1": program_flops(cfg7, 7, 1, (64, 256, 256), 0.0),
         "serving_b8": sampler_flops(cfg6, 6, 8),
+        # serving bulk optimum (VERDICT r4 item 8): the batch-32 bucket is
+        # the measured +54% throughput point (docs/PERFORMANCE.md)
+        "serving_b32": sampler_flops(cfg6, 6, 32),
     }
+    if "with_phase8" in sys.argv[1:]:
+        out["phase8_stabilizing_b1"] = phase8_flops()
     for k, v in out.items():
         print(json.dumps({k: v}), flush=True)
     print(json.dumps(out))
     return out
+
+
+def phase8_flops():
+    """Per-step FLOPs of the phase-8 single-chip program (VERDICT r4 item
+    1c): the --single_chip_big_volume preset (remat_offload ON — recompute
+    FLOPs are real and counted; batched_passes/fused_transitions OFF;
+    compute-dtype stats; window pool), counted with the DIRECT conv engine
+    on CPU.  The TPU preset runs SARAGAN_CONV3D=pallas, but conv FLOPs are
+    op-shape properties and the Pallas kernel computes the same contraction
+    — the direct-engine HLO is the honest denominator for its math."""
+    from saragan_tpu.config import Config
+    from saragan_tpu.ops import core as ops_core
+
+    cfg = Config(
+        architecture="pgan",
+        start_shape="(1, 1, 4, 4)",
+        final_shape="(1, 256, 1024, 1024)",  # doubling extended one level
+        latent_dim=256,
+        base_batch_size=2 ** 7,  # batch 1 at phase 8
+        network_size="xs",
+        loss_fn="wgan",
+        gp_weight=10.0,
+        noise_stddev=0.0,
+        adam_beta1=0.0,
+        adam_beta2=0.9,
+        g_lr=1e-3,
+        d_lr=1e-3,
+        compute_dtype="bfloat16",
+        fused_grads=True,
+        single_chip_big_volume=True,
+    ).finalize()
+    cfg.apply_runtime_opts()
+    ops_core.CONV3D_ALGORITHM = "direct"  # countable on the CPU backend
+    try:
+        return program_flops(cfg, 8, 1, (128, 512, 512), 0.0)
+    finally:
+        ops_core.POOL_WINDOW = False
+        ops_core.STATS_ACCUM_F32 = True
 
 
 if __name__ == "__main__":

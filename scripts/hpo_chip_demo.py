@@ -12,7 +12,13 @@ does (main.py:44,139-143) and report the Pareto front.  Single-objective
 runs assert the sampler's best beats the median; multi-objective runs
 assert a non-vacuous front containing the best-FID trial.
 
-Run (real chip): python scripts/hpo_chip_demo.py [outdir] [ntrials] [sampler] [mode]
+Run (real chip): python scripts/hpo_chip_demo.py [outdir] [ntrials] [sampler] [mode] [hpo_seeds]
+
+hpo_seeds > 1 (round 5, VERDICT r4 item 3): every trial trains its config
+under k seeds and the sampler optimizes the MEDIAN proxy-FID; per-seed
+values land in trial.user_attrs["seed_values"], and the summary reports
+whether the ranking survives reseeding (per-trial seed spread vs
+between-trial gaps).
 mode "nas": architecture search instead of LR search — kernel_spec/
 filter_spec carry None entries, so the trial samples per-layer kernel
 shapes (odd 1-7, cubic via optuna_square_kernels) and filter counts
@@ -45,6 +51,7 @@ def main():
     sampler = sys.argv[3] if len(sys.argv) > 3 else "TPE"  # "CMA" = the
     # round-3 full CMA-ES (CSA step-size, evolution paths, IPOP) on hardware
     mode = sys.argv[4] if len(sys.argv) > 4 else "lr"
+    hpo_seeds = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     dataroot = os.path.join(outdir, "data")
     os.makedirs(outdir, exist_ok=True)
     # HPO_DEMO_SMOKE=1: toy budgets for a CPU wiring check of the harness
@@ -93,8 +100,13 @@ def main():
         optuna_study_name="chip_demo",
         optuna_sampler=sampler,
         optuna_pruner="nopruner",
+        hpo_seeds=hpo_seeds,
         logdir=os.path.join(outdir, "logs"),
     )
+    if hpo_seeds > 1:
+        # k-seed sweeps pay k trainings per trial; halve the per-leg budget
+        # so the wall stays comparable to the single-seed sweeps
+        cfg = dataclasses.replace(cfg, mixing_nimg=1024, stabilizing_nimg=2048)
 
     if mode == "nas":
         # architecture search: None entries in the specs are what triggers
@@ -155,6 +167,31 @@ def main():
           f"worst {values[-1]:.3f}")
     print(f"best params: {best.params}")
     assert len(done) >= ntrials - 1, "trials failed"
+    if hpo_seeds > 1:
+        # ranking-stability readout: does the median-ranked winner also win
+        # under every individual seed, and how do per-trial seed spreads
+        # compare to between-trial gaps?
+        rows = []
+        for t in done:
+            sv = t.user_attrs.get("seed_values")
+            assert sv and len(sv) == hpo_seeds, (t.number, t.user_attrs)
+            rows.append((t.number, float(t.value), sv))
+            print(f"  trial {t.number}: median {t.value:.3f}  seeds "
+                  f"{[round(v, 2) for v in sv]}  spread "
+                  f"{max(sv) - min(sv):.3f}")
+        by_median = sorted(rows, key=lambda r: r[1])
+        winner = by_median[0][0]
+        per_seed_winners = [
+            min(rows, key=lambda r: r[2][j])[0] for j in range(hpo_seeds)
+        ]
+        spreads = [max(sv) - min(sv) for _, _, sv in rows]
+        gaps = [b[1] - a[1] for a, b in zip(by_median, by_median[1:])]
+        stable = all(w == winner for w in per_seed_winners)
+        print(f"median-ranking winner: trial {winner}; per-seed winners: "
+              f"{per_seed_winners} -> ranking "
+              f"{'SURVIVES' if stable else 'DOES NOT SURVIVE'} reseeding")
+        print(f"median per-trial seed spread {np.median(spreads):.3f} vs "
+              f"median between-trial gap {np.median(gaps) if gaps else 0:.3f}")
     if mode == "nas":
         # every trial must have sampled the architectural knobs, and the
         # study must contain >1 distinct architecture (diversity gate only

@@ -13,6 +13,8 @@ Runs serially on the one chip (CLAUDE.md: one chip process at a time).
 Usage:
   python scripts/seed_band.py flagship <outroot> [seeds...]   # phases 1-5
   python scripts/seed_band.py 2d <outroot> [seeds...]         # phases 1-2
+  python scripts/seed_band.py 2d4 <outroot> [seeds...]        # phases 1-4
+                                   (round-5: bands for the late 2D phases)
 
 Writes <outroot>/band_<kind>.json and prints a per-seed, per-phase table.
 """
@@ -37,8 +39,9 @@ def run_one(kind: str, outdir: str, seed: int) -> dict:
                outdir, "5"]
         traj_file = os.path.join(outdir, "trajectory_p1-5.json")
     else:
+        ending = "4" if kind == "2d4" else "2"
         cmd = [sys.executable, "-u", "scripts/convergence_run_2d.py",
-               outdir, "2"]
+               outdir, ending]
         traj_file = os.path.join(outdir, "trajectory_2d.json")
     t0 = time.time()
     # the run's own gate may fail on a regressing seed — that is DATA for

@@ -136,3 +136,55 @@ def test_walltime_bounded_trial_loop(tmp_path):
     assert elapsed < 30.0
     assert all(t is not None for t in calls)
     assert len(study.trials) == len(calls)
+
+
+def test_k_seed_objective_reports_median(tmp_path, monkeypatch):
+    """hpo_seeds=3 (VERDICT r4 item 3): default_objective trains each
+    trial's config under 3 seeds, hands the sampler the MEDIAN, stores the
+    per-seed values in user_attrs, gives only the FIRST seed the live trial
+    (pruning rides seed 0), and gives each seed its own logdir."""
+    from saragan_tpu.hpo import harness
+    from saragan_tpu.train import trainer as trainer_mod
+
+    ran = []
+
+    class StubTrainer:
+        def __init__(self, cfg, mesh=None, metrics_callback=None, trial=None,
+                     verbose=False):
+            self.cfg, self.trial = cfg, trial
+
+        def run(self):
+            ran.append((self.cfg.seed, self.cfg.logdir, self.trial is not None))
+            # seed-dependent objective: base + a deterministic "noise" term
+            return float(self.cfg.seed % 7919) / 100.0 + self.cfg.g_lr
+
+    monkeypatch.setattr(trainer_mod, "Trainer", StubTrainer)
+    cfg = Config(
+        optuna_ntrials=2,
+        optuna_storage=f"sqlite:///{tmp_path}/ks.db",
+        optuna_study_name="ks",
+        optuna_sampler="random",
+        optuna_pruner="nopruner",
+        hpo_seeds=3,
+        seed=42,
+        g_lr=1e-3, d_lr=1e-3, base_batch_size=4, noise_stddev=0.0,
+        logdir=str(tmp_path / "runs"),
+    )
+    study = harness.run(cfg)
+
+    assert len(ran) == 6  # 2 trials x 3 seeds
+    per_trial = [ran[:3], ran[3:]]
+    for runs in per_trial:
+        seeds = [r[0] for r in runs]
+        assert seeds == [42, 42 + 7919, 42 + 2 * 7919]
+        # only the first seed carries the live trial (pruning authority)
+        assert [r[2] for r in runs] == [True, False, False]
+        # distinct per-seed logdirs
+        assert len({r[1] for r in runs}) == 3
+    import statistics
+
+    for t in study.trials:
+        vals = t.user_attrs["seed_values"]
+        assert len(vals) == 3
+        assert t.value == statistics.median(vals)
+        assert t.user_attrs["seed_spread"] == max(vals) - min(vals)

@@ -541,3 +541,34 @@ def test_samplers_resume_past_orphaned_running_trial(tmp_path):
         done = [t for t in resumed.trials if t.state == "COMPLETE"]
         assert len(done) == 7, name
         assert all(t.value is not None for t in done), name
+
+
+def test_user_attrs_persist_across_reload(tmp_path):
+    """Trial.set_user_attr (round-5: per-seed objective values under the
+    k-seed option) lands in storage and survives a fresh load_study —
+    including on a DB created by an older schema without the column."""
+    import sqlite3
+
+    # pre-round-5 schema (no user_attrs column): the storage must migrate
+    db = f"{tmp_path}/old.db"
+    with sqlite3.connect(db) as c:
+        c.execute(
+            "CREATE TABLE trials (id INTEGER PRIMARY KEY AUTOINCREMENT, "
+            "study TEXT, state TEXT, params TEXT, dists TEXT, value TEXT, "
+            "intermediate TEXT, ts REAL)"
+        )
+    storage = f"sqlite:///{db}"
+    study = create_study(study_name="ua", storage=storage,
+                         sampler=samplers.RandomSampler(seed=0))
+
+    def obj(t):
+        x = t.suggest_float("x", 0, 1)
+        t.set_user_attr("seed_values", [x, x + 1.0])
+        t.set_user_attr("seed_spread", 1.0)
+        return x
+
+    study.optimize(obj, n_trials=3)
+    study2 = load_study("ua", storage)
+    for t in study2.trials:
+        assert len(t.user_attrs["seed_values"]) == 2
+        assert t.user_attrs["seed_spread"] == 1.0
