@@ -66,12 +66,23 @@ def main():
         fused_grads=True,
     ).finalize()
 
-    # name -> (CONV3D_ALGORITHM, _S2D_MAX_CIN)
-    variants = {
-        "direct": ("direct", 16),
-        "s2d16": ("s2d", 16),
-        "s2d8": ("s2d", 8),
-    }
+    # name -> (CONV3D_ALGORITHM, _S2D_MAX_CIN, POOL_WINDOW, STATS_ACCUM_F32)
+    if os.environ.get("AB_S2D_REFINE"):
+        # round-5 refinement: the phase-8 layout knobs on TOP of s2d
+        # (they lost at phase 7 with direct; the s2d program's layouts
+        # are different, so re-measure)
+        variants = {
+            "s2d16": ("s2d", 16, False, True),
+            "s2d32": ("s2d", 32, False, True),
+            "s2d16_window": ("s2d", 16, True, True),
+            "s2d16_stats": ("s2d", 16, False, False),
+        }
+    else:
+        variants = {
+            "direct": ("direct", 16, False, True),
+            "s2d16": ("s2d", 16, False, True),
+            "s2d8": ("s2d", 8, False, True),
+        }
 
     arch = get_architecture("pgan")
     opts = resolve_compiler_options(cfg.scoped_vmem_kib)
@@ -97,12 +108,15 @@ def main():
     )
     rng = jax.random.PRNGKey(1)
 
-    defaults = (ops_core.CONV3D_ALGORITHM, ops_core._S2D_MAX_CIN)
+    defaults = (ops_core.CONV3D_ALGORITHM, ops_core._S2D_MAX_CIN,
+                ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32)
     losses0 = {}
     try:
-        for name, (alg, max_cin) in variants.items():
+        for name, (alg, max_cin, pw, sf) in variants.items():
             ops_core.CONV3D_ALGORITHM = alg
             ops_core._S2D_MAX_CIN = max_cin
+            ops_core.POOL_WINDOW = pw
+            ops_core.STATS_ACCUM_F32 = sf
             t0 = time.perf_counter()
             states[name], m = steps[name](states[name], real, rng, 0.0, 1e-3, 1e-3)
             losses0[name] = float(m.gen_loss)
@@ -112,7 +126,8 @@ def main():
                 flush=True,
             )
     finally:
-        ops_core.CONV3D_ALGORITHM, ops_core._S2D_MAX_CIN = defaults
+        (ops_core.CONV3D_ALGORITHM, ops_core._S2D_MAX_CIN,
+         ops_core.POOL_WINDOW, ops_core.STATS_ACCUM_F32) = defaults
 
     n_steps = int(os.environ.get("AB_STEPS", "10"))
     n_rounds = int(os.environ.get("AB_ROUNDS", "4"))

@@ -36,7 +36,10 @@ def test_dryrun_multichip_16_devices():
         assert want in meshes, (want, list(meshes))
     for name, m in meshes.items():
         assert m["first_step_loss_diff_vs_single_device"] < 5e-6, (name, m)
-        assert m["max_abs_loss_diff_vs_single_device"] < 1e-3, (name, m)
+        # n=16 regime band (global batch 16): 2e-2, see __graft_entry__
+        # TRAJECTORY_TOL rationale — observed 4.5e-3 on dp4xsp2xsp2 with
+        # an f64 lr=0 sweep at 1.9e-6 on the same mesh (chaos, not a bug)
+        assert m["max_abs_loss_diff_vs_single_device"] < 2e-2, (name, m)
         assert m["production_trajectory_diff"] < 0.5, (name, m)
     assert report["production_f64_lr0"]["max_abs_loss_diff"] < 5e-6
     assert report["radius2_k5"]["first_step_diff"] < 5e-6
