@@ -18,6 +18,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_dryrun_multichip_16_devices():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # belt-and-braces: an empty pool-IPs skips the axon plugin registration
+    # entirely, so this subprocess can NEVER touch the relayed chip (a
+    # second relay process wedges concurrent chip jobs — CLAUDE.md)
+    env["PALLAS_AXON_POOL_IPS"] = ""
     env.pop("XLA_FLAGS", None)  # dryrun forces jax_num_cpu_devices itself
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     p = subprocess.run(
