@@ -174,15 +174,20 @@ def main():
     )
     n_phases = len(per_phase_first)
     print(f"phases improved: {improved}/{n_phases}; wall {wall:.0f}s")
-    # Gate against the MEASURED seed band (round 4, scripts/seed_band.py:
-    # 3 seeds x phases 1-2; BASELINE.md "Seed-variance band").  The small
-    # 2D phases sit near the metric floor (phase-2 FID ~2.0) where the
-    # measured seed band is -6% .. +4% relative (round-3's 1.99 -> 2.25
-    # reading, +13%, is the same floor-noise regime); round-3's n-1 gate
-    # allowed ONE regression of ANY size instead of bounding it.  Gate:
-    # every regressing phase stays inside the floor-noise band (<= +15%),
-    # a majority of phases improve outright, and the aggregate improves.
-    NOISE_TOL = 0.15
+    # Gate against the MEASURED per-phase seed band (round 5,
+    # scripts/seed_band.py 2d4: 3 seeds x phases 1-4, real chip —
+    # docs/evidence/seed_band_2d4_r5.json).  Observed relative change
+    # (last - first)/first per phase across seeds {42, 1, 2}:
+    #   phase 1: -0.85 .. -0.76 (always improves hugely)
+    #   phase 2: -0.059 .. +0.038   (metric-floor noise, FID ~2.0)
+    #   phase 3: -0.113 .. +0.020
+    #   phase 4: -0.101 .. -0.010 (always improves)
+    # Cap = ~2x the worst observed regression (or ~2x the cross-seed
+    # spread where no regression was observed) — replacing the round-4
+    # blanket +15% the VERDICT called 4x looser than its band.  Phases
+    # beyond 4 (unmeasured) inherit the widest measured late-phase cap.
+    NOISE_TOL_PER_PHASE = {1: 0.05, 2: 0.08, 3: 0.04, 4: 0.04}
+    DEFAULT_TOL = 0.08
     total_rel = 0.0
     for ph, first in per_phase_first.items():
         last = per_phase_last_ema.get(ph)
@@ -191,10 +196,11 @@ def main():
         rel = (last - first) / abs(first)
         total_rel += rel
         if last >= first:
+            cap = NOISE_TOL_PER_PHASE.get(ph, DEFAULT_TOL)
             print(f"phase {ph} regressed {first:.3f} -> {last:.3f} (rel {rel:+.3f})")
-            assert rel <= NOISE_TOL, (
+            assert rel <= cap, (
                 f"phase {ph} regression {rel:+.3f} exceeds the measured "
-                f"floor-noise band (cap {NOISE_TOL})")
+                f"seed band (cap {cap}, docs/evidence/seed_band_2d4_r5.json)")
     assert improved >= (n_phases + 1) // 2, (
         f"only {improved}/{n_phases} phases improved — 2D training is not converging")
     assert total_rel < 0, (
