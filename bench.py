@@ -176,7 +176,10 @@ def measure_sampling(cfg, phase: int, batch: int, shape, n_iters: int):
     from saragan_tpu.train import init_train_state
     from saragan_tpu.train.step import split_params
 
-    cfg.apply_runtime_opts()  # same engine the serving tools trace with
+    # same engine the serving tools trace with (make_keyed_sampler itself
+    # re-applies inference=True before tracing: direct, not s2d — the fold
+    # loses on the forward-only path, round-5 bench)
+    cfg.apply_runtime_opts(inference=True)
     arch = get_architecture(cfg.architecture)
     state, _ = init_train_state(arch, jax.random.PRNGKey(0), phase=phase, cfg=cfg)
     g_ema, _ = split_params(state.ema)

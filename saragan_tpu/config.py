@@ -457,7 +457,8 @@ class Config:
                 c.scoped_vmem_kib = 65536
         return c
 
-    def apply_runtime_opts(self, spatial: bool = False) -> None:
+    def apply_runtime_opts(self, spatial: bool = False,
+                           inference: bool = False) -> None:
         """Apply the config's op-formulation choices to the process-wide op
         gates (saragan_tpu.ops.core module globals, read at trace time).
 
@@ -467,15 +468,20 @@ class Config:
         they are the documented low-level override surface.  Call before any
         model trace (the Trainer does this in __init__).
 
-        Default conv engine on a TPU backend (round 5): **s2d** —
-        space-to-depth channel packing for the skinny-channel convs, an
-        exact rewrite measured +9% at the phase-6 bench shape and +73% at
-        phase 7 vs XLA's direct conv (BASELINE.md round-5 table;
-        bit-identical losses, f64 oracles in tests/test_s2d.py).  Not used
-        when `spatial` (a depth/height-sharded mesh): the fold's D->(D/2,2)
-        reshape would force cross-shard resharding per conv — pass the
-        mesh's spatial-ness from the Trainer.  CPU backends keep direct
-        (tests pin oracle numerics there).
+        Default conv engine on a TPU backend (round 5): **s2d** for
+        TRAINING — space-to-depth channel packing for the skinny-channel
+        convs, an exact rewrite measured +9% at the phase-6 bench shape
+        and +73% at phase 7 vs XLA's direct conv (BASELINE.md round-5
+        table; bit-identical losses, f64 oracles in tests/test_s2d.py).
+        Not used when `spatial` (a depth/height-sharded mesh): the fold's
+        D->(D/2,2) reshape would force cross-shard resharding per conv —
+        pass the mesh's spatial-ness from the Trainer.  Not used for
+        `inference` (the serving/generation samplers): the forward-only
+        path has none of the backward layout walls the fold wins back, so
+        its 8x folded-madd overhead is a measured NET LOSS there (serving
+        b8 41.7 vs 36.7 ms/batch, round-5 bench) — samplers pass
+        inference=True and keep direct.  CPU backends keep direct (tests
+        pin oracle numerics there).
 
         The gates are set BOTH ways: a non-preset config restores the
         env-derived defaults, so sequential Trainers in one process (HPO
@@ -502,5 +508,5 @@ class Config:
                     on_tpu = jax.default_backend() not in ("cpu",)
                 except Exception:
                     on_tpu = False
-                conv = "s2d" if (on_tpu and not spatial) else "direct"
+                conv = "s2d" if (on_tpu and not spatial and not inference) else "direct"
         ops_core.CONV3D_ALGORITHM = conv

@@ -45,7 +45,7 @@ def make_volume_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: flo
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fused_transitions=True, use_pallas_fusion=True)
-    cfg.apply_runtime_opts()  # round 5: s2d conv default on TPU
+    cfg.apply_runtime_opts(inference=True)  # samplers keep direct (s2d loses forward-only, round-5 bench)
     arch = get_architecture(cfg.architecture)
 
     @jax.jit
@@ -93,7 +93,7 @@ def make_keyed_sampler(cfg: Config, phase: int, batch_size: int = 4, alpha: floa
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fused_transitions=True, use_pallas_fusion=True)
-    cfg.apply_runtime_opts()  # round 5: s2d conv default on TPU
+    cfg.apply_runtime_opts(inference=True)  # samplers keep direct (s2d loses forward-only, round-5 bench)
     arch = get_architecture(cfg.architecture)
 
     def gen_fn(params, seeds, idxs):
