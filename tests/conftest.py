@@ -25,6 +25,17 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # TPU); tests must run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache from the FIRST test: previously the cache only
+# switched on mid-suite when a CLI test happened to call
+# enable_compile_cache (process-wide, ~/.cache/saragan_jax_cache), which
+# is how warm full-suite runs reached ~14 min vs the 49-92 min cold
+# figure.  Enabling it here makes that deterministic — the heavy early
+# modules (test_2d_end_to_end, trainer end-to-ends) reuse their compiled
+# executables across runs.  SARAGAN_COMPILE_CACHE=0 opts out.
+from saragan_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 # --- smoke tier (VERDICT r3 item 8) -------------------------------------
 # `python -m pytest tests/ -m smoke -q` runs the ops/losses/step/trainer

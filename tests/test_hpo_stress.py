@@ -92,7 +92,13 @@ def test_eight_processes_one_sqlite_study(tmp_path):
     states = {t.number: t.state for t in trials}
     assert set(states.values()) <= {"COMPLETE", "PRUNED"}, set(states.values())
     completed = [t for t in trials if t.state == "COMPLETE"]
-    assert len(completed) >= total // 2  # pruner can't have eaten everything
+    # pruner can't have eaten everything — but the exact prune count is
+    # interleaving-dependent (each decision compares against whichever
+    # trials OTHER processes completed first), so under host load it
+    # wanders around ~50%: a loaded round-5 full-suite run measured 99/200
+    # against the old >= 100 bound.  30% still catches a runaway pruner
+    # while tolerating scheduling noise.
+    assert len(completed) >= (3 * total) // 10
     for t in completed:
         assert t.value is not None and np.isfinite(t.value)
         assert set(t.params) == {"x", "y", "k"}, t.params
